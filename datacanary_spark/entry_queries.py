@@ -1,0 +1,280 @@
+"""Registry of driver-contract queries + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a pair here:
+``QUERIES[name]`` (a (spark, sf_dir) -> DataFrame callable) and
+``ORACLE_SQL[name]`` (equivalent DuckDB SQL over the pre-registered
+views region/nation/customer/supplier/part/orders/lineitem/events/
+documents/embeddings).
+
+Contract discipline: every computed column is aliased IDENTICALLY on
+both sides; float columns are rounded to 6 dp on both sides so the
+order-insensitive value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacanary_spark.functions.heuristics import (
+    ALL_STOPWORDS,
+    SYMBOL_CLASS,
+    FilterConfig,
+    text_stat_exprs,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(col):
+    return F.bround(col.cast("double"), 6)
+
+
+# --------------------------------------------------------------------------
+# Profiling aggregates (SURVEY.md §2.3) — single-pass global aggregation.
+# --------------------------------------------------------------------------
+
+@register(
+    "profile_numeric_nchars",
+    """
+    SELECT count(*) AS cnt,
+           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS null_count,
+           min(n_chars) AS min_v,
+           max(n_chars) AS max_v,
+           round(avg(n_chars), 6) AS mean_v,
+           round(median(n_chars), 6) AS median_v,
+           round(stddev_samp(n_chars), 6) AS std_dev,
+           sum(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS zeros_count,
+           sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS negative_count,
+           count(DISTINCT n_chars) AS unique_count
+    FROM documents
+    """,
+)
+def profile_numeric_nchars(spark, sf_dir):
+    """Numeric column profile (reference statistical_analyser.py:52-63)."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("n_chars")
+    return d.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(c.isNull().cast("long")).alias("null_count"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        _r6(F.avg(c)).alias("mean_v"),
+        _r6(F.expr("percentile(n_chars, 0.5)")).alias("median_v"),
+        _r6(F.stddev_samp(c)).alias("std_dev"),
+        F.sum(F.when(c == 0, 1).otherwise(0)).alias("zeros_count"),
+        F.sum(F.when(c < 0, 1).otherwise(0)).alias("negative_count"),
+        F.count_distinct(c).alias("unique_count"),
+    )
+
+
+@register(
+    "profile_string_text",
+    """
+    SELECT count(*) AS cnt,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_count,
+           min(length(text)) AS min_length,
+           max(length(text)) AS max_length,
+           round(avg(length(text)), 6) AS mean_length,
+           sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS empty_string_count,
+           count(DISTINCT text) AS unique_count
+    FROM documents
+    """,
+)
+def profile_string_text(spark, sf_dir):
+    """String column profile (reference statistical_analyser.py:67-79)."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    ln = F.length(c)
+    return d.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(c.isNull().cast("long")).alias("null_count"),
+        F.min(ln).alias("min_length"),
+        F.max(ln).alias("max_length"),
+        _r6(F.avg(ln)).alias("mean_length"),
+        F.sum(F.when(c == "", 1).otherwise(0)).alias("empty_string_count"),
+        F.count_distinct(c).alias("unique_count"),
+    )
+
+
+@register(
+    "profile_timestamp_events",
+    """
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_date,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_date,
+           CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 86400) AS BIGINT) AS range_days,
+           sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_count
+    FROM events
+    """,
+)
+def profile_timestamp_events(spark, sf_dir):
+    """Datetime column profile (reference statistical_analyser.py:82-88)."""
+    e = _t(spark, sf_dir, "events")
+    c = F.col("ts")
+    return e.agg(
+        F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+        F.floor((F.unix_timestamp(F.max(c)) - F.unix_timestamp(F.min(c))) / 86400)
+        .cast("long").alias("range_days"),
+        F.sum(c.isNull().cast("long")).alias("null_count"),
+    )
+
+
+@register(
+    "docs_by_lang",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r6(F.avg("n_chars")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text heuristics (quality-filter hot path) over documents.
+# --------------------------------------------------------------------------
+
+_DUCK_WORDS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+@register(
+    "textstats_by_lang",
+    f"""
+    WITH w AS (
+      SELECT lang,
+             len({_DUCK_WORDS}) AS word_count,
+             CAST(list_aggregate(list_transform({_DUCK_WORDS}, x -> length(x)), 'sum')
+                  AS DOUBLE) AS word_chars,
+             len(list_filter({_DUCK_WORDS},
+                 x -> list_contains({sorted(ALL_STOPWORDS)!r}, x))) AS stop_count
+      FROM documents
+    )
+    SELECT lang,
+           sum(word_count) AS total_words,
+           round(avg(word_count), 6) AS avg_words,
+           round(sum(word_chars) / sum(word_count), 6) AS mean_word_length,
+           round(sum(stop_count) / CAST(sum(word_count) AS DOUBLE), 6) AS stopword_fraction
+    FROM w GROUP BY lang
+    """,
+)
+def textstats_by_lang(spark, sf_dir):
+    """Tokenization + stopword stats as pure Column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    stops = F.array(*[F.lit(s) for s in sorted(ALL_STOPWORDS)])
+    d = d.select(
+        "lang",
+        F.size(words).cast("long").alias("word_count"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double").alias("word_chars"),
+        F.size(F.filter(words, lambda w: F.array_contains(stops, w)))
+        .cast("long").alias("stop_count"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("word_count").alias("total_words"),
+        _r6(F.avg("word_count")).alias("avg_words"),
+        _r6(F.sum("word_chars") / F.sum("word_count")).alias("mean_word_length"),
+        _r6(F.sum("stop_count") / F.sum("word_count").cast("double"))
+        .alias("stopword_fraction"),
+    )
+
+
+_CFG = FilterConfig()
+
+_DUCK_HEURISTIC_CTE = f"""
+    WITH s AS (
+      SELECT lang,
+             len({_DUCK_WORDS}) AS wc,
+             CAST(list_aggregate(list_transform({_DUCK_WORDS}, x -> length(x)), 'sum')
+                  AS DOUBLE) / len({_DUCK_WORDS}) AS mwl,
+             (length(text) - length(regexp_replace(text, '{SYMBOL_CLASS}', '', 'g')))
+               / CAST(len({_DUCK_WORDS}) AS DOUBLE) AS sym_ratio,
+             len(list_filter({_DUCK_WORDS},
+                 x -> list_contains({sorted(ALL_STOPWORDS)!r}, x)))
+               / CAST(len({_DUCK_WORDS}) AS DOUBLE) AS stop_frac,
+             1.0 - len(list_distinct(string_split(text, chr(10))))
+               / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS dup_line_frac,
+             CASE WHEN len({_DUCK_WORDS}) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len({_DUCK_WORDS}) - 2),
+                     i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1] || ' ' ||
+                          {_DUCK_WORDS}[i+2]))) AS DOUBLE)
+                   / (len({_DUCK_WORDS}) - 2)
+             ELSE 0.0 END AS dup_tri_frac
+      FROM documents
+    ),
+    v AS (
+      SELECT lang,
+        (wc >= {_CFG.min_words}) AND (wc <= {_CFG.max_words})
+        AND (mwl >= {_CFG.min_mean_word_length}) AND (mwl <= {_CFG.max_mean_word_length})
+        AND (sym_ratio <= {_CFG.max_symbol_to_word_ratio})
+        AND (stop_frac >= {_CFG.min_stopword_fraction})
+        AND (dup_line_frac <= {_CFG.max_dup_line_fraction})
+        AND (dup_tri_frac <= {_CFG.max_dup_trigram_fraction}) AS keep
+      FROM s
+    )
+"""
+
+
+@register(
+    "heuristic_keep_by_lang",
+    _DUCK_HEURISTIC_CTE + """
+    SELECT lang,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END) AS dropped
+    FROM v GROUP BY lang
+    """,
+)
+def heuristic_keep_by_lang(spark, sf_dir):
+    """Flagship: Gopher/C4 heuristic keep/drop verdict counts by language.
+
+    The per-doc verdict is a pure Column expression — whole pipeline is
+    scan → codegen project → partial/final hash aggregate. No Python.
+    """
+    d = _t(spark, sf_dir, "documents")
+    stats = text_stat_exprs("text")
+    keep = (
+        (stats["word_count"] >= _CFG.min_words)
+        & (stats["word_count"] <= _CFG.max_words)
+        & (stats["mean_word_length"] >= _CFG.min_mean_word_length)
+        & (stats["mean_word_length"] <= _CFG.max_mean_word_length)
+        & (stats["symbol_to_word_ratio"] <= _CFG.max_symbol_to_word_ratio)
+        & (stats["stopword_fraction"] >= _CFG.min_stopword_fraction)
+        & (stats["dup_line_fraction"] <= _CFG.max_dup_line_fraction)
+        & (stats["dup_trigram_fraction"] <= _CFG.max_dup_trigram_fraction)
+    )
+    return d.select("lang", keep.alias("keep")).groupBy("lang").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("dropped"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heuristic_keep_by_lang(spark, sf_dir)

@@ -1,0 +1,186 @@
+"""Single-pass column profiler.
+
+Reimplements the reference's ``StatisticalAnalyser.analyse_dataframe``
+(/root/reference/src/datacanary/analysers/statistical_analyser.py:17-98)
+as ONE ``df.agg(...)`` over all columns — the reference computes each
+statistic in a separate eager pandas pass (``isna()`` twice at :45-46,
+``nunique()`` twice at :47-48, a ``dropna()`` copy per dtype branch at
+:53,68,83); here Catalyst fuses everything into a single scan with
+partial+final hash aggregation and whole-stage codegen, so profiling a
+100 TB table costs one read.
+
+Reference semantics preserved (see SURVEY.md §1.3):
+
+* ``null_percentage`` / ``unique_percentage`` rounded to 2 decimals with
+  banker's rounding (pandas ``round`` → Spark ``F.bround``, NOT
+  ``F.round`` which is HALF_UP) — statistical_analyser.py:46,48.
+* ``unique_count`` excludes nulls while the percentage denominator is
+  total rows — statistical_analyser.py:47-48.
+* ``std_dev`` is sample stddev, forced to 0.0 when a single non-null
+  value — statistical_analyser.py:60.
+* zeros / negatives / string-length / empty-string stats over non-null
+  values only — statistical_analyser.py:53,61-63,68-77.
+* ``median`` exact (``percentile``, not approx) — statistical_analyser.py:59.
+* ``range_days`` truncates to whole days — statistical_analyser.py:88.
+* ``has_duplicates`` counts repeated nulls as duplicates (pandas
+  ``col.duplicated().any()`` at :49 is null-inclusive).
+* ``sample_values``: the reference samples ≤10 values WITHOUT a seed
+  (:79, nondeterministic); we deviate deliberately and return the first
+  10 distinct values in sort order — deterministic across runs and
+  cluster sizes (documented deviation, SURVEY.md §7 hard-part 4). In
+  ``approx=True`` (scale) mode the collect is gated to a deterministic
+  xxhash64 1/1024 sample so aggregate state stays bounded on
+  high-cardinality columns.
+
+Scale notes: ``unique_count`` uses exact ``countDistinct`` by default to
+match the reference; at 10^12 rows pass ``approx=True`` to switch every
+distinct count to HLL++ (``approx_count_distinct``) — one flag, same
+plan shape, no extra shuffle either way (partial aggregation map-side).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType, T.DecimalType)
+STRING_TYPES = (T.StringType,)
+DATETIME_TYPES = (T.TimestampType, T.DateType, T.TimestampNTZType)
+
+
+def _type_name(dt: T.DataType) -> str:
+    """Dtype names aligned with the reference's pandas names so rule
+    applicability prefixes (int/float/object/datetime/bool) keep working
+    (rule applicability dispatch: rule_engine.py:37-47)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int64"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float64"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, DATETIME_TYPES):
+        return "datetime64[ns]"
+    if isinstance(dt, T.StringType):
+        return "object"
+    return dt.simpleString()
+
+
+def _generic_exprs(c: str, approx: bool) -> list:
+    col = F.col(c)
+    distinct = (F.approx_count_distinct(c) if approx else F.count_distinct(col))
+    total = F.count(F.lit(1))
+    non_null = F.count(col)
+    return [
+        total.alias(f"{c}__count"),
+        F.coalesce(F.sum(col.isNull().cast("long")), F.lit(0)).alias(f"{c}__null_count"),
+        F.bround(F.coalesce(F.avg(col.isNull().cast("double")), F.lit(0.0)) * 100, 2)
+        .alias(f"{c}__null_percentage"),
+        distinct.alias(f"{c}__unique_count"),
+        F.bround(F.coalesce(F.try_divide(distinct, total), F.lit(0.0)) * 100, 2)
+        .alias(f"{c}__unique_percentage"),
+        # pandas duplicated().any() counts repeated NULLs as duplicates:
+        # dup iff non-null dup OR (null_count > 1)
+        ((non_null > distinct) | (total - non_null > 1)).alias(f"{c}__has_duplicates"),
+    ]
+
+
+def _numeric_exprs(c: str) -> list:
+    col = F.col(c).cast("double")
+    nn = F.count(col)
+    return [
+        F.min(col).alias(f"{c}__min"),
+        F.max(col).alias(f"{c}__max"),
+        F.avg(col).alias(f"{c}__mean"),
+        F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}__median"),
+        F.when(nn > 1, F.coalesce(F.stddev_samp(col), F.lit(0.0)))
+        .otherwise(F.when(nn == 1, F.lit(0.0))).alias(f"{c}__std_dev"),
+        F.coalesce(F.sum(F.when(col == 0, 1).otherwise(0)), F.lit(0)).alias(f"{c}__zeros_count"),
+        F.bround(F.coalesce(
+            F.try_divide(F.sum(F.when(col == 0, 1).otherwise(0)), nn), F.lit(0.0)) * 100, 2)
+        .alias(f"{c}__zeros_percentage"),
+        F.coalesce(F.sum(F.when(col < 0, 1).otherwise(0)), F.lit(0)).alias(f"{c}__negative_count"),
+    ]
+
+
+def _string_exprs(c: str, approx: bool = False) -> list:
+    col = F.col(c)
+    ln = F.length(col)
+    nn = F.count(col)
+    # exact mode: all distinct values enter the set (small tables);
+    # approx/scale mode: deterministic hash-gate keeps state bounded.
+    sample_src = F.when(F.pmod(F.xxhash64(col), F.lit(1024)) == 0, col) if approx else col
+    return [
+        F.min(ln).alias(f"{c}__min_length"),
+        F.max(ln).alias(f"{c}__max_length"),
+        F.avg(ln).alias(f"{c}__mean_length"),
+        F.coalesce(F.sum(F.when(col == "", 1).otherwise(0)), F.lit(0))
+        .alias(f"{c}__empty_string_count"),
+        F.bround(F.coalesce(
+            F.try_divide(F.sum(F.when(col == "", 1).otherwise(0)), nn), F.lit(0.0)) * 100, 2)
+        .alias(f"{c}__empty_string_percentage"),
+        # Deterministic sample: first 10 distinct values in sort order
+        # (deviation from the reference's unseeded random sample, :79).
+        F.slice(F.array_sort(F.collect_set(sample_src)), 1, 10).alias(f"{c}__sample_values"),
+    ]
+
+
+def _datetime_exprs(c: str) -> list:
+    col = F.col(c)
+    return [
+        F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__min_date"),
+        F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__max_date"),
+        F.floor((F.unix_timestamp(F.max(col)) - F.unix_timestamp(F.min(col))) / 86400)
+        .alias(f"{c}__range_days"),
+    ]
+
+
+def profile_exprs(df: DataFrame, approx: bool = False) -> list:
+    """All aggregate expressions for every column — one agg, one scan."""
+    exprs: list = []
+    for field in df.schema.fields:
+        c = field.name
+        exprs.extend(_generic_exprs(c, approx))
+        if isinstance(field.dataType, NUMERIC_TYPES):
+            exprs.extend(_numeric_exprs(c))
+        elif isinstance(field.dataType, T.BooleanType):
+            pass  # generic stats only, like the reference (:43-50)
+        elif isinstance(field.dataType, STRING_TYPES):
+            exprs.extend(_string_exprs(c, approx))
+        elif isinstance(field.dataType, DATETIME_TYPES):
+            exprs.extend(_datetime_exprs(c))
+    return exprs
+
+
+def analyse_dataframe(df: DataFrame, approx: bool = False) -> dict[str, dict[str, Any]]:
+    """Profile every column; returns the reference's nested-dict IR:
+    ``{column: {"type": dtype_str, "stats": {...}}}``
+    (statistical_analyser.py:37-95). Empty DataFrame → stats computed
+    over zero rows (counts 0), matching reference's per-column behavior;
+    a DataFrame with no columns → {}.
+    """
+    if not df.columns:
+        return {}
+    row = df.agg(*profile_exprs(df, approx)).collect()[0].asDict()
+    out: dict[str, dict[str, Any]] = {}
+    for field in df.schema.fields:
+        c = field.name
+        prefix = f"{c}__"
+        stats = {k[len(prefix):]: v for k, v in row.items() if k.startswith(prefix)}
+        out[c] = {"type": _type_name(field.dataType), "stats": stats}
+    return out
+
+
+def profile_df(spark, profile: dict[str, dict[str, Any]]) -> DataFrame:
+    """Long-format (column, type, stat, value-as-string) DataFrame view of
+    a profile dict — the relational IR used by summary aggregation."""
+    rows = []
+    for c, info in profile.items():
+        for stat, value in info["stats"].items():
+            rows.append((c, info["type"], stat, None if value is None else str(value)))
+    from datacanary_spark.schema import PROFILE_SCHEMA
+
+    return spark.createDataFrame(rows, PROFILE_SCHEMA)

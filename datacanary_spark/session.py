@@ -1,0 +1,71 @@
+"""SparkSession builder tuned for this engine.
+
+Local mode is used for tests/bench (``local[N]``), but every knob here is
+chosen for multi-executor scale:
+
+* AQE on (runtime coalescing + skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong somewhere; AQE fixes it per-stage.
+* Arrow on — every pandas-UDF boundary moves columnar batches, not rows.
+* ``spark.sql.shuffle.partitions`` defaults to cores in local mode; on a
+  real cluster callers pass ``shuffle_partitions`` sized to ~128 MB of
+  post-shuffle data per partition.
+* UTC session timezone — timestamp semantics must not depend on the host.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_ARROW_BATCH = 2048  # docs per Arrow batch; web pages are big rows
+
+
+def get_spark(
+    app_name: str = "datacanary_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = DEFAULT_ARROW_BATCH,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's standard config."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or _default_master()
+    if shuffle_partitions is None:
+        shuffle_partitions = _default_shuffle_partitions(master)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def _default_shuffle_partitions(master: str) -> int:
+    """In local[N] mode, N shuffle partitions; AQE coalesces further."""
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return max(int(inner), 1)
+        except ValueError:
+            return 32
+    return 200

@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every __spark_entry__.queries() entry at a given sf dir, runs the
+matching oracle_sql() in DuckDB over the same parquet files, and compares
+row count, column-name set, and order-insensitive values (columns sorted
+by name, rows sorted, exact string compare of values — floats compared
+both exactly and with 1e-9 relative tolerance so we can see whether a
+mismatch is real or float noise).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return [cols[i] for i in order], sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def values_close(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-12)
+        except (TypeError, ValueError):
+            return False
+    return str(a) == str(b)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from datacanary_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check", master="local[8]",
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name:35s} rows-only: {len(srows)} rows")
+            continue
+        rel = con.sql(oracles[name])
+        drows = rel.fetchall()
+        dcols = [d[0] for d in rel.description]
+        status = []
+        if len(srows) != len(drows):
+            status.append(f"ROWCOUNT {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            status.append(f"SCHEMA {sorted(scols)} vs {sorted(dcols)}")
+        if not status:
+            _, sn = norm_rows(scols, srows)
+            _, dn = norm_rows(dcols, drows)
+            exact = sn == [tuple(r) for r in dn]
+            if exact:
+                status.append("OK exact")
+            else:
+                n_bad = 0
+                for a, b in zip(sn, dn):
+                    if not all(values_close(x, y) for x, y in zip(a, b)):
+                        n_bad += 1
+                        if n_bad <= 2:
+                            status.append(f"DIFF {a} vs {b}")
+                if n_bad == 0:
+                    status.append("OK approx (float-noise only — hash gate may flag!)")
+                else:
+                    status.append(f"MISMATCH {n_bad}/{len(sn)} rows")
+        line = f"{name:35s} {'; '.join(status)}"
+        print(line)
+        if "OK exact" not in status:
+            failures.append(line)
+    print("\n== summary ==")
+    if failures:
+        print(f"{len(failures)} non-exact:")
+        for f in failures:
+            print(" ", f)
+        sys.exit(1)
+    print("all exact")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Profiler parity tests.
+
+Ports the reference's analyser fixture and assertions
+(/root/reference/src/tests/test_statistical_analyser.py:18-24 fixture,
+:38-59 expected values) onto the Spark profiler.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from datacanary_spark.operators.profiler import analyse_dataframe
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    schema = T.StructType([
+        T.StructField("numeric_col", T.DoubleType(), True),
+        T.StructField("string_col", T.StringType(), True),
+        T.StructField("date_col", T.TimestampType(), True),
+        T.StructField("all_null_col", T.StringType(), True),
+    ])
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        (1.0, "a", ts("2023-01-01"), None),
+        (2.0, "b", ts("2023-01-02"), None),
+        (3.0, "c", ts("2023-01-03"), None),
+        (4.0, "a", ts("2023-01-01"), None),
+        (5.0, "", ts("2023-02-01"), None),
+        (None, None, None, None),
+        (0.0, "xyz", ts("2023-03-01"), None),
+        (-1.0, "abc", ts("2023-04-01"), None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def profile(fixture_df):
+    return analyse_dataframe(fixture_df)
+
+
+def test_numeric_stats(profile):
+    s = profile["numeric_col"]["stats"]
+    assert s["count"] == 8
+    assert s["null_count"] == 1
+    assert s["null_percentage"] == 12.5
+    assert s["min"] == -1.0
+    assert s["max"] == 5.0
+    assert s["mean"] == 2.0
+    assert s["median"] == 2.0
+    assert s["zeros_count"] == 1
+    assert s["negative_count"] == 1
+    assert s["unique_count"] == 7
+    # sample stddev over [1,2,3,4,5,0,-1]
+    assert abs(s["std_dev"] - 2.160246899469287) < 1e-12
+
+
+def test_string_stats(profile):
+    s = profile["string_col"]["stats"]
+    assert s["null_count"] == 1
+    assert s["unique_count"] == 6  # 'a','b','c','','xyz','abc'
+    assert s["empty_string_count"] == 1
+    assert s["min_length"] == 0
+    assert s["max_length"] == 3
+    assert s["has_duplicates"] is True
+
+
+def test_date_stats(profile):
+    s = profile["date_col"]["stats"]
+    assert s["null_count"] == 1
+    assert s["unique_count"] == 6
+    assert s["min_date"] == "2023-01-01 00:00:00"
+    assert s["max_date"] == "2023-04-01 00:00:00"
+    assert s["range_days"] == 90
+
+
+def test_all_null_col(profile):
+    s = profile["all_null_col"]["stats"]
+    assert s["count"] == 8
+    assert s["null_count"] == 8
+    assert s["null_percentage"] == 100.0
+    assert s["unique_count"] == 0
+    assert s["unique_percentage"] == 0.0
+    # pandas duplicated().any() counts repeated nulls as dups
+    assert s["has_duplicates"] is True
+
+
+def test_empty_columns(spark):
+    assert analyse_dataframe(spark.createDataFrame([], T.StructType([]))) == {}
+
+
+def test_single_row_stddev_zero(spark):
+    df = spark.createDataFrame([(3.0,)], T.StructType(
+        [T.StructField("x", T.DoubleType())]))
+    assert analyse_dataframe(df)["x"]["stats"]["std_dev"] == 0.0
+
+
+def test_bround_banker_rounding(spark):
+    """pandas round() is half-even; 1/16 nulls = 6.25% stays 6.25 but a
+    half-at-2dp case must round to even (SURVEY.md §7 hard-part 1)."""
+    rows = [(float(i),) for i in range(7)] + [(None,)] * 1
+    df = spark.createDataFrame(rows, T.StructType(
+        [T.StructField("x", T.DoubleType(), True)]))
+    s = analyse_dataframe(df)["x"]["stats"]
+    assert s["null_percentage"] == 12.5
