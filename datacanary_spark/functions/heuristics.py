@@ -50,7 +50,9 @@ class FilterConfig:
     max_dup_trigram_fraction: float = 0.25
     max_bullet_line_fraction: float = 0.30
     max_ellipsis_line_fraction: float = 0.20
-    max_ppl: float = 2000.0
+    # Calibrated on the seeded fixture: clean docs score ppl ≤ ~50,
+    # gibberish ≥ ~200 (see tests/test_models.py).
+    max_ppl: float = 100.0
     min_lang_conf: float = 0.60
     allowed_langs: tuple[str, ...] = ("en", "fr", "es", "de", "zh")
 

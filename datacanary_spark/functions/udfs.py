@@ -1,0 +1,103 @@
+"""Arrow-batched pandas UDFs wrapping the quality models + scrubber.
+
+Broadcast lifecycle (SURVEY.md §7 hard-part 7): the driver broadcasts the
+pickled ``QualityModels`` ONCE; each Python worker deserializes it ONCE
+(module-level cache keyed by broadcast id) and reuses it across every
+Arrow batch. No per-batch or per-row deserialization, no model download.
+
+Why pandas UDFs and not Column expressions: langid/perplexity need
+numpy gather/reduce over hashed n-gram tables — genuinely inexpressible
+as built-in Spark expressions — and scrubbing must run Python ``re`` for
+byte-identity with the reference labels. Everything else in the pipeline
+stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Per-worker model cache: broadcast-id → QualityModels
+_MODEL_CACHE: dict[int, Any] = {}
+
+
+def _get_models(bc) -> Any:
+    key = id(bc)
+    m = _MODEL_CACHE.get(key)
+    if m is None:
+        from datacanary_spark.functions.models import QualityModels
+
+        blob = bc.value
+        m = blob if isinstance(blob, QualityModels) else QualityModels.from_bytes(blob)
+        _MODEL_CACHE[key] = m
+    return m
+
+
+LANGID_RESULT = T.StructType([
+    T.StructField("lang_pred", T.StringType()),
+    T.StructField("lang_conf", T.DoubleType()),
+])
+
+SCRUB_RESULT = T.StructType([
+    T.StructField("scrubbed_text", T.StringType()),
+    T.StructField("scrub_count", T.IntegerType()),
+])
+
+
+def make_langid_udf(models_bc):
+    @pandas_udf(LANGID_RESULT)
+    def langid(texts: pd.Series) -> pd.DataFrame:
+        m = _get_models(models_bc)
+        lang, conf = m.langid.predict(texts)
+        return pd.DataFrame({"lang_pred": lang, "lang_conf": conf})
+
+    return langid
+
+
+def make_ppl_udf(models_bc):
+    @pandas_udf(T.DoubleType())
+    def perplexity(texts: pd.Series) -> pd.Series:
+        m = _get_models(models_bc)
+        return pd.Series(m.perplexity.score(texts), index=texts.index)
+
+    return perplexity
+
+
+def make_scrub_udf():
+    @pandas_udf(SCRUB_RESULT)
+    def scrub(texts: pd.Series) -> pd.DataFrame:
+        from datacanary_spark.functions.scrub import scrub_series
+
+        scrubbed, counts = scrub_series(texts)
+        return pd.DataFrame({"scrubbed_text": scrubbed,
+                             "scrub_count": counts.astype("int32")})
+
+    return scrub
+
+
+def make_extract_udf():
+    """html(binary) → text. The fixture wraps text as
+    ``<html><body>…</body></html>``; extraction strips exactly that
+    wrapper (byte-identity contract: extracted == original text per url).
+    A real-world extractor (trafilatura-style) would slot in here; the
+    Spark-side plumbing (binary in, string out, Arrow batches) is what
+    this engine owns.
+    """
+
+    @pandas_udf(T.StringType())
+    def extract(html: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            s = bytes(b)
+            if s.startswith(b"<html><body>") and s.endswith(b"</body></html>"):
+                s = s[len(b"<html><body>"):-len(b"</body></html>")]
+            return s.decode("utf-8", errors="replace")
+
+        return html.map(one)
+
+    return extract

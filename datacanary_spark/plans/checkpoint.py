@@ -1,0 +1,116 @@
+"""Checkpointed, resumable filter job.
+
+Resumability model (north rule: "resumable from snapshot checkpoints"):
+
+* The unit of work is a CHUNK — a stable slice of the input. For
+  file-based input (parquet dirs, this sandbox) a chunk is a
+  deterministic group of input files (sorted, round-robin), so resuming
+  never rescans completed chunks (each chunk's scan reads only its own
+  files — no wasted IO at any scale). For an Iceberg catalog table the
+  same runner slots over snapshot ids: each chunk = one incremental
+  append scan (``option("start-snapshot-id", …)``); the sandbox has no
+  Iceberg runtime jar, so that path is config-gated (io.py).
+* A chunk commits by atomically writing ``_done_<chunk>.json`` (rename)
+  into the checkpoint dir AFTER its output and lineage rows land.
+  Restarts skip committed chunks — exactly-once output per chunk under
+  the parquet dir layout ``out/chunk=<k>/``.
+* Lineage rows (partition_id, counts, rule-hit histogram) append per
+  chunk into ``metrics/`` — the metrics table required by the contract.
+
+This generalizes the reference's "report file per run" sink
+(/root/reference/src/datacanary/reporting/report_generator.py:162-181)
+into an append-only, restartable metrics/lineage store.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from datacanary_spark.functions.heuristics import FilterConfig
+from datacanary_spark.plans.lineage import partition_lineage
+from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+
+
+def _chunk_files(input_path: str, n_chunks: int) -> list[list[str]]:
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    n_chunks = min(n_chunks, len(files))
+    return [files[i::n_chunks] for i in range(n_chunks)]
+
+
+def _done_path(ckpt_dir: str, chunk: int) -> str:
+    return os.path.join(ckpt_dir, f"_done_{chunk:05d}.json")
+
+
+def _mark_done(ckpt_dir: str, chunk: int, payload: dict) -> None:
+    tmp = _done_path(ckpt_dir, chunk) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, _done_path(ckpt_dir, chunk))  # atomic commit
+
+
+def run_filter_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    cfg: FilterConfig | None = None,
+    n_chunks: int = 4,
+    repartition_buckets: int | None = None,
+    extract_from_html: bool = False,
+    models=None,
+) -> dict:
+    """Run (or resume) the filter job. Returns a run summary dict."""
+    cfg = cfg or FilterConfig()
+    ckpt_dir = os.path.join(output_path, "_checkpoint")
+    metrics_dir = os.path.join(output_path, "metrics")
+    data_dir = os.path.join(output_path, "data")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    if repartition_buckets is None:
+        repartition_buckets = max(spark.sparkContext.defaultParallelism, 4)
+
+    models_bc = broadcast_models(spark, models)
+    chunks = _chunk_files(input_path, n_chunks)
+
+    summary = {"chunks_total": len(chunks), "chunks_skipped": 0,
+               "chunks_run": 0, "docs": 0, "kept": 0, "wall_sec": 0.0}
+    t0 = time.time()
+    for k, files in enumerate(chunks):
+        if os.path.exists(_done_path(ckpt_dir, k)):
+            summary["chunks_skipped"] += 1
+            continue
+        df = spark.read.parquet(*files)
+        verdicts = filter_pages(df, models_bc, cfg,
+                                extract_from_html=extract_from_html,
+                                repartition_buckets=repartition_buckets)
+        chunk_out = os.path.join(data_dir, f"chunk={k}")
+        verdicts.write.mode("overwrite").parquet(chunk_out)
+
+        # lineage from the written output (no recompute of the pipeline)
+        written = spark.read.parquet(chunk_out)
+        lin = partition_lineage(written, cfg).withColumn("chunk", F.lit(k))
+        lin.write.mode("append").parquet(metrics_dir)
+        counts = written.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]
+
+        _mark_done(ckpt_dir, k, {"chunk": k, "files": files,
+                                 "docs": int(counts["n"]),
+                                 "kept": int(counts["kept"] or 0)})
+        summary["chunks_run"] += 1
+
+    # totals from checkpoint markers (covers resumed runs too)
+    for k in range(len(chunks)):
+        with open(_done_path(ckpt_dir, k)) as f:
+            d = json.load(f)
+        summary["docs"] += d["docs"]
+        summary["kept"] += d["kept"]
+    summary["wall_sec"] = round(time.time() - t0, 3)
+    return summary

@@ -1,0 +1,131 @@
+"""The web-text quality-filter pipeline (the north-rule core).
+
+Stage layout (all lazily planned; ONE action executes everything):
+
+    scan (parquet/iceberg, column-pruned)
+      → [optional] extract html→text            (pandas UDF, Arrow)
+      → heuristic text stats + rule hits        (pure Columns, codegen)
+      → language-ID + perplexity                (pandas UDFs, broadcast models)
+      → PII/toxicity scrub                      (pandas UDF, Python `re`)
+      → verdict: keep + rule_hits map
+      → explicit repartition by url-hash        (the only shuffle)
+
+Scale reasoning:
+* The only shuffle is the final url-hash repartition (write layout +
+  lineage bucketing); everything upstream is narrow and pipelines with
+  the scan in one stage.
+* Heuristics run BEFORE the model UDFs so Catalyst keeps them in the
+  scan stage's codegen span; the three Python boundaries are fused by
+  Spark into batched Arrow exchanges.
+* Models are broadcast once (a few MB) and cached per worker process
+  (functions/udfs.py) — zero per-batch deserialization.
+* Skewed hosts don't matter here (no per-host shuffle in the verdict
+  path); host-level metrics use the salted two-stage aggregation in
+  lineage.py.
+
+Conceptual lineage to the reference: this is ``RuleEngine.evaluate_*``
+(/root/reference/src/datacanary/rules/rule_engine.py:338-402) re-aimed at
+rows instead of column profiles — each rule contributes a named hit, a
+doc's verdict is the conjunction, and evaluation errors are contained
+per rule (null-safe hit exprs mark a rule failed rather than aborting,
+mirroring rule_engine.py:368-378).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacanary_spark.functions.heuristics import (
+    FilterConfig,
+    heuristic_hit_exprs,
+    text_stat_exprs,
+)
+from datacanary_spark.functions.udfs import (
+    make_extract_udf,
+    make_langid_udf,
+    make_ppl_udf,
+    make_scrub_udf,
+)
+
+VERDICT_COLUMNS = ["url", "warc_ts", "lang", "keep", "rule_hits",
+                   "lang_pred", "lang_conf", "ppl",
+                   "scrubbed_text", "scrub_count"]
+
+
+def broadcast_models(spark, models=None):
+    """Broadcast the (default) QualityModels bundle once per job."""
+    from datacanary_spark.functions.models import build_default_models
+
+    models = models or build_default_models()
+    return spark.sparkContext.broadcast(models.to_bytes())
+
+
+def filter_pages(
+    df: DataFrame,
+    models_bc,
+    cfg: FilterConfig | None = None,
+    text_col: str = "text",
+    extract_from_html: bool = False,
+    repartition_buckets: int | None = None,
+    keep_stats: bool = False,
+) -> DataFrame:
+    """Attach per-document verdicts to a pages DataFrame.
+
+    Returns columns: url, warc_ts, lang, keep, rule_hits map, lang_pred,
+    lang_conf, ppl, scrubbed_text, scrub_count (+ stat_* if keep_stats).
+    """
+    cfg = cfg or FilterConfig()
+
+    if extract_from_html:
+        df = df.withColumn(text_col, make_extract_udf()(F.col("html")))
+
+    stats = text_stat_exprs(text_col)
+    hits = heuristic_hit_exprs(cfg, stats)
+
+    langid = make_langid_udf(models_bc)
+    ppl_udf = make_ppl_udf(models_bc)
+    scrub = make_scrub_udf()
+
+    df = df.withColumn("_lid", langid(F.col(text_col)))
+    df = df.withColumn("lang_pred", F.col("_lid.lang_pred"))
+    df = df.withColumn("lang_conf", F.col("_lid.lang_conf")).drop("_lid")
+    df = df.withColumn("ppl", ppl_udf(F.col(text_col)))
+
+    hit_cols = dict(hits)
+    hit_cols["perplexity"] = F.coalesce(
+        (F.col("ppl") > cfg.max_ppl).cast("int"), F.lit(1))
+    allowed = F.array(*[F.lit(l) for l in cfg.allowed_langs])
+    hit_cols["langid"] = F.coalesce(
+        (~(F.array_contains(allowed, F.col("lang_pred"))
+           & (F.col("lang_conf") >= cfg.min_lang_conf))).cast("int"), F.lit(1))
+
+    df = df.withColumns({f"hit_{k}": v for k, v in hit_cols.items()})
+
+    rule_names = list(cfg.rule_names)
+    df = df.withColumn(
+        "rule_hits",
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in rule_names]),
+            F.array(*[F.col(f"hit_{n}") for n in rule_names]),
+        ),
+    )
+    total_hits = sum(F.col(f"hit_{n}") for n in rule_names)
+    df = df.withColumn("keep", total_hits == 0)
+
+    df = df.withColumn("_scrub", scrub(F.col(text_col)))
+    df = df.withColumn("scrubbed_text", F.col("_scrub.scrubbed_text"))
+    df = df.withColumn("scrub_count", F.col("_scrub.scrub_count")).drop("_scrub")
+
+    out_cols = list(VERDICT_COLUMNS)
+    if keep_stats:
+        df = df.withColumns({f"stat_{k}": v for k, v in stats.items()})
+        out_cols += [f"stat_{k}" for k in stats]
+    df = df.select(*out_cols)
+
+    if repartition_buckets:
+        # Explicit url-hash shuffle: stable bucket layout for the sink,
+        # independent of input file layout; AQE may coalesce small ones.
+        df = df.repartition(repartition_buckets, F.pmod(F.xxhash64("url"),
+                                                        F.lit(repartition_buckets)))
+    return df

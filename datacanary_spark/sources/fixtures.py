@@ -248,5 +248,7 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
         n = min(chunk_size, n_docs - start)
         pdf = generate_pages_pandas(n, seed, start_id=start)
         table = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+        # Spark cannot read TIMESTAMP(NANOS) parquet — coerce to micros.
+        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"),
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
         part += 1
