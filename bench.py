@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries + the full quality-filter pipeline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carried in the same line: ``docs_per_sec`` (filter-pipeline
+throughput — the north-rule headline number) and ``n_docs``.
+
+Usage: ``python bench.py [--sf-dir DIR] [--cpus N] [--repeat K]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+
+def parse_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def bench_filter_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    """Full north-rule pipeline over the documents table reshaped as pages:
+    heuristics + langid + perplexity + scrub + verdict, one action.
+
+    The final agg touches keep, scrub_count and ppl so Catalyst cannot
+    prune any UDF stage out of the measured plan.
+    """
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    bc = broadcast_models(spark)
+    n_docs = docs.count()  # warms the scan cache fairly; excluded from timing
+
+    t0 = time.perf_counter()
+    verdicts = filter_pages(pages, bc)
+    row = verdicts.agg(
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum("scrub_count").alias("scrubs"),
+        F.avg("ppl").alias("mean_ppl"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert row["kept"] is not None
+    return elapsed, n_docs
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    p.add_argument("--repeat", type=int, default=1,
+                   help="repetitions per query; best (min) time reported")
+    args = p.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+
+    from datacanary_spark.session import get_spark
+
+    spark = get_spark(app_name="datacanary_bench",
+                      master=f"local[{args.cpus}]")
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            fn(spark, args.sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    filt_sec, n_docs = bench_filter_pipeline(spark, args.sf_dir)
+    timings["filter_pipeline_full"] = round(filt_sec, 4)
+
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "quality_filter_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": parse_sf(args.sf_dir),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / filt_sec, 2) if filt_sec > 0 else None,
+        "cpus": str(args.cpus),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
