@@ -276,5 +276,35 @@ def heuristic_keep_by_lang(spark, sf_dir):
     )
 
 
+@register("filter_pipeline_verdicts")  # rows-only: langid/ppl/scrub are
+def filter_pipeline_verdicts(spark, sf_dir):  # numpy/Python-re, not SQL
+    """Full north-rule pipeline (heuristics + model UDFs + scrub) over the
+    documents table reshaped as pages; per-language verdict + scrub
+    rollup. Byte-level correctness is enforced by the golden-twin tests
+    (tests/test_filter_pipeline.py), not a SQL oracle."""
+    from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"), F.col("lang"))
+    v = filter_pages(pages, broadcast_models(spark))
+    return (v.groupBy("lang")
+             .agg(F.sum(F.col("keep").cast("long")).alias("kept"),
+                  F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+                  F.sum("scrub_count").alias("scrubs"),
+                  F.bround(F.avg("ppl"), 4).alias("mean_ppl")))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heuristic_keep_by_lang(spark, sf_dir)
+
+
+# Extension registries (import side effect: they register into
+# QUERIES/ORACLE_SQL). Kept at the bottom so they can import this module.
+from datacanary_spark import entry_queries_dedup  # noqa: E402,F401
+from datacanary_spark import entry_queries_similarity  # noqa: E402,F401
+from datacanary_spark import entry_queries_relational  # noqa: E402,F401

@@ -1,0 +1,298 @@
+"""Driver-contract queries: deduplication + text-analysis operators.
+
+Registered into datacanary_spark.entry_queries.{QUERIES,ORACLE_SQL}.
+Where the corpus has no natural duplicates (the synthetic documents
+table is all-distinct), queries construct deterministic variants inline
+— identically on the Spark and DuckDB sides — so the operators
+demonstrably FIND the planted duplicates rather than vacuously
+returning empty sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datacanary_spark.entry_queries import ORACLE_SQL, QUERIES, _t, register
+from datacanary_spark.operators import dedup as dd
+from datacanary_spark.operators import text_analysis as ta
+from datacanary_spark.sources.fixtures import LANGS, STOPWORDS
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (mirror operators/dedup.py expressions exactly)
+# ---------------------------------------------------------------------------
+
+_NORM = r"lower(regexp_replace({col}, '\s+', ' ', 'g'))"
+
+_SHINGLES = (
+    "list_distinct(CASE WHEN length({n}) >= 5 THEN "
+    "list_transform(generate_series(1, length({n}) - 4), i -> substring({n}, i, 5)) "
+    "WHEN length({n}) > 0 THEN [{n}] ELSE CAST([] AS VARCHAR[]) END)"
+)
+
+_WORDS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+
+_HIGH = "('8','9','a','b','c','d','e','f')"
+
+
+def _duck_minhash_list(n_hashes: int) -> str:
+    parts = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('{s}:' || x)))" for s in range(n_hashes))
+    return f"[{parts}]"
+
+
+def _duck_band_rows(bands: int, rows: int) -> str:
+    selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        selects.append(f"SELECT doc_id, {b} AS band_ix, {key} AS band_key FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(coalesce(text, '')) AS text_md5,
+           count(*) AS group_size,
+           min(doc_id) AS canonical_id
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup over a corpus with planted exact duplicates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dd.exact_dup_groups(d.unionByName(aug))
+
+
+@register(
+    "dedup_exact_survivors",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
+    FROM corpus
+    WHERE doc_id IN (
+      SELECT min(doc_id) FROM corpus GROUP BY md5(coalesce(text, ''))
+    )
+    """,
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """dedup_exact keeps exactly one (min-id) row per distinct text."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    surv = dd.dedup_exact(d.unionByName(aug))
+    return surv.agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.count_distinct("doc_id").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (planted near-duplicates: appended trailer)
+# ---------------------------------------------------------------------------
+
+_TRAILER = " near duplicate trailer words appended here"
+
+_MINHASH_SQL = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || '{_TRAILER}' AS text
+      FROM documents WHERE doc_id < 150 AND doc_id % 3 = 0
+    ),
+    norm AS (SELECT doc_id, {_NORM.format(col='text')} AS nt FROM corpus),
+    sh AS (SELECT doc_id, {_SHINGLES.format(n='nt')} AS sh FROM norm),
+    sig AS (SELECT doc_id, {_duck_minhash_list(16)} AS sig FROM sh),
+    bandrows AS ({_duck_band_rows(4, 4)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandrows a JOIN bandrows b USING (band_ix, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh_pairs", _MINHASH_SQL)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash→LSH→Jaccard near-dup pairs over planted near-duplicates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 150)
+    aug = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"))
+    corpus = d.unionByName(aug)
+    pairs = dd.near_dup_pairs(corpus, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.bround("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (adjacent-doc similarity scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard_adjacent",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM.format(col='text')} AS nt FROM documents WHERE doc_id < 100
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES.format(n='nt')} AS sh FROM norm)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact shingle-Jaccard between consecutive doc ids (background
+    similarity level of the corpus)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 100)
+    pairs = d.select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b"))
+    j = dd.jaccard_for_pairs(d, pairs)
+    # inner joins drop the last id (no id_a+1 row) automatically
+    return j.select("id_a", "id_b", F.bround("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+def _duck_simhash(tokens: str) -> str:
+    bits = []
+    for i in range(16):
+        bits.append(
+            f"CASE WHEN 2 * len(list_filter({tokens}, "
+            f"t -> substring(md5(t), {i + 1}, 1) IN {_HIGH})) "
+            f"- len({tokens}) > 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS.format(col='text')} AS w
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, CAST({_duck_simhash('w')} AS INT) AS simhash
+    FROM toks
+    """,
+)
+def dedup_simhash_fingerprints(spark, sf_dir):
+    """16-bit SimHash per document (Hamming-close ⇒ similar token sets)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select("doc_id",
+                    dd.simhash16(ta.words_expr(F.col("text"))).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprints (whitespace-insensitive exact identity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "fingerprint_groups",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, replace(text, ' ', '  ') AS text
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5(coalesce(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '')) AS fp,
+           count(*) AS group_size,
+           min(doc_id) AS canonical_id
+    FROM corpus GROUP BY 1
+    """,
+)
+def fingerprint_groups(spark, sf_dir):
+    """Normalized-content fingerprint groups: whitespace-mutated variants
+    collapse onto their originals (raw md5 would not catch them)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"))
+    corpus = d.unionByName(aug)
+    return (corpus.select(ta.content_fingerprint(F.col("text")).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.min("doc_id").alias("canonical_id")))
+
+
+# ---------------------------------------------------------------------------
+# Token counting + rule-based language-ID
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_counts_by_lang",
+    f"""
+    SELECT lang,
+           sum(len({_WORDS.format(col='text')})) AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))), 6)
+             AS avg_bpe_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def token_counts_by_lang(spark, sf_dir):
+    """Corpus sizing in whitespace tokens and BPE-ish tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(ta.token_count_ws(F.col("text"))).alias("ws_tokens"),
+        F.sum(ta.token_count_bpe(F.col("text"))).alias("bpe_tokens"),
+        F.bround(F.avg(ta.token_count_bpe(F.col("text"))), 6).alias("avg_bpe_tokens"),
+    )
+
+
+def _duck_lang_guess() -> str:
+    hits = {
+        lang: (f"len(list_filter(w, x -> list_contains("
+               f"{sorted(STOPWORDS[lang])!r}, x)))")
+        for lang in LANGS
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE "
+    for lang in LANGS:
+        case += f"WHEN {hits[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return case
+
+
+@register(
+    "langid_rules_confusion",
+    f"""
+    WITH toks AS (
+      SELECT lang, {_WORDS.format(col='text')} AS w FROM documents
+    )
+    SELECT lang, {_duck_lang_guess()} AS lang_guess, count(*) AS n
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def langid_rules_confusion(spark, sf_dir):
+    """Confusion matrix of the rule-based (stopword-argmax) language-ID
+    against the table's true lang labels."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang", ta.lang_guess_expr(F.col("text")).alias("lang_guess"))
+             .groupBy("lang", "lang_guess")
+             .agg(F.count(F.lit(1)).alias("n")))

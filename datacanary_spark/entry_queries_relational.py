@@ -1,0 +1,288 @@
+"""Driver-contract queries: relational operator coverage (joins, windows,
+set ops, time bucketing, sessionization) over the TPC-H-style tables.
+
+The reference has no relational operators at all (single-table tool —
+SURVEY.md §2.6); the north-rule pipeline needs them (golden-label
+joins, resume anti-joins, lineage rollups), so each category gets an
+oracle-checked query here.
+
+Float discipline: money aggregates run in DECIMAL on both sides —
+decimal addition is exact and associative, so Spark's parallel partial
+aggregation and DuckDB's sequential scan produce identical digits
+(double sums would differ in the last ulps by reduction order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datacanary_spark.entry_queries import _t, register
+
+# Width chosen so a decimal product stays ≤ 38 digits in BOTH engines:
+# (18,4) × (19,4) → width 37, scale 8. DuckDB silently converts any
+# wider product to DOUBLE (breaking exactness); Spark would instead
+# reduce scale. 18,4 is ample for TPC-H money/quantity/discount.
+# Results STAY decimal (DEC_OUT) — a final decimal→double cast rounds
+# differently in the two engines at the last ulp.
+DEC = "decimal(18,4)"
+DEC_OUT = "decimal(30,6)"
+
+
+def _dec(col):
+    return col.cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation over a filtered scan (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(30,6)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(30,6)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(30,6)) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """Pricing summary: predicate pushed to the parquet scan, one
+    partial+final hash aggregate; money sums in exact decimal."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast(DEC_OUT).alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast(DEC_OUT).alias("sum_base_price"),
+        F.sum(_dec(F.col("l_extendedprice"))
+              * (F.lit(1).cast(DEC) - _dec(F.col("l_discount")))).cast(DEC_OUT)
+        .alias("sum_disc_price"),
+        F.bround(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.bround(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join star + broadcast dims (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(30,6)) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """Fact-to-fact join shuffles on the keys; nation/region are
+    broadcast (hinted explicitly — they're KB-sized at any scale)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast(DEC) - _dec(F.col("l_discount")))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+             .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+             .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+             .groupBy("n_name")
+             .agg(F.sum(rev).cast(DEC_OUT).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (top-k per group)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top3_orders_per_customer",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    )
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM ranked JOIN customer ON o_custkey = c_custkey
+    WHERE rn <= 3 AND c_custkey < 200
+    """,
+)
+def top3_orders_per_customer(spark, sf_dir):
+    """Deterministic top-k per group: one shuffle on the partition key,
+    rank applied before the (broadcastable) dimension join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    ranked = (o.withColumn("rn", F.row_number().over(w).cast("int"))
+               .where(F.col("rn") <= 3))
+    return ranked.join(F.broadcast(c), ranked.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (resume-delta shape: exclude already-processed keys)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_semi_high_qty",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders SEMI JOIN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45) t
+      ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_semi_high_qty(spark, sf_dir):
+    """Left-semi: orders having at least one qty>45 line."""
+    o = _t(spark, sf_dir, "orders")
+    hi = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45) \
+        .select("l_orderkey")
+    return (o.join(hi, o.o_orderkey == hi.l_orderkey, "left_semi")
+             .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
+    "orders_anti_high_qty",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders ANTI JOIN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45) t
+      ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_anti_high_qty(spark, sf_dir):
+    """Left-anti: the complement — this is exactly the resume-delta
+    pattern (drop inputs whose keys already appear in the output)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45) \
+        .select("l_orderkey")
+    return (o.join(hi, o.o_orderkey == hi.l_orderkey, "left_anti")
+             .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_long_docs_except_sources",
+    """
+    SELECT doc_id FROM documents WHERE n_chars > 300
+    EXCEPT
+    SELECT doc_id FROM documents WHERE source IN ('src0','src1','src2')
+    """,
+)
+def setop_long_docs_except_sources(spark, sf_dir):
+    """EXCEPT (distinct set difference): long docs outside three sources
+    — the resume-delta shape expressed as a set op."""
+    d = _t(spark, sf_dir, "documents")
+    long_docs = d.where(F.col("n_chars") > 300).select("doc_id")
+    src_docs = d.where(F.col("source").isin("src0", "src1", "src2")).select("doc_id")
+    return long_docs.subtract(src_docs)  # EXCEPT DISTINCT
+
+
+@register(
+    "setop_long_docs_intersect_sources",
+    """
+    SELECT doc_id FROM documents WHERE n_chars > 300
+    INTERSECT
+    SELECT doc_id FROM documents WHERE source IN ('src0','src1','src2')
+    """,
+)
+def setop_long_docs_intersect_sources(spark, sf_dir):
+    """INTERSECT (distinct): long docs inside the three sources."""
+    d = _t(spark, sf_dir, "documents")
+    long_docs = d.where(F.col("n_chars") > 300).select("doc_id")
+    src_docs = d.where(F.col("source").isin("src0", "src1", "src2")).select("doc_id")
+    return long_docs.intersect(src_docs)
+
+
+# ---------------------------------------------------------------------------
+# Time bucketing + sessionization over the events stream table
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03'
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregate (the batch twin of a streaming
+    window(ts, '1 hour') — see streaming/)."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    return (e.groupBy(
+                F.date_format(F.date_trunc("hour", F.col("ts")),
+                              "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.bround(F.avg("value"), 6).alias("avg_value")))
+
+
+@register(
+    "user_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM o
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min idle timeout) via lag(): the
+    batch twin of stateful streaming session windows. Gap compared in
+    exact integer microseconds on both engines."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))  # NTZ→UTC instant
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        F.when(F.lag("ts_us").over(w).isNull()
+               | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1800000000),
+               1).otherwise(0).alias("new_session"))
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"))

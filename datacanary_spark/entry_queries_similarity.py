@@ -1,0 +1,135 @@
+"""Driver-contract queries: similarity search over the embeddings table.
+
+Covers the ANN family: brute-force cosine top-k (exact baseline),
+sign-random-projection LSH top-k (the bucketed scale path), and
+embedding-cosine near-duplicate pairs over planted perturbed variants.
+Oracle SQL mirrors the Spark arithmetic exactly: element-wise double
+products with sequential accumulation (DuckDB ``list_dot_product`` ==
+Spark ``aggregate(zip_with(...))``), scores rounded to 6 dp on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datacanary_spark.entry_queries import _t, register
+from datacanary_spark.operators import similarity as sim
+
+DIM = 64
+
+_COS = ("list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+@register(
+    "knn_bruteforce_top5",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             {_COS.format(a='cv', b='qv')} AS s
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS INT) AS rank,
+             s
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_top5(spark, sf_dir):
+    """Exact cosine top-5 for the first 5 vectors over the whole corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.brute_force_topk(e, queries, k=5)
+
+
+def _duck_bucket(vec: str, planes) -> str:
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(f"CASE WHEN list_dot_product({vec}, [{lits}]) > 0 "
+                     f"THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_PLANES_T0 = sim.random_planes(DIM, 6, table=0)
+
+
+@register(
+    "ann_lsh_top5",
+    f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    cb AS (SELECT vec_id, cv, {_duck_bucket('cv', _PLANES_T0)} AS bucket FROM c),
+    qb AS (SELECT query_id, qv, {_duck_bucket('qv', _PLANES_T0)} AS bucket FROM q),
+    cand AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             {_COS.format(a='cv', b='qv')} AS s
+      FROM cb JOIN qb USING (bucket)
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS INT) AS rank,
+             s
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_top5(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (6-bit sign random projection,
+    one table): candidates restricted to the query's bucket."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ann_topk(e, queries, dim=DIM, k=5, n_bits=6, n_tables=1)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.1 + 0.01) AS v
+      FROM embeddings WHERE vec_id % 7 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS.format(a='a.v', b='b.v')}, 6) AS score
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.v', b='b.v')} >= 0.9
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dups: planted perturbed variants
+    (v*1.1 + 0.01, cosine ≈ 0.995) must pair with their originals;
+    the natural corpus has no pair above 0.52."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id",
+                    F.transform(F.col("embedding"),
+                                lambda x: x.cast("double")).alias("embedding"))
+    aug = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double") * 1.1 + 0.01).alias("embedding"))
+    corpus = base.unionByName(aug)
+    return sim.embedding_near_dup_pairs(corpus, threshold=0.9)

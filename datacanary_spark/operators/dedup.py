@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+A large-scale training-data pipeline dedups in three tiers, all here:
+
+1. **Exact** — group by a content hash (``md5(text)``), keep one
+   canonical doc per group. One shuffle on the hash; Spark's
+   partial/final hash-agg makes the map side emit at most one row per
+   distinct hash per task, so the shuffle carries ~|distinct| rows.
+2. **Near-dup candidates (MinHash + LSH)** — char-shingle the text,
+   take ``n_hashes`` min-hashes, slice the signature into bands, and
+   shuffle once on (band_ix, band_key). Only docs agreeing on an entire
+   band meet, turning the O(n²) all-pairs problem into
+   O(sum over buckets of |bucket|²) with tiny buckets. Identical docs
+   would make degenerate quadratic buckets — run exact dedup first and
+   cap bucket size (``max_bucket``: oversized buckets are dropped with
+   a lineage count rather than exploding a 1000-executor stage).
+3. **Verify (n-gram Jaccard)** — candidate pairs only; a self-join on
+   doc id (broadcast when the candidate set is small — AQE decides)
+   followed by exact Jaccard over distinct shingle sets.
+
+Hash-function discipline: every hash used here is ``md5`` over utf-8
+(Spark ``F.md5`` == DuckDB ``md5`` == Python ``hashlib.md5``), so the
+DuckDB oracle and the golden twin reproduce results bit-for-bit. The
+min-hash is the lexicographic MIN of fixed-width hex digests — order on
+hex strings equals order on the underlying 128-bit ints, so no hex→int
+parsing is needed anywhere. (At 10^12-doc scale you'd swap md5 for
+``xxhash64`` — 1 line per expression — and trade oracle-matchability
+for ~3× hash throughput; semantics are otherwise identical.)
+
+SimHash: 16-bit fingerprint where bit *i* is the majority vote of the
+high bit of nibble *i* of ``md5(token)`` across the doc's tokens.
+Hamming-close fingerprints ⇒ similar token multisets. Kept
+SQL-expressible (nibble high-bit via ``strpos`` on the hex alphabet)
+for the oracle; a 64/128-bit numpy variant is the scale path.
+
+Reference lineage: generalizes UniqueValueRule/has_duplicates
+(/root/reference/src/datacanary/rules/rule_engine.py:110-154,
+/root/reference/src/datacanary/analysers/statistical_analyser.py:47-49)
+from column-level uniqueness stats to corpus-level document identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+HIGH_NIBBLES = frozenset("89abcdef")  # hex digits whose high bit is 1
+
+
+# ---------------------------------------------------------------------------
+# Shingling & signatures (pure Column expressions — codegen, no Python)
+# ---------------------------------------------------------------------------
+
+def char_shingles(text_col: Column, k: int = 5, lowercase: bool = True) -> Column:
+    """Distinct character k-shingles of a document as array<string>.
+
+    Whitespace runs are collapsed to single spaces first so formatting
+    differences don't break shingle identity.
+    """
+    norm = F.regexp_replace(text_col, r"\s+", " ")
+    if lowercase:
+        norm = F.lower(norm)
+    n = F.length(norm)
+    shingles = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.substring(norm, i, k)),
+    ).otherwise(F.when(n > 0, F.array(norm)).otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(shingles)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: for seed s, min over shingles of md5(s:shingle).
+
+    array<string> of length ``n_hashes``; lexicographic min over
+    fixed-width hex == numeric min over the 128-bit digests.
+    """
+    def one_seed(s: int) -> Column:
+        # NB: the transform lambda must take exactly ONE parameter —
+        # PySpark treats a two-parameter lambda as (element, index).
+        prefix = f"{s}:"
+        return F.array_min(F.transform(
+            shingles, lambda sh: F.md5(F.concat(F.lit(prefix), sh))))
+
+    return F.array(*[one_seed(s) for s in range(n_hashes)])
+
+
+def simhash16(tokens: Column) -> Column:
+    """16-bit SimHash over a token array, as an int bitmask.
+
+    Bit i (i=0..15) is set iff, summed over tokens, the high bit of
+    nibble i of md5(token) is 1 more often than 0 (ties → majority
+    fails → bit 0: vote sum must be > 0).
+    """
+    hashes = F.transform(tokens, lambda t: F.md5(t))
+
+    def bit_vote(i: int) -> Column:
+        # +1 when nibble i's high bit is 1, else -1 (two-parameter merge
+        # lambda only — see minhash_signature note on lambda arity)
+        pos = i + 1
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.substring(h, pos, 1).isin(*HIGH_NIBBLES), 1).otherwise(-1),
+        )
+
+    bits = []
+    for i in range(16):
+        bits.append(F.when(bit_vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit masks via popcount(a XOR b)."""
+    x = a.bitwiseXOR(b)
+    return sum(
+        (F.shiftright(x, i).bitwiseAND(F.lit(1))) for i in range(16)
+    ).alias("hamming")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """One row per distinct text: (text_md5, group_size, canonical_id).
+
+    canonical_id = min id in the group (deterministic survivor pick).
+    Single shuffle on the 128-bit content hash; group sizes are bounded
+    by true duplicate multiplicity, and AQE splits any pathological
+    skew (e.g. the empty document appearing 10^9 times).
+    """
+    return (
+        df.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_md5"),
+                  F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("group_size"),
+             F.min(id_col).alias("canonical_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep exactly the canonical (min-id) row per distinct text.
+
+    Implemented as groupBy + semi-join back (not dropDuplicates, whose
+    survivor is partition-order-dependent and thus nondeterministic on
+    a cluster).
+    """
+    canon = exact_dup_groups(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col))
+    return df.join(canon, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup candidates + Jaccard verify
+# ---------------------------------------------------------------------------
+
+def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k_shingle: int = 5,
+                    n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Explode each doc into one row per LSH band: (band_ix, band_key, id).
+
+    band_key concatenates the band's slice of the MinHash signature;
+    docs sharing any full band land in the same bucket.
+    """
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    rows = n_hashes // bands
+    sig = minhash_signature(char_shingles(F.col(text_col), k_shingle), n_hashes)
+    d = df.select(F.col(id_col), sig.alias("sig"))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_ix"),
+            F.concat_ws("|", *[F.element_at(F.col("sig"), b * rows + r + 1)
+                               for r in range(rows)]).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return (d.select(F.col(id_col), F.explode(band_structs).alias("band"))
+              .select(id_col, "band.band_ix", "band.band_key"))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k_shingle: int = 5,
+                        n_hashes: int = 16, bands: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from LSH buckets.
+
+    The only wide ops: one shuffle on (band_ix, band_key) to form
+    buckets, a within-bucket self-join, and a distinct on the pair.
+    ``max_bucket`` drops degenerate buckets (run exact dedup first so
+    these are hash collisions / boilerplate, not real content).
+    """
+    b = lsh_bucket_rows(df, id_col, text_col, k_shingle, n_hashes, bands)
+    sizes = b.groupBy("band_ix", "band_key").agg(F.count(F.lit(1)).alias("sz"))
+    b = (b.join(sizes, ["band_ix", "band_key"])
+          .where(F.col("sz") <= max_bucket).drop("sz"))
+    left = b.select(F.col("band_ix"), F.col("band_key"), F.col(id_col).alias("id_a"))
+    right = b.select(F.col("band_ix"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (left.join(right, ["band_ix", "band_key"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+
+
+def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k_shingle: int = 5) -> DataFrame:
+    """Exact shingle-set Jaccard for each candidate pair.
+
+    Joins the (small) pair list back to the corpus twice; at scale the
+    pair side is broadcast (AQE) and the corpus side is scanned once
+    per role with column pruning down to (id, shingles).
+    """
+    sh = df.select(F.col(id_col),
+                   char_shingles(F.col(text_col), k_shingle).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    bb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (pairs.join(a, "id_a").join(bb, "id_b")
+            .select("id_a", "id_b",
+                    F.try_divide(inter, union).alias("jaccard")))
+
+
+def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k_shingle: int = 5,
+                   n_hashes: int = 16, bands: int = 4,
+                   threshold: float = 0.7) -> DataFrame:
+    """End-to-end MinHash→LSH→Jaccard near-duplicate pairs ≥ threshold."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, k_shingle, n_hashes, bands)
+    j = jaccard_for_pairs(df, cands, id_col, text_col, k_shingle)
+    return j.where(F.col("jaccard") >= threshold)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how a training-data pipeline scales ANN:
+
+* **Brute-force cosine top-k** — the exactness baseline. The query set
+  is broadcast (it's small by construction); each executor scans its
+  slice of the corpus once, scores locally, and a per-query window
+  keeps top-k. Shuffle volume is O(n_queries · k), never O(corpus).
+* **LSH-bucketed ANN (sign random projection)** — the scale path.
+  ``n_bits`` fixed hyperplanes (deterministic seed, shipped as literal
+  arrays — a few KB, embedded in the plan) map each vector to a bucket
+  id; candidates = same-bucket vectors across ``n_tables`` independent
+  tables (multiprobe-lite). One shuffle on (table, bucket); bucket
+  sizes concentrate around n/2^n_bits, and AQE's skew handling splits
+  hot buckets. Recall is tunable via n_bits/n_tables.
+
+All arithmetic is element-wise double-precision with sequential
+left-to-right accumulation, which both Spark's ``aggregate`` and
+DuckDB's ``list_dot_product`` implement — so oracle results match
+exactly. No Python in any hot path: scoring is pure Column expressions
+(JVM codegen); at very high dims you'd swap `cosine_expr` for a numpy
+pandas UDF in one place.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PLANE_SEED = 20240816
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k of each query vector over the corpus.
+
+    Returns (query_id, neighbor_id, rank, score). Tie-break is
+    deterministic: score desc, neighbor id asc. The query side is
+    explicitly broadcast — the join is a map-side nested loop, no
+    corpus shuffle; the only exchange is the per-query top-k window
+    (hash on query_id, O(n_queries·k) rows after partial ranking).
+    """
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("_qvec"))
+    scored = corpus.join(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(F.col(vec_col), F.col("_qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, "neighbor_id", "rank",
+                          F.bround(F.col("score"), 6).alias("score")))
+
+
+def random_planes(dim: int, n_bits: int, table: int = 0,
+                  seed: int = PLANE_SEED) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for one LSH table."""
+    return np.random.default_rng((seed, table)).standard_normal((n_bits, dim))
+
+
+def srp_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id (int) for one table.
+
+    Bit j set iff dot(vec, plane_j) > 0. Planes are plan literals.
+    """
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot_expr(vec, lit_plane) > 0,
+                                 F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def with_lsh_buckets(df: DataFrame, dim: int, vec_col: str = "embedding",
+                     n_bits: int = 8, n_tables: int = 2,
+                     seed: int = PLANE_SEED) -> DataFrame:
+    """Explode each vector into one row per LSH table: (…, table, bucket)."""
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 srp_bucket_expr(F.col(vec_col),
+                                 random_planes(dim, n_bits, t, seed)).alias("bucket"))
+        for t in range(n_tables)
+    ])
+    return (df.withColumn("_tb", F.explode(tables))
+              .withColumn("table", F.col("_tb.table"))
+              .withColumn("bucket", F.col("_tb.bucket"))
+              .drop("_tb"))
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_bits: int = 8,
+             n_tables: int = 2, seed: int = PLANE_SEED) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in any table.
+
+    Same output shape as brute_force_topk; rank is within the candidate
+    set, so recall < 1 is possible (that's the trade). The equi-join on
+    (table, bucket) replaces the all-pairs product — candidate count
+    ≈ corpus·n_tables/2^n_bits per query.
+    """
+    c = with_lsh_buckets(corpus, dim, vec_col, n_bits, n_tables, seed)
+    q = with_lsh_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+        dim, "_qvec", n_bits, n_tables, seed)
+    cand = (c.join(q, ["table", "bucket"])
+             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                     cosine_expr(F.col(vec_col), F.col("_qvec")).alias("score"))
+             .groupBy(query_id_col, "neighbor_id")
+             .agg(F.first("score").alias("score")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(query_id_col, "neighbor_id", "rank",
+                        F.bround(F.col("score"), 6).alias("score")))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int | None = None,
+                             use_lsh: bool = False, n_bits: int = 8,
+                             n_tables: int = 4) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    ``use_lsh=False`` does the exact quadratic join (test scale / oracle
+    twin); ``use_lsh=True`` is the cluster path: pairs must share a
+    bucket in some table, shrinking the join from n² to sum(bucket²).
+    """
+    if use_lsh:
+        assert dim is not None
+        b = with_lsh_buckets(df, dim, vec_col, n_bits, n_tables)
+        left = b.select("table", "bucket", F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"))
+        right = b.select("table", "bucket", F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("vb"))
+        pairs = (left.join(right, ["table", "bucket"])
+                     .where(F.col("id_a") < F.col("id_b"))
+                     .select("id_a", "id_b", "va", "vb")
+                     .dropDuplicates(["id_a", "id_b"]))
+    else:
+        left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    return (pairs
+            .withColumn("score", cosine_expr(F.col("va"), F.col("vb")))
+            .where(F.col("score") >= threshold)
+            .select("id_a", "id_b", F.bround(F.col("score"), 6).alias("score")))

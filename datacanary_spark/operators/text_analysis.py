@@ -1,0 +1,93 @@
+"""Text-analysis operators: tokenization, rule-based language-ID,
+quality scoring, document fingerprinting.
+
+Everything here is a pure Column expression (JVM codegen, no Python):
+these are the cheap, always-on text statistics a training-data pipeline
+computes on every document before any model runs. The model-based
+language-ID (hashed n-gram Naive Bayes) lives in functions/models.py;
+the rule-based one here is the zero-cost fallback and an oracle-able
+cross-check for it.
+
+Reference lineage: extends the reference's string-column stats
+(/root/reference/src/datacanary/analysers/statistical_analyser.py:67-79)
+from column aggregates to per-document features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from datacanary_spark.sources.fixtures import LANGS, STOPWORDS
+
+# BPE-ish pre-tokenizer: ASCII alnum runs, or single non-alnum non-space
+# codepoints. Deliberately ASCII-anchored so Java regex (Spark), RE2
+# (DuckDB) and Python `re` agree codepoint-for-codepoint.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def words_expr(text_col: Column) -> Column:
+    """Whitespace tokens (non-empty splits on \\s+)."""
+    return F.filter(F.split(text_col, r"\s+"), lambda w: w != F.lit(""))
+
+
+def token_count_ws(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_expr(text_col)).cast("long")
+
+
+def token_count_bpe(text_col: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual symbol codepoints.
+
+    A practical stand-in for `len(tokenizer.encode(text))` when sizing
+    a corpus in tokens — exact tokenizers slot in as a pandas UDF.
+    """
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
+
+
+def stopword_hits(words: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    stops = F.array(*[F.lit(s) for s in sorted(STOPWORDS[lang])])
+    return F.size(F.filter(words, lambda w: F.array_contains(stops, w))).cast("long")
+
+
+def lang_guess_expr(text_col: Column) -> Column:
+    """Rule-based language-ID: argmax of per-language stopword hits.
+
+    Deterministic tie-break: first language in LANGS order wins; all-zero
+    hits → 'und'. O(tokens · langs) comparisons, fully in codegen.
+    """
+    words = words_expr(text_col)
+    hits = {lang: stopword_hits(words, lang) for lang in LANGS}
+    best = F.greatest(*hits.values()) if len(hits) > 1 else list(hits.values())[0]
+    guess = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs take precedence
+    for lang in reversed(LANGS):
+        guess = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return guess
+
+
+def quality_score_expr(hit_cols: dict[str, Column]) -> Column:
+    """Fraction of rules passed in [0,1] — the per-document analogue of
+    the reference's health score (summary_statistics.py:124-140)."""
+    n = len(hit_cols)
+    total_hits = None
+    for c in hit_cols.values():
+        total_hits = c if total_hits is None else total_hits + c
+    return F.bround((F.lit(n) - total_hits).cast("double") / F.lit(float(n)), 6)
+
+
+def normalized_text_expr(text_col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace-collapsed,
+    trimmed."""
+    return F.trim(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
+
+
+def content_fingerprint(text_col: Column) -> Column:
+    """128-bit content fingerprint (md5 hex of the normalized text).
+
+    The rolling-hash shingle variants live in operators/dedup.py; this
+    is the O(1)-per-doc exact-identity key used for lineage joins and
+    resume bookkeeping.
+    """
+    return F.md5(F.coalesce(normalized_text_expr(text_col), F.lit("")))

@@ -27,6 +27,19 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
+# ---- events stream table (matches /root/testdata/sf*/events.parquet) -------
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 # ---- output: per-document verdicts ----------------------------------------
 
 VERDICT_FIELDS = [

@@ -236,19 +236,27 @@ def pages_spark_df(spark, n_docs: int, seed: int = 42, num_partitions: int | Non
 
 
 def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
-                        chunk_size: int = 20_000) -> None:
-    """Write pages to a local parquet directory in bounded-memory chunks."""
+                        chunk_size: int = 20_000, start_id: int = 0,
+                        file_prefix: str = "part") -> None:
+    """Write pages to a local parquet directory in bounded-memory chunks.
+
+    ``start_id``/``file_prefix`` let callers land successive batches into
+    the SAME directory without clobbering earlier files (streaming-ingest
+    simulation: each call is one "crawl drop").
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
     import os
 
     os.makedirs(path, exist_ok=True)
     part = 0
-    for start in range(0, n_docs, chunk_size):
-        n = min(chunk_size, n_docs - start)
+    for start in range(start_id, start_id + n_docs, chunk_size):
+        n = min(chunk_size, start_id + n_docs - start)
         pdf = generate_pages_pandas(n, seed, start_id=start)
         table = pa.Table.from_pandas(pdf, preserve_index=False)
         # Spark cannot read TIMESTAMP(NANOS) parquet — coerce to micros.
-        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"),
-                       coerce_timestamps="us", allow_truncated_timestamps=True)
+        pq.write_table(
+            table,
+            os.path.join(path, f"{file_prefix}-{start_id:08d}-{part:05d}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True)
         part += 1

@@ -1,0 +1,107 @@
+"""Structured Streaming front-end for the quality-filter pipeline.
+
+The batch pipeline (plans/pipeline.py) is reused verbatim inside
+``foreachBatch`` — one code path for both executions, which is how the
+engine ingests a continuously-landing Common-Crawl-style feed:
+
+    readStream(parquet dir / Iceberg incremental)
+      → foreachBatch(filter_pages → verdict parquet + lineage append)
+      → checkpointLocation = exactly-once per micro-batch
+
+``Trigger.AvailableNow`` drains everything that has landed and stops —
+the streaming twin of the chunked batch job (plans/checkpoint.py), with
+Spark's own checkpoint/WAL replacing the `_done` manifests. Late data
+in the windowed aggregate is bounded by an event-time watermark.
+
+The reference is batch-only (SURVEY.md §2.6: streaming absent); this
+module is north-rule scaffolding, oracle-checked indirectly: the
+streaming output must equal the batch output over the same input
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacanary_spark.functions.heuristics import FilterConfig
+from datacanary_spark.plans.lineage import partition_lineage
+from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+from datacanary_spark.schema import PAGES_SCHEMA
+
+
+def run_filter_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: FilterConfig | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available input through the filter once (AvailableNow).
+
+    Restart-safe: Spark's checkpoint tracks processed files, so re-runs
+    after new files land process ONLY the new files (incremental
+    ingest); outputs append exactly-once per micro-batch.
+    """
+    models_bc = broadcast_models(spark)
+    verdict_dir = os.path.join(output_dir, "verdicts")
+    metrics_dir = os.path.join(output_dir, "metrics")
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = filter_pages(batch_df, models_bc, cfg=cfg)
+        verdicts.persist()
+        try:
+            verdicts.write.mode("append").parquet(verdict_dir)
+            (partition_lineage(verdicts)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(metrics_dir))
+        finally:
+            verdicts.unpersist()
+
+    (pages.writeStream
+          .foreachBatch(process_batch)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())
+
+
+def stream_hourly_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "hourly_counts",
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window count over a streaming events feed.
+
+    Demonstrates late-data semantics: events later than ``watermark``
+    behind the max seen ts are dropped from their (closed) window.
+    Results land in an in-memory sink table named ``query_name``
+    (complete mode — the table is tiny: hours × event types).
+    """
+    from datacanary_spark.schema import EVENTS_SCHEMA
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (events
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.bround(F.avg("value"), 6).alias("avg_value"))
+           .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                   "event_type", "n_events", "avg_value"))
+    return (agg.writeStream
+               .format("memory")
+               .queryName(query_name)
+               .outputMode("complete")
+               .option("checkpointLocation", checkpoint_dir)
+               .trigger(availableNow=True)
+               .start())

@@ -1,0 +1,141 @@
+"""Two-parallelism scaling benchmark (north-rule evidence).
+
+The rule requires throughput-scaling efficiency ≥ 0.8 between cluster
+sizes N and 4N executors. This sandbox has one machine, so the sanctioned
+substitute is the same job at two parallelism levels on the same input:
+``local[8]`` vs ``local[32]`` (8 → 32 cores = N → 4N).
+
+Method:
+* Generate a pages corpus ONCE to a shared parquet dir (distributed
+  deterministic generator, seed-stable — sources/fixtures.py).
+* For each level, run the FULL filter pipeline (heuristics + langid +
+  perplexity + scrub + verdict agg) in a fresh subprocess (fresh JVM —
+  no cross-level JIT/cache leakage), timing only the pipeline action
+  (session + model broadcast excluded: on a real cluster those are
+  per-job fixed costs, and the rule's metric is docs/sec throughput).
+* Each level runs ``--repeat`` times; best time is used (machine noise
+  is one-sided).
+
+Efficiency = (docs/sec at 4N) / (docs/sec at N) / 4.
+
+Usage:
+    python scripts/scaling_bench.py [--n-docs 120000] [--levels 8,32]
+        [--repeat 2] [--out BENCH]
+    python scripts/scaling_bench.py --worker --cpus 8 --input DIR  # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def worker(cpus: int, input_dir: str, repeat: int) -> None:
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+    from datacanary_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling_bench_{cpus}",
+                      master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    pages = spark.read.parquet(input_dir)
+    n_docs = pages.count()  # warm FS cache; not part of the timed run
+    bc = broadcast_models(spark)
+
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        verdicts = filter_pages(pages, bc)
+        row = verdicts.agg(
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum("scrub_count").alias("scrubs"),
+            F.avg("ppl").alias("mean_ppl"),
+        ).collect()[0]
+        best = min(best, time.perf_counter() - t0)
+        assert row["kept"] is not None
+    print(json.dumps({"cpus": cpus, "n_docs": n_docs, "sec": round(best, 3),
+                      "docs_per_sec": round(n_docs / best, 1),
+                      "kept": row["kept"]}))
+    spark.stop()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--cpus", type=int, default=8)
+    p.add_argument("--input", default=None)
+    p.add_argument("--n-docs", type=int, default=120_000)
+    p.add_argument("--levels", default="8,32")
+    p.add_argument("--repeat", type=int, default=2)
+    p.add_argument("--out", default="BENCH")
+    args = p.parse_args()
+
+    if args.worker:
+        worker(args.cpus, args.input, args.repeat)
+        return
+
+    input_dir = args.input or f"/tmp/scaling_pages_{args.n_docs}"
+    if not os.path.isdir(input_dir) or not os.listdir(input_dir):
+        # distributed generation at full parallelism, written once
+        from datacanary_spark.session import get_spark
+        from datacanary_spark.sources.fixtures import pages_spark_df
+
+        spark = get_spark(app_name="scaling_gen", master="local[32]")
+        pages_spark_df(spark, args.n_docs, num_partitions=64) \
+            .write.mode("overwrite").parquet(input_dir)
+        spark.stop()
+
+    levels = [int(x) for x in args.levels.split(",")]
+    results = []
+    for cpus in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--cpus", str(cpus), "--input", input_dir,
+             "--repeat", str(args.repeat)],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            sys.stderr.write(out.stdout + out.stderr)
+            raise SystemExit(f"worker local[{cpus}] produced no result")
+        results.append(json.loads(line[-1]))
+        print(results[-1])
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    summary = {"levels": results, "core_ratio": ratio,
+               "scaling_efficiency": round(eff, 3), "target": 0.8}
+    print(json.dumps(summary))
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    with open(os.path.join(args.out, "BASELINE.md"), "w") as f:
+        f.write(
+            "# Scaling benchmark (N vs 4N parallelism)\n\n"
+            "Sandbox substitute for the north rule's two-cluster-size "
+            "criterion: the identical quality-filter job (heuristics + "
+            "langid + perplexity + scrub + verdict) over the identical "
+            "parquet input at two `local[N]` levels, fresh JVM each.\n\n"
+            "| cores | docs | wall sec | docs/sec |\n|---|---|---|---|\n")
+        for r in results:
+            f.write(f"| {r['cpus']} | {r['n_docs']} | {r['sec']} "
+                    f"| {r['docs_per_sec']} |\n")
+        f.write(
+            f"\n**Scaling efficiency ({lo['cpus']}→{hi['cpus']} cores, "
+            f"{ratio:.0f}×): {eff:.3f}** (target ≥ 0.8)\n\n"
+            f"Corpus: deterministic synthetic pages (seed 42), "
+            f"{hi['n_docs']} docs. Timing excludes session startup and "
+            f"model broadcast (per-job fixed costs); best of "
+            f"{args.repeat} runs per level.\n")
+
+
+if __name__ == "__main__":
+    main()

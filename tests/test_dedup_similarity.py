@@ -1,0 +1,189 @@
+"""Unit tests: dedup family (exact / MinHash-LSH / SimHash / Jaccard),
+similarity search (brute-force + LSH ANN), multimodal plumbing.
+
+Golden values are computed by slow, obviously-correct pure-Python twins
+inside the tests (same md5 hashing, same shingling contract)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datacanary_spark.operators import dedup as dd
+from datacanary_spark.operators import multimodal as mm
+from datacanary_spark.operators import similarity as sim
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again!"),  # near-dup of 0
+    (2, "completely different content about spark physical plans and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog again and again"),   # exact dup of 0
+    (4, ""),                                                               # empty
+    (5, "short"),                                                          # < shingle size
+]
+
+
+def py_norm(t: str) -> str:
+    import re
+    return re.sub(r"\s+", " ", t).lower()
+
+
+def py_shingles(t: str, k: int = 5) -> set[str]:
+    n = py_norm(t)
+    if len(n) >= k:
+        return {n[i:i + k] for i in range(len(n) - k + 1)}
+    return {n} if n else set()
+
+
+def py_minhash(sh: set[str], n_hashes: int = 16) -> list[str]:
+    return [min(hashlib.md5(f"{s}:{x}".encode()).hexdigest() for x in sh)
+            if sh else None for s in range(n_hashes)]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string")
+
+
+def test_char_shingles_matches_python(spark, docs_df):
+    rows = docs_df.select(
+        "doc_id", dd.char_shingles(F.col("text")).alias("sh")).collect()
+    for r in rows:
+        assert set(r["sh"]) == py_shingles(DOCS[r["doc_id"]][1]), r["doc_id"]
+
+
+def test_minhash_signature_matches_python(spark, docs_df):
+    rows = docs_df.where(F.col("doc_id").isin(0, 1, 2)).select(
+        "doc_id",
+        dd.minhash_signature(dd.char_shingles(F.col("text")), 8).alias("sig"),
+    ).collect()
+    for r in rows:
+        expected = py_minhash(py_shingles(DOCS[r["doc_id"]][1]), 8)
+        assert list(r["sig"]) == expected, r["doc_id"]
+
+
+def test_exact_dedup_keeps_min_id(spark, docs_df):
+    surv = dd.dedup_exact(docs_df)
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    assert ids == [0, 1, 2, 4, 5]  # 3 is an exact dup of 0
+
+
+def test_near_dup_pipeline_finds_planted_pair(spark, docs_df):
+    pairs = dd.near_dup_pairs(docs_df, threshold=0.6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got            # exact dup: jaccard 1.0
+    assert (0, 1) in got and (1, 3) in got  # near-dups
+    assert not any(2 in p for p in got)     # unrelated doc never pairs
+    j01 = {p[:2]: p[2] for p in
+           ((r["id_a"], r["id_b"], r["jaccard"]) for r in pairs)}[(0, 1)]
+    a, b = py_shingles(DOCS[0][1]), py_shingles(DOCS[1][1])
+    assert j01 == pytest.approx(len(a & b) / len(a | b))
+
+
+def test_simhash_similar_docs_close(spark, docs_df):
+    rows = dict(docs_df.select(
+        "doc_id", dd.simhash16(
+            F.filter(F.split("text", r"\s+"), lambda w: w != F.lit(""))
+        ).alias("sh")).collect())
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(rows[0], rows[3]) == 0          # identical docs
+    assert ham(rows[0], rows[1]) <= 4          # near-dup: few bits differ
+    assert ham(rows[0], rows[2]) >= 4          # different doc: many bits
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(99)
+    vecs = rng.standard_normal((40, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>"), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sim.brute_force_topk(df, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    sims = vecs @ vecs.T
+    for q in range(3):
+        order = sorted(range(40), key=lambda j: (-sims[q, j], j))[:4]
+        assert [n for _, n in sorted(by_q[q])] == order
+
+
+def test_ann_lsh_topk_candidates_share_bucket(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sim.ann_topk(df, queries, dim=16, k=4, n_bits=4, n_tables=2)
+    rows = got.collect()
+    assert len(rows) > 0
+    # rank 1 of query q must be q itself (cosine 1.0 with itself, and a
+    # vector always shares its own bucket)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    # every returned score must match numpy's cosine
+    for r in rows:
+        q, n = r["query_id"], r["neighbor_id"]
+        assert r["score"] == pytest.approx(
+            float(vecs[q] @ vecs[n]), abs=1e-5)
+
+
+def test_embedding_near_dup_lsh_agrees_with_exact(spark, emb_df):
+    df, vecs = emb_df
+    # plant a near-dup: vector 50 = perturbed copy of vector 0
+    v50 = vecs[0] * 1.05 + 0.01
+    aug = spark.createDataFrame(
+        [(50, [float(x) for x in v50])], "vec_id: long, embedding: array<double>")
+    corpus = df.unionByName(aug)
+    exact = sim.embedding_near_dup_pairs(corpus, threshold=0.9)
+    lsh = sim.embedding_near_dup_pairs(corpus, threshold=0.9, dim=16,
+                                       use_lsh=True, n_bits=4, n_tables=4)
+    epairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    lpairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert (0, 50) in epairs
+    assert lpairs <= epairs          # LSH never invents pairs
+    assert (0, 50) in lpairs         # and finds the planted one (4 tables)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_decode_and_containment(spark):
+    media = mm.make_fixture_media(spark, n=30)
+    out = mm.decode_media(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 30
+    bad = [r for r in rows.values() if not r["ok"]]
+    assert bad and all(r["error"] for r in bad)       # corrupt rows contained
+    good = [r for r in rows.values() if r["ok"]]
+    assert good
+    for r in good:
+        assert len(r["features"]) == mm.N_FEATURES
+        assert math.isclose(sum(r["features"]), 1.0, rel_tol=1e-5)
+        assert r["width"] >= 4 and r["n_bytes"] > 0
+
+
+def test_multimodal_frame_sampling(spark):
+    media = mm.make_fixture_media(spark, n=30)
+    frames = mm.sample_frames(media, every_k=2).collect()
+    assert frames
+    decoded = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    for fr in frames:
+        d = decoded[fr["media_id"]]
+        assert d["kind"] == "video" and d["ok"]
+        assert fr["frame_ix"] % 2 == 0 and fr["frame_ix"] < d["n_frames"]
+        assert len(fr["frame_bytes"]) > 0
