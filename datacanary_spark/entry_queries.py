@@ -22,7 +22,9 @@ from datacanary_spark.functions.heuristics import (
     ALL_STOPWORDS,
     SYMBOL_CLASS,
     FilterConfig,
-    text_stat_exprs,
+    stat_cols,
+    with_text_stats,
+    words_expr,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -185,16 +187,16 @@ _DUCK_WORDS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
     """,
 )
 def textstats_by_lang(spark, sf_dir):
-    """Tokenization + stopword stats as pure Column expressions."""
+    """Tokenization + stopword stats as pure Column expressions (words
+    array bound once per row via a staged project)."""
     d = _t(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
     stops = F.array(*[F.lit(s) for s in sorted(ALL_STOPWORDS)])
-    d = d.select(
+    d = d.withColumn("_w", words_expr(F.col("text"))).select(
         "lang",
-        F.size(words).cast("long").alias("word_count"),
-        F.aggregate(words, F.lit(0).cast("long"),
+        F.size("_w").cast("long").alias("word_count"),
+        F.aggregate("_w", F.lit(0).cast("long"),
                     lambda acc, w: acc + F.length(w)).cast("double").alias("word_chars"),
-        F.size(F.filter(words, lambda w: F.array_contains(stops, w)))
+        F.size(F.filter("_w", lambda w: F.array_contains(stops, w)))
         .cast("long").alias("stop_count"),
     )
     return d.groupBy("lang").agg(
@@ -258,8 +260,8 @@ def heuristic_keep_by_lang(spark, sf_dir):
     The per-doc verdict is a pure Column expression — whole pipeline is
     scan → codegen project → partial/final hash aggregate. No Python.
     """
-    d = _t(spark, sf_dir, "documents")
-    stats = text_stat_exprs("text")
+    d = with_text_stats(_t(spark, sf_dir, "documents"), "text", prefix="s_")
+    stats = stat_cols("s_")
     keep = (
         (stats["word_count"] >= _CFG.min_words)
         & (stats["word_count"] <= _CFG.max_words)

@@ -68,15 +68,112 @@ class FilterConfig:
         return self.heuristic_rule_names + self.model_rule_names
 
 
-def text_stat_exprs(text_col: str = "text") -> dict[str, Column]:
-    """Per-document text statistics as named Column expressions.
+STAT_NAMES = (
+    "n_chars", "word_count", "mean_word_length", "symbol_to_word_ratio",
+    "stopword_fraction", "line_count", "dup_line_fraction",
+    "dup_trigram_fraction", "bullet_line_fraction", "ellipsis_line_fraction",
+)
 
-    Tokenization contract (mirrored exactly by the golden twin):
-    words = non-empty splits of the text on ``\\s+``; lines = splits on
-    ``\\n``; word trigrams joined with single spaces.
+
+def words_expr(col: Column) -> Column:
+    """Tokenization contract (mirrored exactly by the golden twin):
+    words = non-empty splits of the text on ``\\s+``."""
+    return F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+
+
+def trigrams_expr(words: Column) -> Column:
+    """Word trigrams joined with single spaces — built LINEARLY with
+    slice+zip_with so cost is O(words) per doc. (The obvious
+    ``transform(sequence(1, n-2), i -> element_at(words, i)…)`` form
+    re-evaluates the ``words`` subtree for every element inside the
+    lambda — O(words²) per document; it benchmarked 100×+ slower.)"""
+    wc = F.size(words)
+    pair = F.zip_with(F.slice(words, 1, wc - 2), F.slice(words, 2, wc - 2),
+                      lambda a, b: F.concat_ws(" ", a, b))
+    tri = F.zip_with(pair, F.slice(words, 3, wc - 2),
+                     lambda ab, c: F.concat_ws(" ", ab, c))
+    return F.when(wc >= 3, tri).otherwise(F.array().cast("array<string>"))
+
+
+def with_text_stats(df, text_col: str = "text", prefix: str = "stat_"):
+    """Attach all per-document text statistics as ``prefix<name>`` columns.
+
+    Staged projects bind each expensive array (words, lines, trigrams)
+    to a named column ONCE; Catalyst's CollapseProject keeps the stages
+    separate because these are non-cheap expressions referenced multiple
+    times, so each array is computed once per row instead of once per
+    consumer. The whole thing still pipelines inside one
+    WholeStageCodegen span — narrow, no shuffle.
     """
     col = F.col(text_col)
-    words = F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+    stops = F.array(*[F.lit(s) for s in sorted(ALL_STOPWORDS)])
+
+    df = df.withColumns({
+        "_t_words": words_expr(col),
+        "_t_lines": F.split(col, "\n"),
+    })
+    w, lines = F.col("_t_words"), F.col("_t_lines")
+    df = df.withColumns({
+        "_t_wc": F.size(w).cast("long"),
+        "_t_lc": F.size(lines).cast("long"),
+        "_t_word_chars": F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)),
+        "_t_stop_count": F.size(F.filter(
+            w, lambda x: F.array_contains(stops, x))).cast("long"),
+        "_t_symbols": (F.length(col)
+                       - F.length(F.regexp_replace(col, SYMBOL_CLASS, ""))),
+        "_t_trigrams": trigrams_expr(w),
+        "_t_dup_lines": F.size(F.array_distinct(lines)).cast("long"),
+        "_t_bullet": F.size(F.filter(
+            lines, lambda l: l.startswith("- ") | l.startswith("• ")
+            | l.startswith("* "))).cast("long"),
+        "_t_ellipsis": F.size(F.filter(
+            lines, lambda l: l.endswith("..."))).cast("long"),
+    })
+    wc = F.col("_t_wc").cast("double")
+    lc = F.col("_t_lc").cast("double")
+    tg = F.size(F.col("_t_trigrams"))
+    df = df.withColumns({
+        prefix + "n_chars": F.length(col).cast("long"),
+        prefix + "word_count": F.col("_t_wc"),
+        prefix + "mean_word_length": F.try_divide(
+            F.col("_t_word_chars").cast("double"), wc),
+        prefix + "symbol_to_word_ratio": F.try_divide(
+            F.col("_t_symbols").cast("double"), wc),
+        prefix + "stopword_fraction": F.try_divide(
+            F.col("_t_stop_count").cast("double"), wc),
+        prefix + "line_count": F.col("_t_lc"),
+        prefix + "dup_line_fraction": F.coalesce(
+            F.lit(1.0) - F.try_divide(F.col("_t_dup_lines").cast("double"), lc),
+            F.lit(0.0)),
+        prefix + "dup_trigram_fraction": F.coalesce(
+            F.lit(1.0) - F.try_divide(
+                F.size(F.array_distinct(F.col("_t_trigrams"))).cast("double"),
+                tg.cast("double")),
+            F.lit(0.0)),
+        prefix + "bullet_line_fraction": F.try_divide(
+            F.col("_t_bullet").cast("double"), lc),
+        prefix + "ellipsis_line_fraction": F.try_divide(
+            F.col("_t_ellipsis").cast("double"), lc),
+    })
+    return df.drop(*[c for c in df.columns if c.startswith("_t_")])
+
+
+def stat_cols(prefix: str = "stat_") -> dict[str, Column]:
+    """Column refs to the stats attached by ``with_text_stats``."""
+    return {n: F.col(prefix + n) for n in STAT_NAMES}
+
+
+def text_stat_exprs(text_col: str = "text") -> dict[str, Column]:
+    """Per-document text statistics as standalone Column expressions.
+
+    Semantically identical to ``with_text_stats`` but each consumer of a
+    stat re-evaluates the underlying arrays — fine for one-or-two-stat
+    queries; for the full rule set use ``with_text_stats`` (arrays bound
+    once per row).
+    """
+    col = F.col(text_col)
+    words = words_expr(col)
     wc = F.size(words)
     total_word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
@@ -85,15 +182,7 @@ def text_stat_exprs(text_col: str = "text") -> dict[str, Column]:
     symbol_count = F.length(col) - F.length(F.regexp_replace(col, SYMBOL_CLASS, ""))
     lines = F.split(col, "\n")
     lc = F.size(lines)
-    trigrams = F.when(
-        wc >= 3,
-        F.transform(
-            F.sequence(F.lit(1), wc - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1),
-                F.element_at(words, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    trigrams = trigrams_expr(words)
     tg = F.size(trigrams)
     bullet = F.size(F.filter(
         lines, lambda l: l.startswith("- ") | l.startswith("• ") | l.startswith("* ")))
@@ -144,7 +233,3 @@ def heuristic_hit_exprs(cfg: FilterConfig, stats: dict[str, Column]) -> dict[str
     }
 
 
-def with_text_stats(df, text_col: str = "text", prefix: str = ""):
-    """Attach all text-stat columns (names optionally prefixed)."""
-    stats = text_stat_exprs(text_col)
-    return df.withColumns({prefix + k: v for k, v in stats.items()})

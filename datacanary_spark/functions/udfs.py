@@ -21,17 +21,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-# Per-worker model cache: broadcast-id → QualityModels
+# Per-worker model cache. KEYING MATTERS: the Broadcast object itself is
+# re-unpickled into a NEW Python object for every task, so id(bc) would
+# miss every time and re-deserialize the multi-MB model bundle per task.
+# bc.value, however, is served from pyspark's per-process broadcast
+# registry — the SAME bytes object across tasks in a reused worker — so
+# id(bc.value) is a stable per-process key.
 _MODEL_CACHE: dict[int, Any] = {}
 
 
 def _get_models(bc) -> Any:
-    key = id(bc)
+    blob = bc.value
+    key = id(blob)
     m = _MODEL_CACHE.get(key)
     if m is None:
         from datacanary_spark.functions.models import QualityModels
 
-        blob = bc.value
         m = blob if isinstance(blob, QualityModels) else QualityModels.from_bytes(blob)
         _MODEL_CACHE[key] = m
     return m

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from datacanary_spark.functions.heuristics import (
     FilterConfig,
     heuristic_hit_exprs,
-    text_stat_exprs,
+    stat_cols,
+    with_text_stats,
 )
 from datacanary_spark.functions.udfs import (
     make_extract_udf,
@@ -80,7 +81,11 @@ def filter_pages(
     if extract_from_html:
         df = df.withColumn(text_col, make_extract_udf()(F.col("html")))
 
-    stats = text_stat_exprs(text_col)
+    # stats attached via staged projects: words/lines/trigram arrays are
+    # bound to columns once per row (not re-inlined per consumer) — this
+    # is the difference between ~0.5 ms and ~150 ms of codegen per doc
+    df = with_text_stats(df, text_col, prefix="stat_")
+    stats = stat_cols("stat_")
     hits = heuristic_hit_exprs(cfg, stats)
 
     langid = make_langid_udf(models_bc)
@@ -119,8 +124,7 @@ def filter_pages(
 
     out_cols = list(VERDICT_COLUMNS)
     if keep_stats:
-        df = df.withColumns({f"stat_{k}": v for k, v in stats.items()})
-        out_cols += [f"stat_{k}" for k in stats]
+        out_cols += [f"stat_{k}" for k in stats]  # already attached above
     df = df.select(*out_cols)
 
     if repartition_buckets:

@@ -33,6 +33,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = _default_shuffle_partitions(master)
 
+    # glibc malloc tuning for the Python UDF workers: without this, every
+    # large numpy temp is a fresh mmap whose first-touch page faults
+    # serialize all workers on the kernel's mmap_lock (measured 26× slower
+    # per allocation here, and it ruins multi-core scaling). Keeping big
+    # allocations on the heap makes worker arenas warm once and get reused
+    # across Arrow batches. Set before the JVM starts so workers inherit.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, "1073741824")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,6 +54,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+        # reuse python workers (model cache + warm malloc arenas persist)
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -48,6 +48,13 @@ def worker(cpus: int, input_dir: str, repeat: int) -> None:
     n_docs = pages.count()  # warm FS cache; not part of the timed run
     bc = broadcast_models(spark)
 
+    # One untimed warmup pass: spawns the Python UDF workers, fetches +
+    # deserializes the broadcast models once per worker, and faults in
+    # their malloc arenas. On a long-lived cluster these are one-time
+    # per-executor costs; the rule's metric is steady-state docs/sec.
+    filter_pages(pages, bc).agg(
+        F.sum(F.col("keep").cast("long"))).collect()
+
     best = float("inf")
     for _ in range(repeat):
         t0 = time.perf_counter()

@@ -1,0 +1,40 @@
+"""sources/io.py: scheme-agnostic listing/metadata/read + conf mapping."""
+
+from __future__ import annotations
+
+import pytest
+
+from datacanary_spark.sources import io as sio
+
+
+def test_read_table_parquet_and_list(spark):
+    df = sio.read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df.count() > 0
+    files = sio.list_parquet_files(spark, "/root/testdata/sf0.001")
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert any("documents" in f for f in files)
+
+
+def test_object_metadata(spark):
+    files = sio.list_parquet_files(spark, "/root/testdata/sf0.001")
+    meta = sio.object_metadata(spark, files[0])
+    assert meta["size_bytes"] > 0 and not meta["is_dir"]
+    assert meta["last_modified"].startswith("20")
+
+
+def test_iceberg_gated(spark):
+    # sandbox has no Iceberg runtime: must fail loudly, not mysteriously
+    assert sio.iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        sio.read_table(spark, "iceberg:web.pages")
+
+
+def test_object_store_conf_mapping():
+    s3 = sio.object_store_conf("s3", {"access_key": "A", "secret_key": "B"})
+    assert s3["spark.hadoop.fs.s3a.access.key"] == "A"
+    az = sio.object_store_conf("azure", {"account": "acct", "account_key": "K"})
+    assert any("acct.dfs.core.windows.net" in k for k in az)
+    gcs = sio.object_store_conf("gcs", {"keyfile": "/k.json"})
+    assert any("keyfile" in k for k in gcs)
+    with pytest.raises(ValueError):
+        sio.object_store_conf("ftp", {})
