@@ -1,0 +1,91 @@
+"""Driver-contract queries: rule-engine verdicts + health score
+(reference-parity surface, SURVEY.md §2.4/§2.5) over the documents table.
+
+The Spark side exercises the REAL engine API — single-pass profiler →
+RuleEngine.evaluate_profile → get_health_score — and materializes the
+(tiny) driver-side dicts as a DataFrame; the oracle recomputes the same
+verdicts/score in pure SQL with the same 2-dp rounding points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
+
+from datacanary_spark.entry_queries import _t, register
+
+DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+NUMERIC_COLUMNS = ["doc_id", "n_chars"]
+
+_NULL_PCT = ("round(avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END) * 100, 2)")
+_UNIQ_PCT = "round(count(DISTINCT {c}) * 100.0 / count(*), 2)"
+
+
+def _verdict_selects() -> list[str]:
+    sel = []
+    for c in DOC_COLUMNS:
+        sel.append(
+            f"SELECT '{c}' AS column, 'null_percentage_check' AS rule, "
+            f"{_NULL_PCT.format(c=c)} <= 5.0 AS passed FROM documents")
+        sel.append(
+            f"SELECT '{c}' AS column, 'unique_value_check' AS rule, "
+            f"{_UNIQ_PCT.format(c=c)} >= 90.0 AS passed FROM documents")
+    for c in NUMERIC_COLUMNS:
+        sel.append(
+            f"SELECT '{c}' AS column, 'value_range_check' AS rule, "
+            f"min({c}) >= 0 AS passed FROM documents")
+    return sel
+
+
+def _evaluate(spark, sf_dir):
+    from datacanary_spark.operators.profiler import analyse_dataframe
+    from datacanary_spark.rules.engine import RuleEngine, default_rules
+
+    d = _t(spark, sf_dir, "documents")
+    profile = analyse_dataframe(d)
+    eng = RuleEngine()
+    for r in default_rules():
+        eng.add_rule(r)
+    return d, profile, eng.evaluate_profile(profile, df=d)
+
+
+@register("rule_engine_verdicts", " UNION ALL ".join(_verdict_selects()))
+def rule_engine_verdicts(spark, sf_dir):
+    """Default rule set evaluated through the engine (profile → verdicts)."""
+    _, _, results = _evaluate(spark, sf_dir)
+    rows = [(col, r["rule_name"], bool(r["result"]["passed"]))
+            for col, verdicts in results.items() for r in verdicts]
+    return spark.createDataFrame(rows, "column: string, rule: string, passed: boolean")
+
+
+@register(
+    "health_score_documents",
+    f"""
+    WITH verdicts AS ({' UNION ALL '.join(_verdict_selects())}),
+    compliance AS (
+      SELECT round(sum(CASE WHEN passed THEN 1.0 ELSE 0.0 END)
+                   / count(*) * 100, 2) AS rule_compliance
+      FROM verdicts
+    ),
+    nulls AS (
+      SELECT round(100 - (
+        {' + '.join(_NULL_PCT.format(c=c) for c in DOC_COLUMNS)}
+      ) / {len(DOC_COLUMNS)}, 2) AS completeness
+      FROM documents
+    )
+    SELECT round(rule_compliance * 0.7 + completeness * 0.3, 2) AS health_score,
+           rule_compliance, completeness
+    FROM compliance, nulls
+    """,
+)
+def health_score_documents(spark, sf_dir):
+    """Reference health-score formula: 0.7·rule-compliance +
+    0.3·completeness, each rounded to 2 dp (summary_statistics.py:124-140)."""
+    from datacanary_spark.analysis.summary import get_health_score
+
+    _, profile, results = _evaluate(spark, sf_dir)
+    h = get_health_score(results, profile)
+    return spark.createDataFrame(
+        [(float(h["health_score"]),
+          float(h["components"]["rule_compliance"]),
+          float(h["components"]["completeness"]))],
+        "health_score: double, rule_compliance: double, completeness: double")
