@@ -168,7 +168,8 @@ def main() -> None:
             f"{hi['n_docs']} docs. Timing excludes session startup, python-"
             f"worker spawn and model broadcast (per-executor one-time "
             f"costs; the rule's metric is steady-state docs/sec); best of "
-            f"{args.repeat} runs per level, fresh JVM per level.\n\n"
+            f"{args.rounds}×{args.repeat} timed runs per level "
+            f"(interleaved rounds, fresh JVM per leg).\n\n"
             f"Note on local-mode headroom: beyond ~8 cores a single-box "
             f"`local[N]` run oversubscribes the machine (N JVM task "
             f"threads + N Python UDF workers on N cores share memory "
