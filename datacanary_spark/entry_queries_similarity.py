@@ -107,11 +107,12 @@ def ann_lsh_top5(spark, sf_dir):
     "embedding_near_dup_pairs",
     f"""
     WITH corpus AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 1000
       UNION ALL
       SELECT vec_id + 100000 AS vec_id,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.1 + 0.01) AS v
-      FROM embeddings WHERE vec_id % 7 = 0
+      FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 1000
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_COS.format(a='a.v', b='b.v')}, 6) AS score
@@ -122,8 +123,10 @@ def ann_lsh_top5(spark, sf_dir):
 def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dups: planted perturbed variants
     (v*1.1 + 0.01, cosine ≈ 0.995) must pair with their originals;
-    the natural corpus has no pair above 0.52."""
-    e = _t(spark, sf_dir, "embeddings")
+    the natural corpus has no pair above 0.52. Corpus capped at
+    vec_id < 1000 — the exact-quadratic demo is test-scale by design
+    (no-op at sf0.01's 500 rows); the scale path is use_lsh=True."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     base = e.select("vec_id",
                     F.transform(F.col("embedding"),
                                 lambda x: x.cast("double")).alias("embedding"))

@@ -172,8 +172,14 @@ def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows = n_hashes // bands
-    sig = minhash_signature(char_shingles(F.col(text_col), k_shingle), n_hashes)
-    d = df.select(F.col(id_col), sig.alias("sig"))
+    # bind the shingle array to a column FIRST: the signature references
+    # it n_hashes times (one transform per seed) and would otherwise
+    # re-derive it per seed per row (same lambda-arity/CSE pitfall as
+    # functions/heuristics.with_text_stats — benchmarked ~10×)
+    d = df.select(F.col(id_col),
+                  char_shingles(F.col(text_col), k_shingle).alias("_sh"))
+    d = d.select(F.col(id_col),
+                 minhash_signature(F.col("_sh"), n_hashes).alias("sig"))
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_ix"),

@@ -146,22 +146,32 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     twin); ``use_lsh=True`` is the cluster path: pairs must share a
     bucket in some table, shrinking the join from n² to sum(bucket²).
     """
+    # Precompute each vector's norm BEFORE the pair join: the naive
+    # per-pair cosine evaluates 3 dot products (a·b, a·a, b·b) inside the
+    # O(n²) stage; hoisting the norms to the O(n) side cuts pair cost 3×
+    # with bit-identical results (same sqrt/multiply sequence).
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                     norm_expr(F.col(vec_col)).alias("_nrm"))
     if use_lsh:
         assert dim is not None
-        b = with_lsh_buckets(df, dim, vec_col, n_bits, n_tables)
+        b = with_lsh_buckets(base, dim, "_v", n_bits, n_tables)
         left = b.select("table", "bucket", F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("va"))
+                        F.col("_v").alias("va"), F.col("_nrm").alias("na"))
         right = b.select("table", "bucket", F.col(id_col).alias("id_b"),
-                         F.col(vec_col).alias("vb"))
+                         F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
         pairs = (left.join(right, ["table", "bucket"])
                      .where(F.col("id_a") < F.col("id_b"))
-                     .select("id_a", "id_b", "va", "vb")
+                     .select("id_a", "id_b", "va", "vb", "na", "nb")
                      .dropDuplicates(["id_a", "id_b"]))
     else:
-        left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        left = base.select(F.col(id_col).alias("id_a"),
+                           F.col("_v").alias("va"), F.col("_nrm").alias("na"))
+        right = base.select(F.col(id_col).alias("id_b"),
+                            F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
         pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    score = F.try_divide(dot_expr(F.col("va"), F.col("vb")),
+                         F.col("na") * F.col("nb"))
     return (pairs
-            .withColumn("score", cosine_expr(F.col("va"), F.col("vb")))
+            .withColumn("score", score)
             .where(F.col("score") >= threshold)
             .select("id_a", "id_b", F.bround(F.col("score"), 6).alias("score")))
