@@ -1,0 +1,67 @@
+"""applyInPandasWithState: cumulative per-host counts must survive a
+stream restart (state store under the checkpoint) and match the batch
+twin over the union of all drops."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacanary_spark.sources.fixtures import write_pages_parquet
+from datacanary_spark.streaming.stateful import host_quota_stream
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stateful")
+    inp = str(root / "input")
+    os.makedirs(inp)
+    return {"input": inp, "ckpt": str(root / "ckpt"), "out": str(root / "out")}
+
+
+def _batch_twin(spark, input_dir, min_words=50):
+    pages = spark.read.parquet(input_dir)
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    return {
+        r["host"]: (r["seen"], r["kept"])
+        for r in pages.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            (F.size(words) >= min_words).alias("keep"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("seen"),
+             F.sum(F.col("keep").cast("long")).alias("kept"))
+        .collect()
+    }
+
+
+def _latest_from_sink(spark, out_dir, min_batch: int = -1):
+    # append-only updates: one row per (batch, host); cumulative counts
+    # are monotone, so the max per host is the latest state
+    rows = spark.read.parquet(out_dir).where(
+        F.col("batch_id") >= min_batch).collect()
+    out = {}
+    for r in rows:
+        cur = out.get(r["host"], (0, 0))
+        out[r["host"]] = max(cur, (r["docs_seen"], r["docs_kept"]))
+    return out
+
+
+def test_state_accumulates_across_restarts(spark, dirs):
+    write_pages_parquet(dirs["input"], n_docs=80, seed=42, start_id=0)
+    q = host_quota_stream(spark, dirs["input"], dirs["ckpt"], dirs["out"])
+    q.awaitTermination()
+    assert _latest_from_sink(spark, dirs["out"]) == _batch_twin(spark, dirs["input"])
+
+    # second drop; NEW query instance, same checkpoint → state restored
+    write_pages_parquet(dirs["input"], n_docs=60, seed=42, start_id=5000)
+    q2 = host_quota_stream(spark, dirs["input"], dirs["ckpt"], dirs["out"])
+    q2.awaitTermination()
+    latest = _latest_from_sink(spark, dirs["out"])
+    expected = _batch_twin(spark, dirs["input"])
+    # batch 2 only re-emits hosts it touched, but their counts must be
+    # CUMULATIVE over both drops (state survived the restart)
+    assert latest == expected
+    total_seen = sum(v[0] for v in expected.values())
+    assert total_seen == 140
