@@ -58,6 +58,88 @@ def rule_engine_verdicts(spark, sf_dir):
 
 
 @register(
+    "profile_rounded_percentages",
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS column, "
+        f"{_NULL_PCT.format(c=c)} AS null_percentage, "
+        f"{_UNIQ_PCT.format(c=c)} AS unique_percentage, "
+        f"(count({c}) > count(DISTINCT {c})) OR (count(*) - count({c}) > 1)"
+        f" AS has_duplicates "
+        f"FROM documents"
+        for c in DOC_COLUMNS),
+)
+def profile_rounded_percentages(spark, sf_dir):
+    """The reference's threshold-feeding stats — null%/unique% at their
+    2-dp rounding points (half-even, statistical_analyser.py:46,48) and
+    the pandas null-inclusive has_duplicates (:49) — straight from the
+    engine's single-pass profile."""
+    from datacanary_spark.operators.profiler import analyse_dataframe
+
+    profile = analyse_dataframe(_t(spark, sf_dir, "documents"))
+    rows = [(c, float(profile[c]["stats"]["null_percentage"]),
+             float(profile[c]["stats"]["unique_percentage"]),
+             bool(profile[c]["stats"]["has_duplicates"]))
+            for c in DOC_COLUMNS]
+    return spark.createDataFrame(
+        rows, "column: string, null_percentage: double, "
+              "unique_percentage: double, has_duplicates: boolean")
+
+
+@register(
+    "profile_sample_values",
+    """
+    SELECT array_to_string(
+             list_sort(list_distinct(list(lang)))[1:10], '|') AS sample_langs,
+           array_to_string(
+             list_sort(list_distinct(list(source)))[1:10], '|') AS sample_sources
+    FROM documents
+    """,
+)
+def profile_sample_values(spark, sf_dir):
+    """Deterministic sample_values (first 10 distinct in sort order — the
+    engine's documented deviation from the reference's unseeded random
+    sample, statistical_analyser.py:79)."""
+    from datacanary_spark.operators.profiler import analyse_dataframe
+
+    profile = analyse_dataframe(_t(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        [("|".join(profile["lang"]["stats"]["sample_values"]),
+          "|".join(profile["source"]["stats"]["sample_values"]))],
+        "sample_langs: string, sample_sources: string")
+
+
+_SKEW_DIFF = ("abs(avg({c}) - median({c})) "
+              "/ greatest(abs(avg({c})), abs(median({c})), 1e-10) * 100")
+
+
+@register(
+    "insight_skewness",
+    " UNION ALL ".join(
+        f"SELECT * FROM (SELECT '{c}' AS column, "
+        f"CASE WHEN avg({c}) > median({c}) THEN 'right-skewed' "
+        f"ELSE 'left-skewed' END AS direction, "
+        f"CASE WHEN {_SKEW_DIFF.format(c=c)} < 5 THEN 'mild' "
+        f"WHEN {_SKEW_DIFF.format(c=c)} < 15 THEN 'moderate' "
+        f"ELSE 'strong' END AS strength "
+        f"FROM documents) t{i} "
+        f"WHERE EXISTS (SELECT 1 FROM documents "
+        f"HAVING abs(avg({c}) - median({c})) >= 1e-10)"
+        for i, c in enumerate(NUMERIC_COLUMNS)),
+)
+def insight_skewness(spark, sf_dir):
+    """Distribution-skew insight (5%/15% mean-median bands,
+    trend_detection.py:85-140) through the real insights API."""
+    from datacanary_spark.analysis.insights import detect_distribution_skewness
+    from datacanary_spark.operators.profiler import analyse_dataframe
+
+    profile = analyse_dataframe(_t(spark, sf_dir, "documents"))
+    skew = detect_distribution_skewness(profile)
+    rows = [(c, v["direction"], v["strength"]) for c, v in skew.items()]
+    return spark.createDataFrame(
+        rows, "column: string, direction: string, strength: string")
+
+
+@register(
     "health_score_documents",
     f"""
     WITH verdicts AS ({' UNION ALL '.join(_verdict_selects())}),
