@@ -108,6 +108,48 @@ def profile_sample_values(spark, sf_dir):
         "sample_langs: string, sample_sources: string")
 
 
+_PATTERNS = [
+    ("source", "^src[0-9]+$"),   # matches every source → passed
+    ("lang", "^(en|fr|es)$"),    # de/zh don't match → fails with counts
+    ("text", "^[A-Za-z]"),       # docs starting with a letter
+]
+
+
+@register(
+    "pattern_match_rule_fulldata",
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS column, '{p}' AS pattern, "
+        f"sum(CASE WHEN {c} IS NOT NULL AND {c} <> '' "
+        f"AND NOT regexp_matches({c}, '{p}') THEN 1 ELSE 0 END) AS nomatch, "
+        f"sum(CASE WHEN {c} IS NOT NULL AND {c} <> '' "
+        f"AND NOT regexp_matches({c}, '{p}') THEN 1 ELSE 0 END) = 0 AS passed "
+        f"FROM documents"
+        for c, p in _PATTERNS),
+)
+def pattern_match_rule_fulldata(spark, sf_dir):
+    """PatternMatchRule in full-data mode (anchored like re.match,
+    evaluated on every row through the engine's one-agg path —
+    rule_engine.py:294-300 strengthened per SURVEY.md §1.3)."""
+    from datacanary_spark.operators.profiler import analyse_dataframe
+    from datacanary_spark.rules.builtin import PatternMatchRule
+    from datacanary_spark.rules.engine import RuleEngine
+
+    d = _t(spark, sf_dir, "documents")
+    profile = analyse_dataframe(d)
+    eng = RuleEngine()
+    for c, p in _PATTERNS:
+        eng.add_rule(PatternMatchRule(p, name=f"pat_{c}"))
+    counts = eng._full_pattern_counts(profile, d)
+    # counts keyed by (column, rule_ix); each rule applies to every
+    # string column — pick each rule's intended column
+    rows = []
+    for i, (c, p) in enumerate(_PATTERNS):
+        n = counts[(c, i)]
+        rows.append((c, p, n, n == 0))
+    return spark.createDataFrame(
+        rows, "column: string, pattern: string, nomatch: long, passed: boolean")
+
+
 _SKEW_DIFF = ("abs(avg({c}) - median({c})) "
               "/ greatest(abs(avg({c})), abs(median({c})), 1e-10) * 100")
 
