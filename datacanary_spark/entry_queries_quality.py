@@ -157,6 +157,45 @@ def pattern_match_rule_fulldata(spark, sf_dir):
         rows, "column: string, pattern: string, nomatch: long, passed: boolean")
 
 
+def _duck_outlier_selects() -> list[str]:
+    sel = []
+    for c in NUMERIC_COLUMNS:
+        for kind, agg in (("minimum", "min"), ("maximum", "max")):
+            sel.append(
+                f"SELECT * FROM (SELECT '{c}' AS column, '{kind}' AS boundary, "
+                f"CAST({agg}({c}) AS DOUBLE) AS value, "
+                f"round(abs(({agg}({c}) - avg({c})) / stddev_samp({c})), 2) AS z_score "
+                f"FROM aug) t_{c}_{agg} WHERE z_score > 3")
+    return sel
+
+
+@register(
+    "insight_outliers",
+    """
+    WITH aug AS (
+      SELECT doc_id, n_chars FROM documents
+      UNION ALL SELECT 999999 AS doc_id, 100000 AS n_chars
+    )
+    """ + " UNION ALL ".join(_duck_outlier_selects()),
+)
+def insight_outliers(spark, sf_dir):
+    """Outlier insight (|z| of profile min/max > 3, std<1e-10 skipped —
+    trend_detection.py:16-83) through the real API, over a corpus with a
+    planted extreme row so the detector demonstrably fires."""
+    from datacanary_spark.analysis.insights import detect_outliers
+    from datacanary_spark.operators.profiler import analyse_dataframe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    aug = d.unionByName(d.sparkSession.createDataFrame(
+        [(999999, 100000)], "doc_id: long, n_chars: long"))
+    profile = analyse_dataframe(aug)
+    found = detect_outliers(profile)
+    rows = [(c, o["type"], float(o["value"]), float(o["z_score"]))
+            for c, items in found.items() for o in items]
+    return spark.createDataFrame(
+        rows, "column: string, boundary: string, value: double, z_score: double")
+
+
 _SKEW_DIFF = ("abs(avg({c}) - median({c})) "
               "/ greatest(abs(avg({c})), abs(median({c})), 1e-10) * 100")
 
