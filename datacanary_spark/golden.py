@@ -30,7 +30,11 @@ from datacanary_spark.functions.heuristics import ALL_STOPWORDS, FilterConfig
 from datacanary_spark.functions.models import QualityModels, build_default_models
 from datacanary_spark.functions.scrub import scrub_text
 
-_WS = re.compile(r"\s+")
+# The tokenization CONTRACT is Java's \s class [ \t\n\x0B\f\r] (what the
+# Spark pipeline's split() uses). Python's \s would additionally split
+# on unicode whitespace (\xa0,  , …) and silently diverge — spelled
+# out explicitly so the twin matches on ALL inputs, not just fixtures.
+_WS = re.compile(r"[ \t\n\x0B\f\r]+")
 _SYM = re.compile(r"[#$%&*+=~^|]")
 
 
