@@ -34,8 +34,19 @@ import numpy as np
 _PRIME = np.uint64(1099511628211)  # FNV-64 prime; uint64 wraps mod 2^64
 
 
-def _encode(texts) -> list[bytes]:
-    return [("" if t is None else str(t)).encode("utf-8") for t in texts]
+# Scoring window: langid/perplexity read at most this many utf-8 bytes
+# per document (CLD2-style sampling — a page's language/fluency is
+# determined in its first KBs). Bounds per-doc model cost at 10^12-doc
+# scale regardless of document length. The golden twin shares this code,
+# so labels are identical by construction.
+SCORE_MAX_BYTES = 4096
+
+
+def _encode(texts, max_bytes: int | None = None) -> list[bytes]:
+    out = [("" if t is None else str(t)).encode("utf-8") for t in texts]
+    if max_bytes is not None:
+        out = [b[:max_bytes] for b in out]
+    return out
 
 
 def byte_ngram_hashes(byte_docs: list[bytes], n: int, n_buckets: int):
@@ -128,7 +139,8 @@ class LangIdModel:
 
     def predict(self, texts):
         """Returns (lang: np.ndarray[str], conf: np.ndarray[float64])."""
-        buckets, offsets = byte_ngram_hashes(_encode(texts), self.n, self.n_buckets)
+        buckets, offsets = byte_ngram_hashes(
+            _encode(texts, SCORE_MAX_BYTES), self.n, self.n_buckets)
         n_docs = len(offsets) - 1
         n_langs = len(self.langs)
         doc_ll = np.zeros((n_docs, n_langs), dtype=np.float64)
@@ -183,8 +195,9 @@ class PerplexityModel:
         return cls(count4=c4, count3=c3, n_buckets=n_buckets, k=k)
 
     def score(self, texts) -> np.ndarray:
-        """Per-document perplexity (lower = more language-like)."""
-        docs = _encode(texts)
+        """Per-document perplexity (lower = more language-like), over the
+        first SCORE_MAX_BYTES of each document."""
+        docs = _encode(texts, SCORE_MAX_BYTES)
         h4, off4 = byte_ngram_hashes(docs, 4, self.n_buckets)
         h3, off3 = byte_ngram_hashes(docs, 3, self.n_buckets)
         counts4 = np.diff(off4)
