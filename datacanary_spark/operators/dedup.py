@@ -123,6 +123,57 @@ def hamming16(a: Column, b: Column) -> Column:
     ).alias("hamming")
 
 
+def make_simhash64_udf():
+    """64-bit SimHash as a vectorized pandas UDF — the cluster-scale
+    variant of ``simhash16`` (which stays SQL-expressible for the
+    oracle). Per batch: hash every token of every doc with md5 (one
+    digest → 64 bits), unpack to a bit matrix, and segment-sum ±1 votes
+    per document with ``np.add.reduceat``. Tokenization contract is the
+    same ASCII-\\s split as everywhere else.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    # NB: no pd.Series type hints — inside this local scope pyspark sees
+    # them as unresolvable strings and rejects the signature; the
+    # hint-less form defaults to a scalar pandas UDF.
+    def simhash64_batch(texts):
+        docs = [("" if t is None else t) for t in texts]
+        token_lists = [[w for w in _ASCII_WS.split(d) if w] for d in docs]
+        counts = np.fromiter((len(t) for t in token_lists), np.int64,
+                             count=len(token_lists))
+        offsets = np.zeros(len(token_lists) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        if offsets[-1] == 0:
+            return pd.Series(np.zeros(len(docs), np.int64), index=texts.index)
+        digests = np.frombuffer(
+            b"".join(hashlib.md5(w.encode("utf-8")).digest()[:8]
+                     for toks in token_lists for w in toks),
+            dtype=np.uint64)
+        bits = ((digests[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)          # (n_tokens, 64)
+        votes = np.zeros((len(docs), 64), np.int64)
+        nonempty = counts > 0
+        if nonempty.any():
+            votes[nonempty] = np.add.reduceat(bits, offsets[:-1][nonempty],
+                                              axis=0)
+        majority = (2 * votes) > counts[:, None]         # bit=1 iff >half ones
+        out = (majority.astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        return pd.Series(out.view(np.int64), index=texts.index)
+
+    return pandas_udf(T.LongType())(simhash64_batch)
+
+
+import re as _re  # noqa: E402
+
+_ASCII_WS = _re.compile(r"[ \t\n\x0B\f\r]+")  # same contract as heuristics
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------

@@ -48,6 +48,105 @@ def _update_host(key: tuple, pdfs: Iterable[pd.DataFrame],
                         "docs_kept": [kept]})
 
 
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("session_start", T.TimestampType(), False),
+    T.StructField("session_end", T.TimestampType(), False),
+    T.StructField("n_events", T.LongType(), False),
+])
+
+# open session carried between micro-batches
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType(), False),
+    T.StructField("last_us", T.LongType(), False),
+    T.StructField("n_events", T.LongType(), False),
+])
+
+_US = 1_000_000
+
+
+def _make_session_fn(gap_s: int):
+    import datetime as _dt
+
+    def to_ts(us: int):
+        return _dt.datetime.fromtimestamp(us / _US, tz=_dt.timezone.utc) \
+            .replace(tzinfo=None)
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterable[pd.DataFrame]:
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            # watermark passed the open session's gap: emit and clear
+            start_us, last_us, n = state.get
+            closed.append((key[0], to_ts(start_us), to_ts(last_us), n))
+            state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            ts_us = []
+            for pdf in pdfs:
+                ts_us.extend(int(v) for v in pdf["ts_us"])
+            for t in sorted(ts_us):
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] > gap_s * _US:
+                    closed.append((key[0], to_ts(cur[0]), to_ts(cur[1]), cur[2]))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                # close the open session once event time passes last+gap
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(closed, columns=["user_id", "session_start",
+                                                "session_end", "n_events"])
+
+    return update
+
+
+def session_window_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    gap_s: int = 1800,
+    watermark: str = "0 seconds",
+):
+    """Gap-based session windows over a streaming events feed —
+    arbitrary stateful processing with EVENT-TIME timeouts: a user's
+    session closes either when a later event arrives past the gap, or
+    when the stream's watermark passes session_end + gap (so idle users'
+    sessions still get emitted). Late events beyond the watermark are
+    dropped by Spark before reaching the operator.
+    """
+    from datacanary_spark.schema import EVENTS_SCHEMA
+
+    events = (spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", watermark)
+              .withColumn("ts_us", F.unix_micros("ts"))
+              .select("user_id", "ts", "ts_us"))
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_s),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_dir))
+
+    return (sessions.writeStream
+            .foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def host_quota_stream(
     spark: SparkSession,
     input_dir: str,

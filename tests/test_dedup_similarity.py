@@ -96,6 +96,33 @@ def test_simhash_similar_docs_close(spark, docs_df):
     assert ham(rows[0], rows[2]) >= 4          # different doc: many bits
 
 
+def test_simhash64_udf_matches_python(spark, docs_df):
+    got = {r["doc_id"]: r["sh"] for r in docs_df.select(
+        "doc_id", dd.make_simhash64_udf()(F.col("text")).alias("sh")).collect()}
+
+    def py_simhash64(t):
+        import re
+        toks = [w for w in re.split(r"[ \t\n\x0B\f\r]+", t or "") if w]
+        if not toks:
+            return 0
+        votes = [0] * 64
+        for w in toks:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        v = sum((1 << b) for b in range(64) if votes[b] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for i, t in DOCS:
+        assert got[i] == py_simhash64(t), i
+    # near-dups are Hamming-close, unrelated docs are not
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(got[0], got[3]) == 0
+    assert ham(got[0], got[1]) <= 12
+    assert ham(got[0], got[2]) >= 12
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
