@@ -56,14 +56,14 @@ def _r6(col):
     "profile_numeric_nchars",
     """
     SELECT count(*) AS cnt,
-           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS null_count,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
            min(n_chars) AS min_v,
            max(n_chars) AS max_v,
            round(avg(n_chars), 6) AS mean_v,
            round(median(n_chars), 6) AS median_v,
            round(stddev_samp(n_chars), 6) AS std_dev,
-           sum(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS zeros_count,
-           sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS negative_count,
+           CAST(sum(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros_count,
+           CAST(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_count,
            count(DISTINCT n_chars) AS unique_count
     FROM documents
     """,
@@ -90,11 +90,11 @@ def profile_numeric_nchars(spark, sf_dir):
     "profile_string_text",
     """
     SELECT count(*) AS cnt,
-           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_count,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
            min(length(text)) AS min_length,
            max(length(text)) AS max_length,
            round(avg(length(text)), 6) AS mean_length,
-           sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS empty_string_count,
+           CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_string_count,
            count(DISTINCT text) AS unique_count
     FROM documents
     """,
@@ -121,7 +121,7 @@ def profile_string_text(spark, sf_dir):
     SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_date,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_date,
            CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 86400) AS BIGINT) AS range_days,
-           sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_count
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count
     FROM events
     """,
 )
@@ -179,7 +179,7 @@ _DUCK_WORDS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
       FROM documents
     )
     SELECT lang,
-           sum(word_count) AS total_words,
+           CAST(sum(word_count) AS BIGINT) AS total_words,
            round(avg(word_count), 6) AS avg_words,
            round(sum(word_chars) / sum(word_count), 6) AS mean_word_length,
            round(sum(stop_count) / CAST(sum(word_count) AS DOUBLE), 6) AS stopword_fraction
@@ -249,8 +249,8 @@ _DUCK_HEURISTIC_CTE = f"""
     "heuristic_keep_by_lang",
     _DUCK_HEURISTIC_CTE + """
     SELECT lang,
-           sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
-           sum(CASE WHEN keep THEN 0 ELSE 1 END) AS dropped
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped
     FROM v GROUP BY lang
     """,
 )

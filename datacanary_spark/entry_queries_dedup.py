@@ -248,8 +248,9 @@ def fingerprint_groups(spark, sf_dir):
     "token_counts_by_lang",
     f"""
     SELECT lang,
-           sum(len({_WORDS.format(col='text')})) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens,
+           CAST(sum(len({_WORDS.format(col='text')})) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
+                AS BIGINT) AS bpe_tokens,
            round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))), 6)
              AS avg_bpe_tokens
     FROM documents GROUP BY lang

@@ -127,8 +127,8 @@ _PATTERNS = [
     "pattern_match_rule_fulldata",
     " UNION ALL ".join(
         f"SELECT '{c}' AS column, '{p}' AS pattern, "
-        f"sum(CASE WHEN {c} IS NOT NULL AND {c} <> '' "
-        f"AND NOT regexp_matches({c}, '{p}') THEN 1 ELSE 0 END) AS nomatch, "
+        f"CAST(sum(CASE WHEN {c} IS NOT NULL AND {c} <> '' "
+        f"AND NOT regexp_matches({c}, '{p}') THEN 1 ELSE 0 END) AS BIGINT) AS nomatch, "
         f"sum(CASE WHEN {c} IS NOT NULL AND {c} <> '' "
         f"AND NOT regexp_matches({c}, '{p}') THEN 1 ELSE 0 END) = 0 AS passed "
         f"FROM documents"

@@ -23,8 +23,11 @@ from datacanary_spark.entry_queries import _t, register
 # (18,4) × (19,4) → width 37, scale 8. DuckDB silently converts any
 # wider product to DOUBLE (breaking exactness); Spark would instead
 # reduce scale. 18,4 is ample for TPC-H money/quantity/discount.
-# Results STAY decimal (DEC_OUT) — a final decimal→double cast rounds
-# differently in the two engines at the last ulp.
+# COMPUTE in decimal, but the RESULT wire type is STRING: the driver's
+# Arrow/pandas hasher decays DuckDB DECIMAL(30,6) to float64 while Spark
+# keeps object(Decimal), so value-identical decimals hash-mismatch
+# (round-1 verdict). CAST(dec AS VARCHAR) pads to scale identically in
+# both engines ("6.000000"), giving a shared exact wire value.
 DEC = "decimal(18,4)"
 DEC_OUT = "decimal(30,6)"
 
@@ -41,11 +44,13 @@ def _dec(col):
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(30,6)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(30,6)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(30,6))
+                AS VARCHAR) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(30,6))
+                AS VARCHAR) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                AS DECIMAL(30,6)) AS sum_disc_price,
+                AS DECIMAL(30,6)) AS VARCHAR) AS sum_disc_price,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS count_order
@@ -60,11 +65,12 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec(F.col("l_quantity"))).cast(DEC_OUT).alias("sum_qty"),
-        F.sum(_dec(F.col("l_extendedprice"))).cast(DEC_OUT).alias("sum_base_price"),
+        F.sum(_dec(F.col("l_quantity"))).cast(DEC_OUT).cast("string").alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast(DEC_OUT).cast("string")
+        .alias("sum_base_price"),
         F.sum(_dec(F.col("l_extendedprice"))
               * (F.lit(1).cast(DEC) - _dec(F.col("l_discount")))).cast(DEC_OUT)
-        .alias("sum_disc_price"),
+        .cast("string").alias("sum_disc_price"),
         F.bround(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.bround(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
@@ -79,9 +85,9 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     "revenue_by_nation",
     """
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                AS DECIMAL(30,6)) AS revenue,
+                AS DECIMAL(30,6)) AS VARCHAR) AS revenue,
            count(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -110,7 +116,7 @@ def revenue_by_nation(spark, sf_dir):
              .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
              .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
              .groupBy("n_name")
-             .agg(F.sum(rev).cast(DEC_OUT).alias("revenue"),
+             .agg(F.sum(rev).cast(DEC_OUT).cast("string").alias("revenue"),
                   F.count(F.lit(1)).alias("n_items")))
 
 
@@ -267,7 +273,8 @@ def events_hourly(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM o
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
 )

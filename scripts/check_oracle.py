@@ -7,6 +7,14 @@ by name, rows sorted, exact string compare of values — floats compared
 both exactly and with 1e-9 relative tolerance so we can see whether a
 mismatch is real or float noise).
 
+Additionally (round-2 hardening): compares through the PANDAS layer the
+way the driver's value hash does — ``sdf.toPandas()`` vs DuckDB
+``rel.df()`` — including the Python type of every cell. This catches
+wire-type decay the row-value compare cannot see: DuckDB HUGEINT sums
+and DECIMAL results decay to float64 in ``.df()`` (``6`` → ``6.0``)
+while Spark keeps int64/Decimal, which made 10 value-identical queries
+hash-red in round 1 (VERDICT.md).
+
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -27,6 +35,16 @@ def norm_rows(cols, rows):
     for r in rows:
         out.append(tuple(r[i] for i in order))
     return [cols[i] for i in order], sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def pandas_canon(df):
+    """Canonicalize a pandas frame the way a type-sensitive hasher sees
+    it: columns sorted by name, rows sorted by string repr, each cell
+    rendered as (type_name, repr)."""
+    df = df[sorted(df.columns)]
+    rows = [tuple((type(v).__name__, repr(v)) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    return sorted(rows)
 
 
 def values_close(a, b):
@@ -80,7 +98,15 @@ def main():
             _, dn = norm_rows(dcols, drows)
             exact = sn == [tuple(r) for r in dn]
             if exact:
-                status.append("OK exact")
+                # Value-exact; now the type-sensitive pandas-layer check
+                # (mimics the driver hash — see module docstring).
+                sp = pandas_canon(sdf.toPandas())
+                dp = pandas_canon(rel.df())
+                if sp == dp:
+                    status.append("OK exact")
+                else:
+                    bad = next((a, b) for a, b in zip(sp, dp) if a != b)
+                    status.append(f"TYPEDIFF pandas-layer: {bad[0]} vs {bad[1]}")
             else:
                 n_bad = 0
                 for a, b in zip(sn, dn):
