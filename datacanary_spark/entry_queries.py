@@ -278,12 +278,92 @@ def heuristic_keep_by_lang(spark, sf_dir):
     )
 
 
-@register("filter_pipeline_verdicts")  # rows-only: langid/ppl/scrub are
-def filter_pipeline_verdicts(spark, sf_dir):  # numpy/Python-re, not SQL
+# Per-rule hit histogram: the north rule's lineage "rule-hit histogram"
+# as a first-class contract query. Mirrors heuristic_hit_exprs() (all 9
+# heuristic rules, null stat → hit) in DuckDB.
+_DUCK_LINES = "string_split(text, chr(10))"
+_DUCK_RULE_STATS = f"""
+    WITH s AS (
+      SELECT lang,
+             len({_DUCK_WORDS}) AS wc,
+             CAST(list_aggregate(list_transform({_DUCK_WORDS}, x -> length(x)), 'sum')
+                  AS DOUBLE) / len({_DUCK_WORDS}) AS mwl,
+             (length(text) - length(regexp_replace(text, '{SYMBOL_CLASS}', '', 'g')))
+               / CAST(len({_DUCK_WORDS}) AS DOUBLE) AS sym_ratio,
+             len(list_filter({_DUCK_WORDS},
+                 x -> list_contains({sorted(ALL_STOPWORDS)!r}, x)))
+               / CAST(len({_DUCK_WORDS}) AS DOUBLE) AS stop_frac,
+             COALESCE(1.0 - len(list_distinct({_DUCK_LINES}))
+               / CAST(len({_DUCK_LINES}) AS DOUBLE), 0.0) AS dup_line_frac,
+             COALESCE(CASE WHEN len({_DUCK_WORDS}) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len({_DUCK_WORDS}) - 2),
+                     i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1] || ' ' ||
+                          {_DUCK_WORDS}[i+2]))) AS DOUBLE)
+                   / (len({_DUCK_WORDS}) - 2)
+             ELSE 0.0 END, 0.0) AS dup_tri_frac,
+             len(list_filter({_DUCK_LINES},
+                 x -> starts_with(x, '- ') OR starts_with(x, '• ')
+                      OR starts_with(x, '* ')))
+               / CAST(len({_DUCK_LINES}) AS DOUBLE) AS bullet_frac,
+             len(list_filter({_DUCK_LINES}, x -> ends_with(x, '...')))
+               / CAST(len({_DUCK_LINES}) AS DOUBLE) AS ellipsis_frac
+      FROM documents
+    ),
+    h AS (
+      SELECT lang,
+        COALESCE(CAST(wc < {_CFG.min_words} AS INT), 1) AS too_few_words,
+        COALESCE(CAST(wc > {_CFG.max_words} AS INT), 1) AS too_many_words,
+        COALESCE(CAST(mwl < {_CFG.min_mean_word_length}
+                   OR mwl > {_CFG.max_mean_word_length} AS INT), 1) AS mean_word_length,
+        COALESCE(CAST(sym_ratio > {_CFG.max_symbol_to_word_ratio} AS INT), 1) AS symbol_ratio,
+        COALESCE(CAST(stop_frac < {_CFG.min_stopword_fraction} AS INT), 1) AS stopword_fraction,
+        COALESCE(CAST(dup_line_frac > {_CFG.max_dup_line_fraction} AS INT), 1) AS dup_lines,
+        COALESCE(CAST(dup_tri_frac > {_CFG.max_dup_trigram_fraction} AS INT), 1) AS dup_trigrams,
+        COALESCE(CAST(bullet_frac > {_CFG.max_bullet_line_fraction} AS INT), 1) AS bullet_lines,
+        COALESCE(CAST(ellipsis_frac > {_CFG.max_ellipsis_line_fraction} AS INT), 1) AS ellipsis_lines
+      FROM s
+    )
+"""
+
+
+@register(
+    "heuristic_rule_hits_by_lang",
+    _DUCK_RULE_STATS + " UNION ALL ".join(
+        f"SELECT lang, '{r}' AS rule, CAST(sum({r}) AS BIGINT) AS hits "
+        f"FROM h GROUP BY lang"
+        for r in FilterConfig().heuristic_rule_names),
+)
+def heuristic_rule_hits_by_lang(spark, sf_dir):
+    """Per-(lang, rule) violation counts for all 9 heuristic rules — the
+    north rule's per-partition lineage 'rule-hit histogram' rolled up by
+    language. One scan, one codegen project (arrays bound once via
+    with_text_stats), one hash aggregate, then a stack (no extra
+    shuffle). Null stats count as hits, mirroring the reference's
+    per-rule containment (rule_engine.py:368-378)."""
+    from datacanary_spark.functions.heuristics import heuristic_hit_exprs
+
+    d = with_text_stats(_t(spark, sf_dir, "documents"), "text", prefix="s_")
+    hits = heuristic_hit_exprs(_CFG, stat_cols("s_"))
+    agg = d.groupBy("lang").agg(
+        *[F.sum(col).cast("long").alias(name) for name, col in hits.items()])
+    stack_args = ", ".join(f"'{n}', {n}" for n in hits)
+    return agg.selectExpr(
+        "lang", f"stack({len(hits)}, {stack_args}) AS (rule, hits)")
+
+
+def filter_pipeline_verdicts(spark, sf_dir):
     """Full north-rule pipeline (heuristics + model UDFs + scrub) over the
     documents table reshaped as pages; per-language verdict + scrub
-    rollup. Byte-level correctness is enforced by the golden-twin tests
-    (tests/test_filter_pipeline.py), not a SQL oracle."""
+    rollup.
+
+    NOT a ``queries()`` entry: langid/ppl/scrub are numpy/Python-re, so
+    no SQL oracle exists and a registered row would be a permanent
+    ``no_oracle`` red (round-1 verdict item 2). Byte-level correctness
+    is enforced by the golden-twin tests (tests/test_filter_pipeline.py)
+    and bench.py measures it as ``filter_pipeline_full``; the
+    SQL-expressible heuristic slice is contract-covered by
+    ``heuristic_keep_by_lang`` and ``heuristic_rule_hits_by_lang``."""
     from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
 
     d = _t(spark, sf_dir, "documents")

@@ -64,6 +64,7 @@ def _duck_bucket(vec: str, planes) -> str:
 
 
 _PLANES_T0 = sim.random_planes(DIM, 6, table=0)
+_PLANES_T1 = sim.random_planes(DIM, 6, table=1)
 
 
 @register(
@@ -126,6 +127,13 @@ def embedding_near_dup_pairs(spark, sf_dir):
     the natural corpus has no pair above 0.52. Corpus capped at
     vec_id < 1000 — the exact-quadratic demo is test-scale by design
     (no-op at sf0.01's 500 rows); the scale path is use_lsh=True."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return sim.embedding_near_dup_pairs(corpus, threshold=0.9)
+
+
+def _planted_corpus(spark, sf_dir):
+    """Embeddings capped at vec_id<1000 plus perturbed variants of every
+    7th vector (v*1.1 + 0.01 — cosine ≈ 0.995 to its original)."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     base = e.select("vec_id",
                     F.transform(F.col("embedding"),
@@ -134,5 +142,51 @@ def embedding_near_dup_pairs(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(F.col("embedding"),
                     lambda x: x.cast("double") * 1.1 + 0.01).alias("embedding"))
-    corpus = base.unionByName(aug)
-    return sim.embedding_near_dup_pairs(corpus, threshold=0.9)
+    return base.unionByName(aug)
+
+
+_DUCK_PLANTED_CORPUS = """
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 1000
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.1 + 0.01) AS v
+      FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 1000
+    )
+"""
+
+
+@register(
+    "embedding_near_dup_lsh_pairs",
+    f"""
+    WITH {_DUCK_PLANTED_CORPUS},
+    b AS (
+      SELECT vec_id, v, 0 AS tbl, {_duck_bucket('v', _PLANES_T0)} AS bucket
+      FROM corpus
+      UNION ALL
+      SELECT vec_id, v, 1 AS tbl, {_duck_bucket('v', _PLANES_T1)} AS bucket
+      FROM corpus
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                       AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, round({_COS.format(a='ca.v', b='cb.v')}, 6) AS score
+    FROM cand
+    JOIN corpus ca ON ca.vec_id = id_a
+    JOIN corpus cb ON cb.vec_id = id_b
+    WHERE {_COS.format(a='ca.v', b='cb.v')} >= 0.9
+    """,
+)
+def embedding_near_dup_lsh_pairs(spark, sf_dir):
+    """The SCALE path of embedding near-dup (use_lsh=True): candidate
+    pairs must share a 6-bit SRP bucket in one of 2 tables, shrinking
+    the join from n² to sum(bucket²) — one shuffle on (table, bucket).
+    Same planted corpus as the exact variant; the result is the exact
+    pair set intersected with LSH candidate recall, identically on both
+    engines (plan-literal hyperplanes, same double arithmetic)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return sim.embedding_near_dup_pairs(
+        corpus, threshold=0.9, dim=DIM, use_lsh=True, n_bits=6, n_tables=2)
