@@ -27,15 +27,21 @@ Reference semantics preserved (see SURVEY.md §1.3):
 * ``sample_values``: the reference samples ≤10 values WITHOUT a seed
   (:79, nondeterministic); we deviate deliberately and return the first
   10 distinct values in sort order — deterministic across runs and
-  cluster sizes (documented deviation, SURVEY.md §7 hard-part 4). In
-  ``approx=True`` (scale) mode the collect is gated to a deterministic
-  xxhash64 1/1024 sample so aggregate state stays bounded on
-  high-cardinality columns.
+  cluster sizes (documented deviation, SURVEY.md §7 hard-part 4).
 
-Scale notes: ``unique_count`` uses exact ``countDistinct`` by default to
-match the reference; at 10^12 rows pass ``approx=True`` to switch every
-distinct count to HLL++ (``approx_count_distinct``) — one flag, same
-plan shape, no extra shuffle either way (partial aggregation map-side).
+Scale notes (``approx=True`` — the 10^12-row mode): EVERY unbounded
+aggregation state becomes bounded under the one flag, same single-scan
+plan shape, no extra shuffle:
+
+* distinct counts → HLL++ (``approx_count_distinct``);
+* exact ``percentile`` median → ``approx_percentile`` sketch;
+* ``collect_set`` samples → 10 independent ``min_by`` salted-hash picks
+  (one value of state each — deterministic across runs AND cluster
+  sizes, unlike a gated collect whose state still grows with distinct
+  count).
+
+``tests/test_profiler.py::test_approx_mode_plans_bounded_state`` asserts
+the approx plan contains no exact percentile / collect_set.
 """
 
 from __future__ import annotations
@@ -88,14 +94,19 @@ def _generic_exprs(c: str, approx: bool) -> list:
     ]
 
 
-def _numeric_exprs(c: str) -> list:
+def _numeric_exprs(c: str, approx: bool = False) -> list:
     col = F.col(c).cast("double")
     nn = F.count(col)
+    # Exact percentile builds unbounded aggregation state on
+    # high-cardinality doubles; approx/scale mode switches to the
+    # fixed-size t-digest-style sketch (approx_percentile).
+    median = (F.expr(f"approx_percentile(`{c}`, 0.5)") if approx
+              else F.expr(f"percentile(`{c}`, 0.5)"))
     return [
         F.min(col).alias(f"{c}__min"),
         F.max(col).alias(f"{c}__max"),
         F.avg(col).alias(f"{c}__mean"),
-        F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}__median"),
+        median.cast("double").alias(f"{c}__median"),
         F.when(nn > 1, F.coalesce(F.stddev_samp(col), F.lit(0.0)))
         .otherwise(F.when(nn == 1, F.lit(0.0))).alias(f"{c}__std_dev"),
         F.coalesce(F.sum(F.when(col == 0, 1).otherwise(0)), F.lit(0)).alias(f"{c}__zeros_count"),
@@ -110,9 +121,23 @@ def _string_exprs(c: str, approx: bool = False) -> list:
     col = F.col(c)
     ln = F.length(col)
     nn = F.count(col)
-    # exact mode: all distinct values enter the set (small tables);
-    # approx/scale mode: deterministic hash-gate keeps state bounded.
-    sample_src = F.when(F.pmod(F.xxhash64(col), F.lit(1024)) == 0, col) if approx else col
+    if approx:
+        # Scale mode: BOUNDED aggregation state — 10 independent
+        # min-by-salted-hash picks (one value of state each) instead of
+        # collect_set (state grows with distinct count; a 1/1024 hash
+        # gate still admits ~10^9 values at 10^12 distinct). Each pick
+        # is the value minimizing xxhash64(salt:value): deterministic,
+        # ~uniform over distinct values, duplicates collapsed at the end.
+        picks = [
+            F.min_by(col, F.when(col.isNotNull(),
+                                 F.xxhash64(F.concat(F.lit(f"{j}:"), col))))
+            for j in range(10)
+        ]
+        sample = F.array_sort(F.array_compact(F.array_distinct(F.array(*picks))))
+    else:
+        # Exact mode: first 10 distinct values in sort order (matches the
+        # oracle / reference-parity contract on small tables).
+        sample = F.slice(F.array_sort(F.collect_set(col)), 1, 10)
     return [
         F.min(ln).alias(f"{c}__min_length"),
         F.max(ln).alias(f"{c}__max_length"),
@@ -122,9 +147,9 @@ def _string_exprs(c: str, approx: bool = False) -> list:
         F.bround(F.coalesce(
             F.try_divide(F.sum(F.when(col == "", 1).otherwise(0)), nn), F.lit(0.0)) * 100, 2)
         .alias(f"{c}__empty_string_percentage"),
-        # Deterministic sample: first 10 distinct values in sort order
-        # (deviation from the reference's unseeded random sample, :79).
-        F.slice(F.array_sort(F.collect_set(sample_src)), 1, 10).alias(f"{c}__sample_values"),
+        # Deterministic sample (deviation from the reference's unseeded
+        # random sample, :79) — exact or bounded-state variant per above.
+        sample.alias(f"{c}__sample_values"),
     ]
 
 
@@ -145,7 +170,7 @@ def profile_exprs(df: DataFrame, approx: bool = False) -> list:
         c = field.name
         exprs.extend(_generic_exprs(c, approx))
         if isinstance(field.dataType, NUMERIC_TYPES):
-            exprs.extend(_numeric_exprs(c))
+            exprs.extend(_numeric_exprs(c, approx))
         elif isinstance(field.dataType, T.BooleanType):
             pass  # generic stats only, like the reference (:43-50)
         elif isinstance(field.dataType, STRING_TYPES):
