@@ -108,12 +108,13 @@ def with_text_stats(df, text_col: str = "text", prefix: str = "stat_"):
     col = F.col(text_col)
     stops = F.array(*[F.lit(s) for s in sorted(ALL_STOPWORDS)])
 
-    df = df.withColumns({
+    tmp_stage1 = {
         "_t_words": words_expr(col),
         "_t_lines": F.split(col, "\n"),
-    })
+    }
+    df = df.withColumns(tmp_stage1)
     w, lines = F.col("_t_words"), F.col("_t_lines")
-    df = df.withColumns({
+    tmp_stage2 = {
         "_t_wc": F.size(w).cast("long"),
         "_t_lc": F.size(lines).cast("long"),
         "_t_word_chars": F.aggregate(
@@ -129,7 +130,8 @@ def with_text_stats(df, text_col: str = "text", prefix: str = "stat_"):
             | l.startswith("* "))).cast("long"),
         "_t_ellipsis": F.size(F.filter(
             lines, lambda l: l.endswith("..."))).cast("long"),
-    })
+    }
+    df = df.withColumns(tmp_stage2)
     wc = F.col("_t_wc").cast("double")
     lc = F.col("_t_lc").cast("double")
     tg = F.size(F.col("_t_trigrams"))
@@ -156,7 +158,9 @@ def with_text_stats(df, text_col: str = "text", prefix: str = "stat_"):
         prefix + "ellipsis_line_fraction": F.try_divide(
             F.col("_t_ellipsis").cast("double"), lc),
     })
-    return df.drop(*[c for c in df.columns if c.startswith("_t_")])
+    # drop exactly the temporaries THIS call added — never a caller
+    # column that happens to share the prefix
+    return df.drop(*tmp_stage1, *tmp_stage2)
 
 
 def stat_cols(prefix: str = "stat_") -> dict[str, Column]:

@@ -26,19 +26,24 @@ from pyspark.sql.functions import pandas_udf
 # miss every time and re-deserialize the multi-MB model bundle per task.
 # bc.value, however, is served from pyspark's per-process broadcast
 # registry — the SAME bytes object across tasks in a reused worker — so
-# id(bc.value) is a stable per-process key.
-_MODEL_CACHE: dict[int, Any] = {}
+# id(bc.value) is a stable per-process key. The entry stores a STRONG
+# reference to the blob alongside the model: id() values can be recycled
+# after an object is GC'd (e.g. a destroyed broadcast), and pinning the
+# blob guarantees its id is never reused while the cache entry is alive —
+# a stale-model hit is impossible.
+_MODEL_CACHE: dict[int, tuple[Any, Any]] = {}
 
 
 def _get_models(bc) -> Any:
     blob = bc.value
     key = id(blob)
-    m = _MODEL_CACHE.get(key)
-    if m is None:
-        from datacanary_spark.functions.models import QualityModels
+    entry = _MODEL_CACHE.get(key)
+    if entry is not None and entry[0] is blob:
+        return entry[1]
+    from datacanary_spark.functions.models import QualityModels
 
-        m = blob if isinstance(blob, QualityModels) else QualityModels.from_bytes(blob)
-        _MODEL_CACHE[key] = m
+    m = blob if isinstance(blob, QualityModels) else QualityModels.from_bytes(blob)
+    _MODEL_CACHE[key] = (blob, m)
     return m
 
 

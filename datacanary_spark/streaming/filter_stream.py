@@ -5,8 +5,10 @@ The batch pipeline (plans/pipeline.py) is reused verbatim inside
 engine ingests a continuously-landing Common-Crawl-style feed:
 
     readStream(parquet dir / Iceberg incremental)
-      → foreachBatch(filter_pages → verdict parquet + lineage append)
-      → checkpointLocation = exactly-once per micro-batch
+      → foreachBatch(filter_pages → verdict + lineage parquet,
+                     batch_id-partitioned dynamic overwrite)
+      → checkpointLocation tracks processed files; the idempotent sink
+        upgrades foreachBatch's at-least-once to effective exactly-once
 
 ``Trigger.AvailableNow`` drains everything that has landed and stops —
 the streaming twin of the chunked batch job (plans/checkpoint.py), with
@@ -44,7 +46,13 @@ def run_filter_stream(
 
     Restart-safe: Spark's checkpoint tracks processed files, so re-runs
     after new files land process ONLY the new files (incremental
-    ingest); outputs append exactly-once per micro-batch.
+    ingest). ``foreachBatch`` itself is AT-LEAST-once (a crash between
+    the sink write and the checkpoint commit replays the batch on
+    restart), so the sink is made idempotent: every output row is
+    tagged with its micro-batch id and written as a dynamic overwrite
+    of exactly the ``batch_id=N`` partition — a replay rewrites the
+    same partition instead of appending duplicates, giving effective
+    exactly-once end to end.
     """
     models_bc = broadcast_models(spark)
     verdict_dir = os.path.join(output_dir, "verdicts")
@@ -57,14 +65,7 @@ def run_filter_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         verdicts = filter_pages(batch_df, models_bc, cfg=cfg)
-        verdicts.persist()
-        try:
-            verdicts.write.mode("append").parquet(verdict_dir)
-            (partition_lineage(verdicts)
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(metrics_dir))
-        finally:
-            verdicts.unpersist()
+        write_batch_outputs(verdicts, batch_id, verdict_dir, metrics_dir)
 
     (pages.writeStream
           .foreachBatch(process_batch)
@@ -72,6 +73,31 @@ def run_filter_stream(
           .trigger(availableNow=True)
           .start()
           .awaitTermination())
+
+
+def write_batch_outputs(verdicts: DataFrame, batch_id: int,
+                        verdict_dir: str, metrics_dir: str) -> None:
+    """Idempotent per-micro-batch sink (safe under foreachBatch replay).
+
+    Both sinks are partitioned by ``batch_id`` and written with dynamic
+    partition overwrite: writing batch N twice (an at-least-once replay)
+    replaces the ``batch_id=N`` directory rather than appending a second
+    copy. Downstream readers need no dedup and lineage rows stay keyed
+    by the batch that produced them.
+    """
+    verdicts = verdicts.persist()
+    try:
+        (verdicts.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(verdict_dir))
+        (partition_lineage(verdicts)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(metrics_dir))
+    finally:
+        verdicts.unpersist()
 
 
 def stream_hourly_counts(

@@ -73,3 +73,28 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path):
                    F.bround(F.avg("value"), 6).alias("v")))
     exp = {(r["hour"], r["event_type"]): (r["n"], r["v"]) for r in exp_df.collect()}
     assert got == exp
+
+
+def test_batch_sink_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the sink write and
+    the checkpoint commit replays the micro-batch. The sink must absorb
+    the replay (dynamic overwrite of the batch_id partition), not append
+    a duplicate copy."""
+    from datacanary_spark.streaming.filter_stream import write_batch_outputs
+
+    write_pages_parquet(str(tmp_path / "in"), n_docs=20, seed=7, start_id=0)
+    pages = spark.read.parquet(str(tmp_path / "in"))
+    verdicts = filter_pages(pages, broadcast_models(spark))
+    vdir, mdir = str(tmp_path / "v"), str(tmp_path / "m")
+
+    write_batch_outputs(verdicts, 0, vdir, mdir)
+    write_batch_outputs(verdicts, 0, vdir, mdir)  # replay of the same batch
+    got = spark.read.parquet(vdir)
+    assert got.count() == 20
+    assert got.select("batch_id").distinct().collect()[0][0] == 0
+    m = spark.read.parquet(mdir)
+    assert m.agg(F.sum("input_count")).collect()[0][0] == 20
+
+    # a genuinely new batch still lands alongside
+    write_batch_outputs(verdicts, 1, vdir, mdir)
+    assert spark.read.parquet(vdir).count() == 40
