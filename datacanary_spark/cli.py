@@ -5,6 +5,12 @@ local variants) and adds the engine's own jobs:
     python -m datacanary_spark analyse --file <parquet> [--output out.json]
     python -m datacanary_spark check   --file <parquet> [--rules rules.yaml]
                                        [--report out.txt] [--json out.json]
+    # reference-parity cloud source flags on analyse/check (all map to
+    # one Hadoop-FS code path — resolve_source()):
+    #   --bucket B --key K [--profile P] [--region R]          → s3a://B/K
+    #   --azure-container C --azure-blob B --azure-account-url U [--azure-account-key K]
+    #                                  → abfss://C@acct.dfs.core.windows.net/B
+    #   --gcs-bucket G --gcs-blob B [--gcs-credentials sa.json] → gs://G/B
     python -m datacanary_spark filter  --input <pages dir> --output <dir>
                                        [--chunks N] [--buckets N] [--from-html]
     python -m datacanary_spark gen-pages --output <dir> --docs N [--seed 42]
@@ -33,16 +39,77 @@ def _spark(args):
                      master=getattr(args, "master", None))
 
 
+def resolve_source(args) -> tuple[str, dict[str, str]]:
+    """Map the reference's per-provider source flags
+    (/root/reference/src/datacanary/__main__.py:62-109: --bucket/--key,
+    --azure-container/--azure-blob, --gcs-bucket/--gcs-blob) onto the
+    engine's single code path: a Hadoop-FS URI plus Spark conf entries.
+    Returns (uri, conf). ``--file`` wins when given (local/any URI).
+    """
+    from datacanary_spark.sources.io import object_store_conf
+
+    if getattr(args, "file", None):
+        return args.file, {}
+    if getattr(args, "bucket", None) and getattr(args, "key", None):
+        conf = {}
+        if getattr(args, "region", None):
+            conf["spark.hadoop.fs.s3a.endpoint.region"] = args.region
+        if getattr(args, "profile", None):
+            # hadoop-aws resolves named profiles via the default AWS chain
+            conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+                "com.amazonaws.auth.profile.ProfileCredentialsProvider")
+        return f"s3a://{args.bucket}/{args.key}", conf
+    if getattr(args, "azure_container", None) and getattr(args, "azure_blob", None):
+        account, key = "", ""
+        if getattr(args, "azure_connection_string", None):
+            parts = dict(kv.split("=", 1)
+                         for kv in args.azure_connection_string.split(";") if "=" in kv)
+            account = parts.get("AccountName", "")
+            key = parts.get("AccountKey", "")
+        if getattr(args, "azure_account_url", None):
+            # https://{account}.blob.core.windows.net
+            account = args.azure_account_url.split("//")[-1].split(".")[0]
+        if getattr(args, "azure_account_key", None):
+            key = args.azure_account_key
+        if not account:
+            raise SystemExit("azure source needs --azure-account-url or "
+                             "--azure-connection-string to name the account")
+        uri = (f"abfss://{args.azure_container}@{account}"
+               f".dfs.core.windows.net/{args.azure_blob}")
+        conf = object_store_conf("azure", {"account": account, "account_key": key})
+        return uri, conf
+    if getattr(args, "gcs_bucket", None) and getattr(args, "gcs_blob", None):
+        conf = {}
+        if getattr(args, "gcs_credentials", None):
+            conf = object_store_conf("gcs", {"keyfile": args.gcs_credentials})
+        if getattr(args, "gcs_project", None):
+            conf["spark.hadoop.fs.gs.project.id"] = args.gcs_project
+        return f"gs://{args.gcs_bucket}/{args.gcs_blob}", conf
+    raise SystemExit(
+        "no source given: pass --file PATH, or --bucket/--key (S3), or "
+        "--azure-container/--azure-blob, or --gcs-bucket/--gcs-blob")
+
+
+def _load_df(spark, args):
+    """Resolve the source flags, apply store conf, and read lazily."""
+    from datacanary_spark.sources import io as src_io
+
+    uri, conf = resolve_source(args)
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return src_io.read_table(spark, uri), uri
+
+
 def cmd_analyse(args) -> int:
     from datacanary_spark.operators.profiler import analyse_dataframe
 
     spark = _spark(args)
-    df = spark.read.parquet(args.file)
+    df, uri = _load_df(spark, args)
     profile = analyse_dataframe(df, approx=args.approx)
     _print_profile(profile)
     if args.output:
         with open(args.output, "w") as f:
-            json.dump({"dataset": args.file, "profile": profile}, f,
+            json.dump({"dataset": uri, "profile": profile}, f,
                       indent=2, default=str)
         print(f"\nJSON written to {args.output}")
     return 0
@@ -57,7 +124,7 @@ def cmd_check(args) -> int:
     from datacanary_spark.rules.engine import RuleEngine, default_rules
 
     spark = _spark(args)
-    df = spark.read.parquet(args.file)
+    df, uri = _load_df(spark, args)
     profile = analyse_dataframe(df, approx=args.approx)
 
     engine = RuleEngine()
@@ -69,7 +136,7 @@ def cmd_check(args) -> int:
     summary = calculate_summary(profile)
     health = get_health_score(results, profile)
     insights = get_data_insights(profile, results)
-    report = generate_text_report(args.file, profile, results,
+    report = generate_text_report(uri, profile, results,
                                   summary=summary, health=health,
                                   insights=insights)
     if args.report:
@@ -80,7 +147,7 @@ def cmd_check(args) -> int:
         print(report)
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"dataset": args.file, "profile": profile,
+            json.dump({"dataset": uri, "profile": profile,
                        "rules": results, "summary": summary,
                        "health": health, "insights": insights},
                       f, indent=2, default=str)
@@ -142,20 +209,42 @@ def _print_profile(profile: dict) -> None:
             print(f"   {stat}: {val}")
 
 
+def _add_provider_flags(p) -> None:
+    """Reference-parity cloud source flags (__main__.py:62-109)."""
+    p.add_argument("--bucket", default=None, help="S3 bucket name")
+    p.add_argument("--key", default=None, help="S3 object key")
+    p.add_argument("--profile", default=None, help="AWS profile name")
+    p.add_argument("--region", default=None, help="AWS region")
+    p.add_argument("--azure-container", default=None)
+    p.add_argument("--azure-blob", default=None)
+    p.add_argument("--azure-connection-string", default=None)
+    p.add_argument("--azure-account-url", default=None)
+    p.add_argument("--azure-account-key", default=None)
+    p.add_argument("--gcs-bucket", default=None)
+    p.add_argument("--gcs-blob", default=None)
+    p.add_argument("--gcs-credentials", default=None,
+                   help="path to GCS service-account JSON key")
+    p.add_argument("--gcs-project", default=None)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="datacanary_spark")
     p.add_argument("--master", default=None, help="spark master override")
     sub = p.add_subparsers(dest="command", required=True)
 
     a = sub.add_parser("analyse", help="profile a parquet dataset")
-    a.add_argument("--file", required=True)
+    a.add_argument("--file", default=None,
+                   help="local path or any URI (s3a://, abfss://, gs://)")
+    _add_provider_flags(a)
     a.add_argument("--output", default=None, help="write profile JSON here")
     a.add_argument("--approx", action="store_true",
                    help="HLL distinct counts (10^12-row mode)")
     a.set_defaults(fn=cmd_analyse)
 
     c = sub.add_parser("check", help="profile + rule verdicts + report")
-    c.add_argument("--file", required=True)
+    c.add_argument("--file", default=None,
+                   help="local path or any URI (s3a://, abfss://, gs://)")
+    _add_provider_flags(c)
     c.add_argument("--rules", default=None, help="YAML/JSON rule config")
     c.add_argument("--report", default=None)
     c.add_argument("--json", default=None)

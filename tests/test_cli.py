@@ -57,3 +57,59 @@ def test_package_zip(tmp_path):
     assert "datacanary_spark/cli.py" in names
     assert "datacanary_spark/plans/pipeline.py" in names
     assert all(n.endswith(".py") for n in names)
+
+
+def test_provider_flags_resolve_to_uris():
+    """Reference-parity source flags (--bucket/--key etc.,
+    reference __main__.py:62-109) map onto Hadoop-FS URIs + Spark conf."""
+    from datacanary_spark.cli import build_parser, resolve_source
+
+    p = build_parser()
+
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--bucket", "b", "--key", "data/x.parquet",
+         "--region", "eu-west-1"]))
+    assert uri == "s3a://b/data/x.parquet"
+    assert conf["spark.hadoop.fs.s3a.endpoint.region"] == "eu-west-1"
+
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--azure-container", "c", "--azure-blob", "y.parquet",
+         "--azure-account-url", "https://acct.blob.core.windows.net",
+         "--azure-account-key", "K"]))
+    assert uri == "abfss://c@acct.dfs.core.windows.net/y.parquet"
+    assert conf[("spark.hadoop.fs.azure.account.key."
+                 "acct.dfs.core.windows.net")] == "K"
+
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--gcs-bucket", "g", "--gcs-blob", "z.parquet",
+         "--gcs-credentials", "/tmp/sa.json"]))
+    assert uri == "gs://g/z.parquet"
+    assert conf[("spark.hadoop.google.cloud.auth."
+                 "service.account.json.keyfile")] == "/tmp/sa.json"
+
+    # --file wins, no conf
+    assert resolve_source(p.parse_args(
+        ["analyse", "--file", "/tmp/local.parquet"])) == ("/tmp/local.parquet", {})
+
+
+def test_analyse_via_provider_flags(spark, tmp_path, monkeypatch, capsys):
+    """`analyse --bucket/--key` goes through read_table with the composed
+    s3a:// URI (store mocked — no cloud in the sandbox)."""
+    from datacanary_spark.sources import io as src_io
+
+    seen = {}
+    real = src_io.read_table
+
+    def fake_read_table(spark_, source):
+        seen["uri"] = source
+        return real(spark_, "/root/testdata/sf0.001/documents.parquet")
+
+    monkeypatch.setattr(src_io, "read_table", fake_read_table)
+    out_json = str(tmp_path / "p.json")
+    assert main(["analyse", "--bucket", "mybucket", "--key", "d/docs.parquet",
+                 "--output", out_json]) == 0
+    assert seen["uri"] == "s3a://mybucket/d/docs.parquet"
+    blob = json.load(open(out_json))
+    assert blob["dataset"] == "s3a://mybucket/d/docs.parquet"
+    assert "text" in blob["profile"]
+    capsys.readouterr()
