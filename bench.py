@@ -9,7 +9,16 @@ Runs the headline queries + the full quality-filter pipeline at
 Extra keys carried in the same line: ``docs_per_sec`` (filter-pipeline
 throughput — the north-rule headline number) and ``n_docs``.
 
-Usage: ``python bench.py [--sf-dir DIR] [--cpus N] [--repeat K]``
+Round-over-round comparability (fixed warm-up protocol, r02+): before
+any timing, every input table is scanned once (``count()``) and the
+flagship query runs once unmeasured — this removes the first-query
+scan/JIT warm-up that polluted BENCH_r01 (its first profile query read
+6.0 s of cold-cache noise). Per-query timings are then written to
+``BENCH/bench_r{ROUND}.json`` (ROUND from ``--round`` /
+``$SPARK_GRAFT_ROUND``, default "latest") in a stable format so the
+next round can diff query-level regressions.
+
+Usage: ``python bench.py [--sf-dir DIR] [--cpus N] [--repeat K] [--round N]``
 """
 
 from __future__ import annotations
@@ -20,6 +29,19 @@ import os
 import re
 import sys
 import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def warmup(spark, sf_dir: str) -> None:
+    """Fixed warm-up: touch every table once (page cache + parquet footer
+    + codegen), then one flagship run (python workers + broadcast)."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    import __spark_entry__ as entry_mod
+
+    entry_mod.queries()["heuristic_keep_by_lang"](spark, sf_dir).collect()
 
 
 def parse_sf(sf_dir: str) -> float:
@@ -63,7 +85,9 @@ def bench_filter_pipeline(spark, sf_dir: str) -> tuple[float, int]:
 
     run()  # warmup: python-worker spawn + model broadcast fetch (one-time
     #        per-executor costs on a real cluster; metric = steady state)
-    return run(), n_docs
+    # best-of-3: at test scale (5k docs) a single run is ±50% noisy on a
+    # shared box; min of 3 is the stable steady-state estimator.
+    return min(run() for _ in range(3)), n_docs
 
 
 def main() -> None:
@@ -73,6 +97,9 @@ def main() -> None:
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     p.add_argument("--repeat", type=int, default=1,
                    help="repetitions per query; best (min) time reported")
+    p.add_argument("--round", default=os.environ.get("SPARK_GRAFT_ROUND",
+                                                     "latest"),
+                   help="round tag for the BENCH/bench_r{N}.json artifact")
     args = p.parse_args()
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
@@ -83,6 +110,8 @@ def main() -> None:
                       master=f"local[{args.cpus}]")
 
     import __spark_entry__ as entry_mod
+
+    warmup(spark, args.sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
@@ -106,7 +135,14 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / filt_sec, 2) if filt_sec > 0 else None,
         "cpus": str(args.cpus),
+        "protocol": "warm (all tables scanned + flagship run before timing); "
+                    f"best of {args.repeat} per query",
+        "round": str(args.round),
     }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, f"bench_r{args.round}.json"), "w") as f:
+        json.dump(result, f, indent=2, sort_keys=True)
     print(json.dumps(result))
     spark.stop()
 

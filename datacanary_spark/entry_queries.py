@@ -278,6 +278,34 @@ def heuristic_keep_by_lang(spark, sf_dir):
     )
 
 
+@register(
+    "lineage_rows_json",
+    _DUCK_HEURISTIC_CTE + """
+    , agg AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+      FROM v GROUP BY lang
+    )
+    SELECT lang,
+           CAST(to_json(struct_pack(lang := lang, kept := kept,
+                                    dropped := dropped)) AS VARCHAR)
+             AS lineage_json
+    FROM agg
+    """,
+)
+def lineage_rows_json(spark, sf_dir):
+    """Lineage/metrics rows serialized as JSON Spark-side —
+    ``to_json(struct(...))`` (SURVEY §2.6 JSON-functions cell): the shape
+    a metrics sink emits for downstream log ingestion. Integer/string
+    fields only (float JSON reprs are engine-specific); both engines
+    render compact ``{"k":v}`` with declared field order."""
+    agg = heuristic_keep_by_lang(spark, sf_dir)
+    return agg.select(
+        "lang",
+        F.to_json(F.struct("lang", "kept", "dropped")).alias("lineage_json"))
+
+
 # Per-rule hit histogram: the north rule's lineage "rule-hit histogram"
 # as a first-class contract query. Mirrors heuristic_hit_exprs() (all 9
 # heuristic rules, null stat → hit) in DuckDB.
