@@ -23,9 +23,11 @@ Hash-function discipline: every hash used here is ``md5`` over utf-8
 DuckDB oracle and the golden twin reproduce results bit-for-bit. The
 min-hash is the lexicographic MIN of fixed-width hex digests — order on
 hex strings equals order on the underlying 128-bit ints, so no hex→int
-parsing is needed anywhere. (At 10^12-doc scale you'd swap md5 for
-``xxhash64`` — 1 line per expression — and trade oracle-matchability
-for ~3× hash throughput; semantics are otherwise identical.)
+parsing is needed anywhere. At 10^12-doc scale pass ``hash_fn="xxhash64"``
+to the MinHash family (signature/buckets/candidates/near_dup_pairs) and
+trade oracle-matchability for ~3× hash throughput; LSH semantics are
+otherwise identical and both modes agree on planted duplicates
+(tests/test_dedup_similarity.py::test_near_dup_hash_modes_agree).
 
 SimHash: 16-bit fingerprint where bit *i* is the majority vote of the
 high bit of nibble *i* of ``md5(token)`` across the doc's tokens.
@@ -70,19 +72,29 @@ def char_shingles(text_col: Column, k: int = 5, lowercase: bool = True) -> Colum
     return F.array_distinct(shingles)
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: for seed s, min over shingles of md5(s:shingle).
+def minhash_signature(shingles: Column, n_hashes: int = 16,
+                      hash_fn: str = "md5") -> Column:
+    """MinHash signature: for seed s, min over shingles of hash(s:shingle).
 
-    array<string> of length ``n_hashes``; lexicographic min over
-    fixed-width hex == numeric min over the 128-bit digests.
+    ``hash_fn="md5"`` (default, the oracle mode): array<string>;
+    lexicographic min over fixed-width hex == numeric min over the
+    128-bit digests. ``hash_fn="xxhash64"`` (the scale mode, ~3× hash
+    throughput, JVM-native non-cryptographic): array<long>, numeric min.
+    Same LSH banding semantics either way; the oracle can only mirror
+    the md5 mode (xxhash64 is Spark-only).
     """
     def one_seed(s: int) -> Column:
         # NB: the transform lambda must take exactly ONE parameter —
         # PySpark treats a two-parameter lambda as (element, index).
         prefix = f"{s}:"
+        if hash_fn == "xxhash64":
+            return F.array_min(F.transform(
+                shingles, lambda sh: F.xxhash64(F.concat(F.lit(prefix), sh))))
         return F.array_min(F.transform(
             shingles, lambda sh: F.md5(F.concat(F.lit(prefix), sh))))
 
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     return F.array(*[one_seed(s) for s in range(n_hashes)])
 
 
@@ -215,7 +227,8 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 
 def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k_shingle: int = 5,
-                    n_hashes: int = 16, bands: int = 4) -> DataFrame:
+                    n_hashes: int = 16, bands: int = 4,
+                    hash_fn: str = "md5") -> DataFrame:
     """Explode each doc into one row per LSH band: (band_ix, band_key, id).
 
     band_key concatenates the band's slice of the MinHash signature;
@@ -230,11 +243,12 @@ def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
     d = df.select(F.col(id_col),
                   char_shingles(F.col(text_col), k_shingle).alias("_sh"))
     d = d.select(F.col(id_col),
-                 minhash_signature(F.col("_sh"), n_hashes).alias("sig"))
+                 minhash_signature(F.col("_sh"), n_hashes, hash_fn).alias("sig"))
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_ix"),
             F.concat_ws("|", *[F.element_at(F.col("sig"), b * rows + r + 1)
+                               .cast("string")
                                for r in range(rows)]).alias("band_key"),
         )
         for b in range(bands)
@@ -246,7 +260,8 @@ def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 5,
                         n_hashes: int = 16, bands: int = 4,
-                        max_bucket: int = 1000) -> DataFrame:
+                        max_bucket: int = 1000,
+                        hash_fn: str = "md5") -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from LSH buckets.
 
     The only wide ops: one shuffle on (band_ix, band_key) to form
@@ -254,7 +269,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     ``max_bucket`` drops degenerate buckets (run exact dedup first so
     these are hash collisions / boilerplate, not real content).
     """
-    b = lsh_bucket_rows(df, id_col, text_col, k_shingle, n_hashes, bands)
+    b = lsh_bucket_rows(df, id_col, text_col, k_shingle, n_hashes, bands,
+                        hash_fn)
     sizes = b.groupBy("band_ix", "band_key").agg(F.count(F.lit(1)).alias("sz"))
     b = (b.join(sizes, ["band_ix", "band_key"])
           .where(F.col("sz") <= max_bucket).drop("sz"))
@@ -287,8 +303,16 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k_shingle: int = 5,
                    n_hashes: int = 16, bands: int = 4,
-                   threshold: float = 0.7) -> DataFrame:
-    """End-to-end MinHash→LSH→Jaccard near-duplicate pairs ≥ threshold."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, k_shingle, n_hashes, bands)
+                   threshold: float = 0.7,
+                   hash_fn: str = "md5") -> DataFrame:
+    """End-to-end MinHash→LSH→Jaccard near-duplicate pairs ≥ threshold.
+
+    ``hash_fn="xxhash64"`` is the documented 10^12-doc swap (3× hash
+    throughput, Spark-only — keep md5 when oracle parity matters). The
+    Jaccard verify stage is hash-independent, so both modes agree on
+    every pair whose candidates survive LSH in both.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, k_shingle, n_hashes,
+                                bands, hash_fn=hash_fn)
     j = jaccard_for_pairs(df, cands, id_col, text_col, k_shingle)
     return j.where(F.col("jaccard") >= threshold)

@@ -214,3 +214,31 @@ def test_multimodal_frame_sampling(spark):
         assert d["kind"] == "video" and d["ok"]
         assert fr["frame_ix"] % 2 == 0 and fr["frame_ix"] < d["n_frames"]
         assert len(fr["frame_bytes"]) > 0
+
+
+def test_near_dup_hash_modes_agree(spark):
+    """md5 (oracle mode) and xxhash64 (scale mode) MinHash must both find
+    every planted near-duplicate; Jaccard values for shared pairs are
+    hash-independent and identical."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import dedup as dd
+
+    d = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+         .select("doc_id", "text").where(F.col("doc_id") < 100))
+    aug = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny trailer")).alias("text"))
+    corpus = d.unionByName(aug)
+    planted = {(r["doc_id"], r["doc_id"] + 100000)
+               for r in d.where(F.col("doc_id") % 3 == 0).collect()}
+
+    def pairs(hash_fn):
+        return {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in dd.near_dup_pairs(corpus, threshold=0.5,
+                                           hash_fn=hash_fn).collect()}
+
+    p_md5, p_xx = pairs("md5"), pairs("xxhash64")
+    assert planted <= set(p_md5) and planted <= set(p_xx)
+    shared = set(p_md5) & set(p_xx)
+    assert all(p_md5[k] == p_xx[k] for k in shared)
