@@ -259,6 +259,54 @@ def events_hourly(spark, sf_dir):
 
 
 @register(
+    "host_counts_salted",
+    """
+    SELECT source || '.example.com' AS host,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN n_chars > 300 THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+    FROM documents GROUP BY source
+    """,
+)
+def host_counts_salted(spark, sf_dir):
+    """Per-host keep/drop rollup through the SALTED two-stage aggregation
+    (plans/lineage.py::host_metrics_salted) — the north rule's explicit
+    skew pattern: a Zipf-head host's rows spread over 16 salted partial
+    keys before the merge, so no single reducer sees a hot host's full
+    stream. The salt is plan-internal; results are exactly the plain
+    GROUP BY (which is what the oracle computes)."""
+    from datacanary_spark.plans.lineage import host_metrics_salted
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("n_chars") > 300).alias("keep"))
+    return host_metrics_salted(d)
+
+
+@register(
+    "lineage_rollup_lang_source",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def lineage_rollup_lang_source(spark, sf_dir):
+    """Grouping sets (ROLLUP) over the lineage dimensions: per
+    (lang, source), per lang, and grand-total rows from ONE aggregation
+    — the multi-granularity metrics rollup a 100 TB job emits in a
+    single shuffle instead of three. (SURVEY §2.6 marked grouping sets
+    'not needed' for reference parity; the lineage table wants them.)"""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+
+
+@register(
     "user_sessions",
     """
     WITH o AS (

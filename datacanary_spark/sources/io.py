@@ -68,14 +68,21 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_table(spark: SparkSession, source: str) -> DataFrame:
+def read_table(spark: SparkSession, source: str,
+               snapshot_id: int | None = None,
+               as_of_timestamp: int | None = None) -> DataFrame:
     """Read pages from any supported source, lazily.
 
-    * ``iceberg:db.table`` — Iceberg catalog table (snapshot reads via
-      ``snapshot_id`` handled by callers with ``option``); requires the
-      runtime jar, else raises with a clear message.
+    * ``iceberg:db.table`` — Iceberg catalog table; requires the runtime
+      jar, else raises with a clear message. ``snapshot_id`` /
+      ``as_of_timestamp`` (ms epoch) pin the read to a snapshot — the
+      north rule's resume-from-snapshot-checkpoint: a restarted job
+      re-reads the exact snapshot its manifest recorded, immune to rows
+      that landed since (Iceberg read options ``snapshot-id`` /
+      ``as-of-timestamp``).
     * anything else — a parquet path/URI (local, ``s3a://``, ``abfss://``,
-      ``gs://`` — one code path, scheme resolved by Hadoop).
+      ``gs://`` — one code path, scheme resolved by Hadoop); snapshot
+      options are Iceberg-only and rejected here.
     """
     if source.startswith(ICEBERG_PREFIX):
         name = source[len(ICEBERG_PREFIX):]
@@ -84,7 +91,15 @@ def read_table(spark: SparkSession, source: str) -> DataFrame:
                 "Iceberg runtime not on the classpath; add "
                 "iceberg-spark-runtime to spark.jars.packages or pass a "
                 "parquet path instead")
-        return spark.read.table(name)
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        if as_of_timestamp is not None:
+            reader = reader.option("as-of-timestamp", str(as_of_timestamp))
+        return reader.table(name)
+    if snapshot_id is not None or as_of_timestamp is not None:
+        raise ValueError("snapshot reads need an iceberg: source "
+                         "(parquet paths have no snapshot lineage)")
     return spark.read.parquet(source)
 
 

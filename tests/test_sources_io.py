@@ -38,3 +38,18 @@ def test_object_store_conf_mapping():
     assert any("keyfile" in k for k in gcs)
     with pytest.raises(ValueError):
         sio.object_store_conf("ftp", {})
+
+
+def test_snapshot_options_iceberg_only(spark):
+    """snapshot_id / as_of_timestamp pin an Iceberg snapshot read; on a
+    parquet path they are meaningless and must be rejected loudly."""
+    import pytest
+
+    from datacanary_spark.sources import io as sio
+
+    with pytest.raises(ValueError, match="snapshot"):
+        sio.read_table(spark, "/root/testdata/sf0.001/documents.parquet",
+                       snapshot_id=123)
+    # iceberg: source with snapshot options still hits the jar gate first
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        sio.read_table(spark, "iceberg:web.pages", snapshot_id=123)
