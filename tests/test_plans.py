@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the plan SHAPE is part of the
+contract at 100 TB — a query that silently regresses to a cartesian
+product, loses a pushed filter, or falls off whole-stage codegen is a
+scale bug even when its sf0.01 values stay correct. These lock the
+invariants SCALE.md documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from datacanary_spark import entry_queries as eq
+
+    return eq.QUERIES
+
+
+def test_tpch_q1_filter_pushed_to_scan(spark, queries):
+    plan = _executed(queries["tpch_q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns never reach the scan
+    assert "l_comment" not in plan and "l_shipinstruct" not in plan
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, queries):
+    plan = _executed(queries["revenue_by_nation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the region filter reaches its scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_lsh_near_dup_is_bucketed_equijoin(spark, queries):
+    """The use_lsh=True scale path must join on (table, bucket) — never
+    an all-pairs product (that is exactly what LSH exists to avoid)."""
+    plan = _executed(queries["embedding_near_dup_lsh_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_single_expand(spark, queries):
+    """ROLLUP = one scan + Expand + one aggregation, not one job per
+    granularity."""
+    plan = _executed(queries["lineage_rollup_lang_source"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_salted_rollup_two_stage(spark, queries):
+    """Salted host rollup: two Aggregate stages (partial by (host, salt),
+    merge by host) — the skew-spreading shape."""
+    plan = _optimized(queries["host_counts_salted"](spark, SF))
+    assert plan.count("Aggregate") == 2
+    assert "salt" in plan
+
+
+def test_filter_pipeline_python_stages_fused(spark):
+    """The model/scrub UDFs must run as Arrow-batched stages (never
+    row-at-a-time BatchEvalPython) and stay fused — one Python boundary
+    per UDF chain, pipelined with the scan (no shuffle upstream)."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"), F.col("lang"))
+    plan = _executed(filter_pages(pages, broadcast_models(spark)))
+    assert "BatchEvalPython" not in plan          # no per-row Python
+    assert 1 <= plan.count("ArrowEvalPython") <= 3
+    assert "Exchange" not in plan                 # narrow end to end
+
+
+def test_profile_single_scan(spark):
+    """The whole multi-column profile is ONE scan + one aggregation."""
+    from datacanary_spark.operators.profiler import profile_exprs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(d.agg(*profile_exprs(d)))
+    assert plan.count("Scan parquet") == 1
