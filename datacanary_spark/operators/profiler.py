@@ -5,9 +5,12 @@ Reimplements the reference's ``StatisticalAnalyser.analyse_dataframe``
 as ONE ``df.agg(...)`` over all columns — the reference computes each
 statistic in a separate eager pandas pass (``isna()`` twice at :45-46,
 ``nunique()`` twice at :47-48, a ``dropna()`` copy per dtype branch at
-:53,68,83); here Catalyst fuses everything into a single scan with
-partial+final hash aggregation and whole-stage codegen, so profiling a
-100 TB table costs one read.
+:53,68,83); here Catalyst fuses everything into at most two single-scan
+aggregation jobs (one in approx mode) with partial+final hash
+aggregation and whole-stage codegen, so profiling a 100 TB table costs
+one or two column-pruned reads (see profile_expr_groups for why exact
+mode splits the collect_set samples out — a measured 4× Expand ×
+object-aggregate interaction).
 
 Reference semantics preserved (see SURVEY.md §1.3):
 
@@ -165,19 +168,43 @@ def _datetime_exprs(c: str) -> list:
 
 def profile_exprs(df: DataFrame, approx: bool = False) -> list:
     """All aggregate expressions for every column — one agg, one scan."""
-    exprs: list = []
+    main, samples = profile_expr_groups(df, approx)
+    return main + samples
+
+
+def profile_expr_groups(df: DataFrame, approx: bool = False) -> tuple[list, list]:
+    """Profile expressions split into (main, samples).
+
+    Why the split exists: Spark plans multiple exact ``count_distinct``
+    columns via an Expand (one replicated row group per distinct column),
+    and when a ``collect_set`` shares the aggregate the whole thing
+    becomes an object/sort aggregate over the expanded rows — measured
+    6.0 s vs 0.7 s + 0.6 s run separately at sf0.1 (the two classes are
+    individually cheap; only their combination degrades). Exact mode
+    therefore runs the collect_set samples as a second single-scan job.
+    Approx mode has no Expand (HLL++ is a plain aggregate) and bounded
+    ``min_by`` picks instead of collect_set, so its samples stay in the
+    main aggregation and ``samples`` is empty.
+    """
+    main: list = []
+    samples: list = []
     for field in df.schema.fields:
         c = field.name
-        exprs.extend(_generic_exprs(c, approx))
+        main.extend(_generic_exprs(c, approx))
         if isinstance(field.dataType, NUMERIC_TYPES):
-            exprs.extend(_numeric_exprs(c, approx))
+            main.extend(_numeric_exprs(c, approx))
         elif isinstance(field.dataType, T.BooleanType):
             pass  # generic stats only, like the reference (:43-50)
         elif isinstance(field.dataType, STRING_TYPES):
-            exprs.extend(_string_exprs(c, approx))
+            str_exprs = _string_exprs(c, approx)
+            if approx:
+                main.extend(str_exprs)
+            else:
+                main.extend(str_exprs[:-1])
+                samples.append(str_exprs[-1])  # the collect_set sample
         elif isinstance(field.dataType, DATETIME_TYPES):
-            exprs.extend(_datetime_exprs(c))
-    return exprs
+            main.extend(_datetime_exprs(c))
+    return main, samples
 
 
 def analyse_dataframe(df: DataFrame, approx: bool = False) -> dict[str, dict[str, Any]]:
@@ -186,10 +213,16 @@ def analyse_dataframe(df: DataFrame, approx: bool = False) -> dict[str, dict[str
     (statistical_analyser.py:37-95). Empty DataFrame → stats computed
     over zero rows (counts 0), matching reference's per-column behavior;
     a DataFrame with no columns → {}.
+
+    Runs as ONE aggregation job in approx mode, TWO single-scan jobs in
+    exact mode (see profile_expr_groups for the measured reason).
     """
     if not df.columns:
         return {}
-    row = df.agg(*profile_exprs(df, approx)).collect()[0].asDict()
+    main, samples = profile_expr_groups(df, approx)
+    row = df.agg(*main).collect()[0].asDict()
+    if samples:
+        row.update(df.agg(*samples).collect()[0].asDict())
     out: dict[str, dict[str, Any]] = {}
     for field in df.schema.fields:
         c = field.name
