@@ -104,6 +104,63 @@ def ann_lsh_top5(spark, sf_dir):
     return sim.ann_topk(e, queries, dim=DIM, k=5, n_bits=6, n_tables=1)
 
 
+_IVF_CENTROIDS = sim.ivf_centroids(DIM, 16)
+
+_DUCK_CENTROIDS = " UNION ALL ".join(
+    f"SELECT {j} AS j, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[] AS c"
+    for j, c in enumerate(_IVF_CENTROIDS))
+
+
+@register(
+    "ann_ivf_top5",
+    f"""
+    WITH centroids AS ({_DUCK_CENTROIDS}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c_assign AS (
+      SELECT vec_id, cv, cell FROM (
+        SELECT vec_id, cv, j AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(cv, c) DESC, j) AS rn
+        FROM c CROSS JOIN centroids) t WHERE rn = 1
+    ),
+    q_probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, j AS cell,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, c) DESC, j) AS rn
+        FROM q CROSS JOIN centroids) t WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             {_COS.format(a='cv', b='qv')} AS s
+      FROM c_assign JOIN q_probe USING (cell)
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS INT) AS rank,
+             s
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_top5(spark, sf_dir):
+    """IVF-flat approximate top-5 (16 deterministic unit centroids,
+    4 probes): the second ANN scale path besides SRP-LSH — corpus
+    bucketed by nearest centroid, one shuffle on the cell id. Ties in
+    centroid assignment break to the smallest cell id on both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ivf_topk(e, queries, dim=DIM, k=5, n_centroids=16, n_probe=4)
+
+
 @register(
     "embedding_near_dup_pairs",
     f"""

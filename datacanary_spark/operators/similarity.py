@@ -134,6 +134,82 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                         F.bround(F.col("score"), 6).alias("score")))
 
 
+IVF_SEED_TAG = 7777  # distinguishes IVF centroids from SRP planes
+
+
+def ivf_centroids(dim: int, n_centroids: int,
+                  seed: int = PLANE_SEED) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids.
+
+    Random centroids make a legitimate (if suboptimal) IVF coarse
+    quantizer; at cluster scale you would train them (e.g. Spark ML
+    KMeans on a sample) and pass the trained array to ``ivf_topk`` —
+    the operator takes any ``centroids`` matrix, so the quantizer
+    quality is a drop-in upgrade that changes no plan shape.
+    """
+    c = np.random.default_rng((seed, IVF_SEED_TAG)).standard_normal(
+        (n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _centroid_dots(vec: Column, centroids: np.ndarray) -> Column:
+    return F.array(*[
+        dot_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+
+
+def ivf_cell_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id (0-based; ties → smallest id)."""
+    dots = _centroid_dots(vec, centroids)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_probe_cells_expr(vec: Column, centroids: np.ndarray,
+                         n_probe: int) -> Column:
+    """The ``n_probe`` nearest cells for a query vector, as array<int>
+    (ordered by dot desc, ties → smallest id — matches ivf_cell_expr)."""
+    dots = _centroid_dots(vec, centroids)
+    ranked = F.array_sort(F.zip_with(
+        dots,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, i: F.struct((-d).alias("nd"), i.alias("i"))))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_centroids: int = 16,
+             n_probe: int = 4, centroids: np.ndarray | None = None,
+             seed: int = PLANE_SEED) -> DataFrame:
+    """IVF-flat approximate top-k (the second scale path besides LSH).
+
+    Corpus vectors are assigned to their nearest coarse-quantizer cell
+    (one codegen project — centroids are plan literals, a few KB);
+    queries probe their ``n_probe`` nearest cells. Candidates = an
+    equi-join on ``cell``, so the pair stage shrinks from |corpus| per
+    query to ~|corpus|·n_probe/n_centroids — ONE shuffle on the cell
+    id, AQE splits any hot cell. Same output shape/tie-breaks as
+    ``brute_force_topk``; recall < 1 is the trade, tunable via
+    n_centroids/n_probe (or better centroids — see ``ivf_centroids``).
+    """
+    cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
+        else centroids
+    c = corpus.withColumn("cell", ivf_cell_expr(F.col(vec_col), cents))
+    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+         .withColumn("cell", F.explode(
+             ivf_probe_cells_expr(F.col("_qvec"), cents, n_probe))))
+    cand = (c.join(q, "cell")
+             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                     cosine_expr(F.col(vec_col), F.col("_qvec")).alias("score")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(query_id_col, "neighbor_id", "rank",
+                        F.bround(F.col("score"), 6).alias("score")))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -242,3 +242,25 @@ def test_near_dup_hash_modes_agree(spark):
     assert planted <= set(p_md5) and planted <= set(p_xx)
     shared = set(p_md5) & set(p_xx)
     assert all(p_md5[k] == p_xx[k] for k in shared)
+
+
+def test_ivf_topk_recall_and_self_hit(spark):
+    """IVF-flat ANN: a query vector that exists in the corpus must rank
+    itself first (its own cell is always probed); recall@5 vs exact
+    brute force is deterministic on the fixed corpus/centroids."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in sim.brute_force_topk(e, q, k=5).collect()}
+    ivf_rows = sim.ivf_topk(e, q, dim=64, k=5, n_centroids=16,
+                            n_probe=4).collect()
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    assert all((i, i) in ivf for i in range(10))  # self is found
+    assert all(r["rank"] == 1 for r in ivf_rows
+               if r["query_id"] == r["neighbor_id"])
+    assert len(bf & ivf) / len(bf) >= 0.5  # measured 0.6 on this corpus
