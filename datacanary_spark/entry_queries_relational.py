@@ -259,6 +259,41 @@ def events_hourly(spark, sf_dir):
 
 
 @register(
+    "asof_click_to_view",
+    """
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           v.event_id AS view_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_click_to_view(spark, sf_dir):
+    """As-of join (attribution): each click matched to the user's most
+    recent view at or before it — the point-in-time lookup Spark lacks
+    as a primitive, via the union-window technique (operators/
+    temporal.py: one shuffle on user_id, O(|L|+|R|), never a per-key
+    cartesian). Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from datacanary_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    j = asof_join(clicks, views, on="user_id",
+                  right_cols=["view_id", "ts"], suffix="_v")
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "view_id",
+        F.date_format("ts_v", "yyyy-MM-dd HH:mm:ss").alias("view_ts"))
+
+
+@register(
     "host_counts_salted",
     """
     SELECT source || '.example.com' AS host,
