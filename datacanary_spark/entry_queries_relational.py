@@ -294,6 +294,38 @@ def asof_click_to_view(spark, sf_dir):
 
 
 @register(
+    "range_click_view_within_10m",
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 600000000
+    """,
+)
+def range_click_view_within_10m(spark, sf_dir):
+    """Band/range join: every (click, view) pair per user within ±10
+    minutes — bucketed into window-sized time bins so the plan is an
+    equi-join on (user_id, bin) probing the ±1-bin neighborhood
+    (operators/temporal.py::range_join), never a per-key cartesian.
+    Gap compared/emitted in exact integer microseconds."""
+    from datacanary_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    j = range_join(clicks, views, on="user_id", window_us=600_000_000,
+                   right_cols=["view_id", "ts"], suffix="_v")
+    return j.select(
+        "click_id", "view_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts_v").cast("timestamp"))).alias("gap_us"))
+
+
+@register(
     "host_counts_salted",
     """
     SELECT source || '.example.com' AS host,

@@ -1,4 +1,6 @@
-"""Temporal joins Spark lacks as primitives: as-of join (+ tolerance).
+"""Temporal joins Spark lacks as scalable primitives: as-of join
+(+ tolerance) and band/range join (both bucketed — no per-key
+cartesian).
 
 An as-of join matches each left row to the single most recent right row
 (per key) at or before its timestamp — the attribution / point-in-time
@@ -32,6 +34,59 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    window_us: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Band/interval join: all (left, right) pairs per key with
+    ``|left.ts - right.ts| <= window_us``.
+
+    The naive formulation (`on key AND abs(lt - rt) <= w`) plans as a
+    per-key cartesian filtered late. Here both sides are bucketed into
+    window-sized time bins and the left side probes its own and both
+    adjacent bins — the join becomes an EQUI-join on (key, bin) whose
+    candidate set is only the ±1-bin neighborhood, then the exact
+    predicate filters. One shuffle per side; AQE splits hot
+    (key, bin) buckets.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on]
+
+    lt = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    w = F.lit(window_us)
+
+    l2 = (left.withColumn("_t", lt)
+          .withColumn("_bin", F.explode(F.array(
+              F.floor(F.col("_t") / w) - 1,
+              F.floor(F.col("_t") / w),
+              F.floor(F.col("_t") / w) + 1)))
+          )
+    r2 = right.select(*on, rt.alias("_rt"),
+                      F.floor(rt / w).alias("_bin"),
+                      *[F.col(c).alias(f"_rc_{i}")
+                        for i, c in enumerate(right_cols)])
+
+    # no pair-dedup needed: a right row lives in exactly ONE bin and a
+    # left row probes each bin at most once, so every qualifying pair
+    # meets exactly once
+    j = (l2.join(r2, on + ["_bin"])
+           .where(F.abs(F.col("_t") - F.col("_rt")) <= w))
+
+    left_names = set(left.columns)
+    sel = [F.col(c) for c in left.columns]
+    sel += [F.col(f"_rc_{i}").alias(c + suffix if c in left_names else c)
+            for i, c in enumerate(right_cols)]
+    return j.select(*sel)
 
 
 def asof_join(

@@ -63,3 +63,41 @@ def test_asof_column_naming(frames):
     out = asof_join(left, right, on="user_id", right_cols=["id"],
                     suffix="_v")
     assert set(out.columns) == {"id", "user_id", "ts", "id_v"}
+
+
+def test_range_join_boundaries(spark):
+    """Pairs exactly at the window edge are included; one-past excluded;
+    pairs straddling a bin boundary are still found (the ±1-bin probe)."""
+    from datacanary_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00"))],
+        "id: long, user_id: string, ts: timestamp")
+    right = spark.createDataFrame(
+        [(10, "u", _ts("2024-01-01 09:50:00")),   # exactly -window
+         (11, "u", _ts("2024-01-01 10:10:00")),   # exactly +window
+         (12, "u", _ts("2024-01-01 10:10:01")),   # one past
+         (13, "u", _ts("2024-01-01 09:49:59")),   # one past (early)
+         (14, "x", _ts("2024-01-01 10:00:00"))],  # other key
+        "id: long, user_id: string, ts: timestamp")
+    got = range_join(left, right, on="user_id", window_us=600_000_000,
+                     right_cols=["id"], suffix="_r")
+    assert sorted(r["id_r"] for r in got.collect()) == [10, 11]
+
+    # straddle: left at a bin edge matches a right row in the PREVIOUS bin
+    left2 = spark.createDataFrame(
+        [(2, "u", _ts("2024-01-01 10:20:00"))],
+        "id: long, user_id: string, ts: timestamp")
+    got2 = range_join(left2, right, on="user_id", window_us=600_000_000,
+                      right_cols=["id"], suffix="_r")
+    assert sorted(r["id_r"] for r in got2.collect()) == [11, 12]
+
+
+def test_range_join_no_cartesian(spark, queries=None):
+    from datacanary_spark import entry_queries as eq
+
+    df = eq.QUERIES["range_click_view_within_10m"](
+        spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
