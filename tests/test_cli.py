@@ -113,3 +113,33 @@ def test_analyse_via_provider_flags(spark, tmp_path, monkeypatch, capsys):
     assert blob["dataset"] == "s3a://mybucket/d/docs.parquet"
     assert "text" in blob["profile"]
     capsys.readouterr()
+
+
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    """The north rule's packaging clause, driven for real: build the
+    --py-files zip, then run jobs/filter_job.py through spark-submit in
+    a fresh JVM with ONLY the zip on the python path."""
+    import subprocess
+    import sys
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    dest = str(tmp_path / "dist")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    assert main(["package", "--dest", dest]) == 0
+    zp = os.path.join(dest, "datacanary_spark.zip")
+
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)  # the zip must be self-sufficient
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]", "--py-files", zp,
+         "jobs/filter_job.py", "--input", pages, "--output", out,
+         "--chunks", "2"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["docs"] == 80
+    assert summary["chunks_run"] == 2
