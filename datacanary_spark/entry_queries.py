@@ -380,6 +380,33 @@ def heuristic_rule_hits_by_lang(spark, sf_dir):
         "lang", f"stack({len(hits)}, {stack_args}) AS (rule, hits)")
 
 
+@register(
+    "quality_score_distribution",
+    _DUCK_RULE_STATS + """
+    SELECT lang,
+           round((9 - (too_few_words + too_many_words + mean_word_length
+                       + symbol_ratio + stopword_fraction + dup_lines
+                       + dup_trigrams + bullet_lines + ellipsis_lines))
+                 / 9.0, 6) AS quality_score,
+           count(*) AS n_docs
+    FROM h GROUP BY 1, 2
+    """,
+)
+def quality_score_distribution(spark, sf_dir):
+    """Per-document quality score (fraction of the 9 heuristic rules
+    passed — text_analysis.quality_score_expr, the doc-level analogue of
+    the reference health score) histogrammed by language. Same one-scan
+    one-agg shape as the rule-hit histogram."""
+    from datacanary_spark.functions.heuristics import heuristic_hit_exprs
+    from datacanary_spark.operators.text_analysis import quality_score_expr
+
+    d = with_text_stats(_t(spark, sf_dir, "documents"), "text", prefix="s_")
+    hits = heuristic_hit_exprs(_CFG, stat_cols("s_"))
+    return (d.select("lang", quality_score_expr(hits).alias("quality_score"))
+             .groupBy("lang", "quality_score")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def filter_pipeline_verdicts(spark, sf_dir):
     """Full north-rule pipeline (heuristics + model UDFs + scrub) over the
     documents table reshaped as pages; per-language verdict + scrub
