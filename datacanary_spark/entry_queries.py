@@ -407,6 +407,69 @@ def quality_score_distribution(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+@register(
+    "mad_nchars_by_lang",
+    """
+    WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang)
+    SELECT d.lang, round(median(abs(d.n_chars - m.med)), 6) AS mad_chars
+    FROM documents d JOIN m USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def mad_nchars_by_lang(spark, sf_dir):
+    """Median absolute deviation of doc length per language through the
+    grouped-agg pandas UDAF (functions/udfs.py::make_mad_udaf) — the
+    §2.6 UDAF surface, oracle-exact (numpy and DuckDB interpolate even-
+    count medians identically in float64)."""
+    from datacanary_spark.functions.udfs import make_mad_udaf
+
+    d = _t(spark, sf_dir, "documents")
+    mad = make_mad_udaf()
+    return d.groupBy("lang").agg(
+        F.bround(mad(F.col("n_chars")), 6).alias("mad_chars"))
+
+
+@register(
+    "session_window_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    per_session AS (
+      SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def session_window_stats(spark, sf_dir):
+    """Native ``F.session_window`` (the streaming session primitive, in
+    its batch form): per-user session count and largest session. Session
+    semantics: a new session starts when the gap >= 30 min (an event AT
+    exactly prev_ts + gap starts a new window) — the oracle sessionizes
+    with the same >= rule via lag + running sum."""
+    e = _t(spark, sf_dir, "events")
+    per_session = (e.groupBy("user_id",
+                             F.session_window("ts", "30 minutes"))
+                    .agg(F.count(F.lit(1)).alias("n")))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_session_events"))
+
+
 def filter_pipeline_verdicts(spark, sf_dir):
     """Full north-rule pipeline (heuristics + model UDFs + scrub) over the
     documents table reshaped as pages; per-language verdict + scrub

@@ -89,6 +89,31 @@ def make_scrub_udf():
     return scrub
 
 
+def make_mad_udaf():
+    """Median-absolute-deviation as a grouped-agg pandas UDF — the UDAF
+    surface (SURVEY §2.6): per-group numpy reduction over one Arrow
+    batch stream, no Python per row. MAD is the robust dispersion stat
+    the reference's z-score outlier rule lacks (its stddev is
+    outlier-inflated by construction — trend_detection.py:51-60);
+    genuinely inexpressible as a built-in Spark aggregate (nested
+    medians).
+
+    Scale: grouped-agg pandas UDFs buffer ONE GROUP per invocation —
+    fine for bounded groups (languages, hosts); for unbounded groups use
+    approx_percentile composition instead.
+    """
+    import numpy as np
+
+    @pandas_udf(T.DoubleType())
+    def mad(values: pd.Series) -> float:
+        v = values.dropna().to_numpy(dtype="float64")
+        if v.size == 0:
+            return None
+        return float(np.median(np.abs(v - np.median(v))))
+
+    return mad
+
+
 def make_extract_udf():
     """html(binary) → text. The fixture wraps text as
     ``<html><body>…</body></html>``; extraction strips exactly that
