@@ -101,3 +101,88 @@ def test_range_join_no_cartesian(spark, queries=None):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property-based differential tests: Spark temporal joins vs a brute-force
+# python reference on adversarial generated event sets (duplicate
+# timestamps, singleton keys, all-left/all-right keys).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EPOCH = _ts("2024-01-01 00:00:00")
+
+events_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),       # key
+              st.integers(min_value=0, max_value=50),  # seconds offset
+              st.booleans()),                          # side: left?
+    min_size=1, max_size=30)
+
+
+def _brute_asof(lefts, rights):
+    out = {}
+    for lid, (k, s) in lefts.items():
+        best = None
+        for rid, (rk, rs) in rights.items():
+            if rk == k and rs <= s and (best is None or rs > rights[best][1]
+                                        or (rs == rights[best][1] and rid > best)):
+                best = rid
+        out[lid] = best
+    return out
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=events_strategy)
+def test_asof_join_matches_bruteforce(spark, evs):
+    lefts, rights = {}, {}
+    for i, (k, s, is_left) in enumerate(evs):
+        (lefts if is_left else rights)[i] = (k, s)
+    if not lefts or not rights:
+        return
+    mk = lambda d: spark.createDataFrame(
+        [(i, k, _EPOCH + dt.timedelta(seconds=s)) for i, (k, s) in d.items()],
+        "id: long, k: string, ts: timestamp")
+    got = {r["id"]: r["id_right"]
+           for r in asof_join(mk(lefts), mk(rights), on="k").collect()}
+    exp = _brute_asof(lefts, rights)
+    # ties on (key, ts): spark's last-in-sort-order wins; brute force
+    # mirrors that with the rid > best tie-break — but the right-side
+    # ORDER is (ts, kind) only, so equal-ts right rows are ordered by
+    # their underlying sort which is not defined; compare the matched
+    # TIMESTAMP instead of the id when ties exist.
+    for lid, rid in exp.items():
+        if rid is None:
+            assert got[lid] is None, (lid, got[lid])
+        else:
+            assert got[lid] is not None, (lid, exp)
+            assert rights[got[lid]][1] == rights[rid][1], (lid, got[lid], rid)
+            assert rights[got[lid]][0] == rights[rid][0]
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=events_strategy, window=st.integers(min_value=1, max_value=20))
+def test_range_join_matches_bruteforce(spark, evs, window):
+    from datacanary_spark.operators.temporal import range_join
+
+    lefts, rights = {}, {}
+    for i, (k, s, is_left) in enumerate(evs):
+        (lefts if is_left else rights)[i] = (k, s)
+    if not lefts or not rights:
+        return
+    mk = lambda d: spark.createDataFrame(
+        [(i, k, _EPOCH + dt.timedelta(seconds=s)) for i, (k, s) in d.items()],
+        "id: long, k: string, ts: timestamp")
+    got = {(r["id"], r["id_r"]) for r in range_join(
+        mk(lefts), mk(rights), on="k", window_us=window * 1_000_000,
+        right_cols=["id"], suffix="_r").collect()}
+    exp = {(lid, rid)
+           for lid, (k, s) in lefts.items()
+           for rid, (rk, rs) in rights.items()
+           if rk == k and abs(rs - s) <= window}
+    assert got == exp
