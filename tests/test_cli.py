@@ -143,3 +143,42 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["docs"] == 80
     assert summary["chunks_run"] == 2
+
+
+def test_filter_job_resumes_after_midrun_crash(spark, tmp_path, monkeypatch):
+    """Kill the job after the first chunk commits; the restart must skip
+    the committed chunk, finish the rest, and leave zero duplicate
+    outputs — the crash-consistency half of the resume contract (the
+    happy-path resume is test_gen_pages_and_filter_and_resume)."""
+    import pytest
+
+    from datacanary_spark.plans import checkpoint as cp
+    from datacanary_spark.sources.fixtures import write_pages_parquet
+
+    pages, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    write_pages_parquet(pages, n_docs=90, seed=11, chunk_size=30)  # 3 files
+
+    calls = {"n": 0}
+    real = cp.partition_lineage
+
+    def dying_lineage(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # chunk 0 committed; die inside chunk 1
+            raise RuntimeError("simulated executor loss")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cp, "partition_lineage", dying_lineage)
+    with pytest.raises(RuntimeError, match="simulated"):
+        cp.run_filter_job(spark, pages, out, n_chunks=3)
+    assert os.path.exists(os.path.join(out, "_checkpoint", "_done_00000.json"))
+    assert not os.path.exists(os.path.join(out, "_checkpoint", "_done_00001.json"))
+
+    monkeypatch.setattr(cp, "partition_lineage", real)
+    summary = cp.run_filter_job(spark, pages, out, n_chunks=3)
+    assert summary["chunks_skipped"] == 1
+    assert summary["chunks_run"] == 2
+    assert summary["docs"] == 90
+
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == 90
+    assert data.select("url").distinct().count() == 90  # no duplicates
