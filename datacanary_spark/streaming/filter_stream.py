@@ -131,3 +131,36 @@ def stream_hourly_counts(
                .option("checkpointLocation", checkpoint_dir)
                .trigger(availableNow=True)
                .start())
+
+
+def stream_hourly_counts_append(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """Append-mode twin of ``stream_hourly_counts`` with a parquet file
+    sink: a window row is emitted ONCE, when the event-time watermark
+    passes its end (finalized — safe to consume downstream), and events
+    arriving more than ``watermark`` behind the max seen timestamp are
+    DROPPED from their already-finalized window instead of mutating it.
+    The watermark state lives in the checkpoint, so the late-data
+    contract holds across restarts/incremental drains.
+    """
+    from datacanary_spark.schema import EVENTS_SCHEMA
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (events
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                   "event_type", "n_events"))
+    return (agg.writeStream
+               .format("parquet")
+               .option("path", output_dir)
+               .option("checkpointLocation", checkpoint_dir)
+               .outputMode("append")
+               .trigger(availableNow=True)
+               .start())

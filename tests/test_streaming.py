@@ -98,3 +98,51 @@ def test_batch_sink_idempotent_on_replay(spark, tmp_path):
     # a genuinely new batch still lands alongside
     write_batch_outputs(verdicts, 1, vdir, mdir)
     assert spark.read.parquet(vdir).count() == 40
+
+
+def test_append_mode_drops_late_events(spark, tmp_path):
+    """Watermark late-data contract: an event arriving behind the
+    watermark must NOT resurrect or mutate its already-finalized window,
+    and each window is emitted exactly once (append mode + file sink).
+    AvailableNow runs a no-data flush batch, so a window whose end the
+    watermark passed is emitted within the same drain."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from datacanary_spark.streaming import stream_hourly_counts_append
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    inp, out, ckpt, tmp = (str(tmp_path / d)
+                           for d in ("in", "out", "ckpt", "stage"))
+    os.makedirs(inp)
+    schema = ("event_id: long, ts: timestamp, user_id: long, "
+              "event_type: string, value: double, props: string")
+
+    def drain(rows, name):
+        # the file stream source lists FILES under the input dir (it
+        # does not recurse), so land each batch as one flat parquet file
+        staged = os.path.join(tmp, name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        shutil.copy(glob.glob(os.path.join(staged, "part-*.parquet"))[0],
+                    os.path.join(inp, name + ".parquet"))
+        stream_hourly_counts_append(spark, inp, out, ckpt).awaitTermination()
+        return {(r["hour"], r["n_events"])
+                for r in spark.read.parquet(out).collect()}
+
+    # drain 1: hour-10 events + 13:00 -> watermark 11:00 finalizes [10,11)
+    rows1 = drain([(1, ts(10, 0), 1, "view", 1.0, None),
+                   (2, ts(10, 30), 1, "view", 1.0, None),
+                   (3, ts(13, 0), 1, "view", 1.0, None)], "f1")
+    assert rows1 == {("2024-01-01 10:00:00", 2)}
+
+    # drain 2: LATE event for hour 9 (4h behind the max ts, behind the
+    # 11:00 checkpointed watermark -> dropped) + 17:00 -> watermark
+    # 15:00 finalizes [13,14); hour 9 must never appear, hour 10 must
+    # not be re-emitted or mutated
+    rows2 = drain([(4, ts(9, 0), 1, "view", 1.0, None),
+                   (5, ts(17, 0), 1, "view", 1.0, None)], "f2")
+    assert rows2 == {("2024-01-01 10:00:00", 2),
+                     ("2024-01-01 13:00:00", 1)}
