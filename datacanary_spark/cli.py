@@ -228,7 +228,11 @@ def _add_provider_flags(p) -> None:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from datacanary_spark import __version__
+
     p = argparse.ArgumentParser(prog="datacanary_spark")
+    p.add_argument("--version", action="version",
+                   version=f"datacanary_spark v{__version__}")
     p.add_argument("--master", default=None, help="spark master override")
     sub = p.add_subparsers(dest="command", required=True)
 

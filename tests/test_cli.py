@@ -182,3 +182,26 @@ def test_filter_job_resumes_after_midrun_crash(spark, tmp_path, monkeypatch):
     data = spark.read.parquet(os.path.join(out, "data"))
     assert data.count() == 90
     assert data.select("url").distinct().count() == 90  # no duplicates
+
+
+def test_version_flag(capsys):
+    import pytest
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert "datacanary_spark v" in capsys.readouterr().out
+
+
+def test_examples_importable():
+    """The library-composition examples (reference E3 parity) must stay
+    import-clean; their full runs are exercised manually/by CI budget."""
+    import importlib.util
+    import pathlib
+
+    for name in ["analyse_data", "custom_rules_demo", "filter_pipeline_demo"]:
+        path = pathlib.Path(__file__).parent.parent / "examples" / f"{name}.py"
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert callable(mod.main)
