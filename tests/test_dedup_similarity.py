@@ -264,3 +264,38 @@ def test_ivf_topk_recall_and_self_hit(spark):
     assert all(r["rank"] == 1 for r in ivf_rows
                if r["query_id"] == r["neighbor_id"])
     assert len(bf & ivf) / len(bf) >= 0.5  # measured 0.6 on this corpus
+
+
+def test_multimodal_feature_dedup_end_to_end(spark):
+    """Media dedup across the full stack: decode (mapInPandas) ->
+    feature vectors -> embedding near-dup pairs. Exact byte-duplicate
+    media (re-encoded under new ids) must pair with their originals at
+    cosine ~1.0; corrupt rows are contained upstream and never reach
+    the pair stage."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import similarity as sim
+    from datacanary_spark.operators.multimodal import (
+        decode_media,
+        make_fixture_media,
+    )
+
+    media = make_fixture_media(spark, n=45)
+    dups = (media.where(F.col("media_id") % 5 == 1)  # avoids corrupt %17==0
+                 .select((F.col("media_id") + 1000).alias("media_id"),
+                         "kind", "payload", "meta"))
+    corpus = media.unionByName(dups)
+
+    vecs = (decode_media(corpus).where(F.col("ok"))
+            .select(F.col("media_id").alias("vec_id"),
+                    F.col("features").alias("embedding")))
+    pairs = {(r["id_a"], r["id_b"])
+             for r in sim.embedding_near_dup_pairs(
+                 vecs, threshold=0.9999).collect()}
+
+    planted = {(i, i + 1000) for i in range(1, 45, 5) if i % 17 != 0}
+    assert planted <= pairs
+    # corrupt payloads (media_id % 17 == 0 in the fixture) never
+    # produce vectors
+    assert vecs.where((F.col("vec_id") < 1000)
+                      & (F.col("vec_id") % 17 == 0)).count() == 0
