@@ -149,3 +149,20 @@ def test_approx_sample_deterministic(fixture_df):
     b = analyse_dataframe(fixture_df.repartition(7), approx=True)
     assert (a["string_col"]["stats"]["sample_values"]
             == b["string_col"]["stats"]["sample_values"])
+
+
+def test_decimal_column_profile(spark):
+    """DecimalType columns profile through the numeric branch (cast to
+    double for stats) and report the reference's float64 dtype name."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("1.50"),), (Decimal("2.25"),), (Decimal("4.00"),),
+         (None,)],
+        T.StructType([T.StructField("price", T.DecimalType(10, 2), True)]))
+    p = analyse_dataframe(df)["price"]
+    assert p["type"] == "float64"
+    s = p["stats"]
+    assert s["min"] == 1.5 and s["max"] == 4.0
+    assert s["median"] == 2.25
+    assert s["null_count"] == 1 and s["unique_count"] == 3
