@@ -36,7 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def worker(cpus: int, input_dir: str, repeat: int) -> None:
+def worker(cpus: int, input_dir: str, repeat: int, job: str = "filter") -> None:
     from pyspark.sql import functions as F
 
     from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
@@ -46,7 +46,32 @@ def worker(cpus: int, input_dir: str, repeat: int) -> None:
                       master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
     pages = spark.read.parquet(input_dir)
     n_docs = pages.count()  # warm FS cache; not part of the timed run
-    bc = broadcast_models(spark)
+
+    if job == "filter":
+        bc = broadcast_models(spark)
+
+        def run_once():
+            verdicts = filter_pages(pages, bc)
+            row = verdicts.agg(
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                F.sum("scrub_count").alias("scrubs"),
+                F.avg("ppl").alias("mean_ppl"),
+            ).collect()[0]
+            assert row["kept"] is not None
+            return {"kept": row["kept"]}
+    elif job == "dedup":
+        # MinHash->LSH->Jaccard near-dup in the xxhash64 scale mode —
+        # the second operator family's N->4N evidence (shuffle-bound:
+        # band-key exchange + candidate joins, vs the filter job's
+        # UDF-bound profile)
+        from datacanary_spark.operators.dedup import near_dup_pairs
+
+        def run_once():
+            n = near_dup_pairs(pages.select("url", "text"), id_col="url",
+                               threshold=0.7, hash_fn="xxhash64").count()
+            return {"pairs": n}
+    else:
+        raise SystemExit(f"unknown job: {job}")
 
     # One untimed FULL warmup pass: spawns the Python UDF workers, fetches
     # + deserializes the broadcast models once per worker, faults in
@@ -54,23 +79,15 @@ def worker(cpus: int, input_dir: str, repeat: int) -> None:
     # On a long-lived cluster these are one-time per-executor costs; the
     # rule's metric is steady-state docs/sec. (A sampled warmup was tried
     # and measurably under-warms the high-parallelism legs.)
-    filter_pages(pages, bc).agg(
-        F.sum(F.col("keep").cast("long"))).collect()
+    extra = run_once()
 
     best = float("inf")
     for _ in range(repeat):
         t0 = time.perf_counter()
-        verdicts = filter_pages(pages, bc)
-        row = verdicts.agg(
-            F.sum(F.col("keep").cast("long")).alias("kept"),
-            F.sum("scrub_count").alias("scrubs"),
-            F.avg("ppl").alias("mean_ppl"),
-        ).collect()[0]
+        extra = run_once()
         best = min(best, time.perf_counter() - t0)
-        assert row["kept"] is not None
     print(json.dumps({"cpus": cpus, "n_docs": n_docs, "sec": round(best, 3),
-                      "docs_per_sec": round(n_docs / best, 1),
-                      "kept": row["kept"]}))
+                      "docs_per_sec": round(n_docs / best, 1), **extra}))
     spark.stop()
 
 
@@ -86,11 +103,12 @@ def main() -> None:
                    help="interleaved full passes over the levels; per-level "
                         "best across rounds is reported (absorbs JVM-level "
                         "noise: JIT luck, background load during one leg)")
+    p.add_argument("--job", default="filter", choices=["filter", "dedup"])
     p.add_argument("--out", default="BENCH")
     args = p.parse_args()
 
     if args.worker:
-        worker(args.cpus, args.input, args.repeat)
+        worker(args.cpus, args.input, args.repeat, args.job)
         return
 
     input_dir = args.input or f"/tmp/scaling_pages_{args.n_docs}"
@@ -111,7 +129,7 @@ def main() -> None:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  "--cpus", str(cpus), "--input", input_dir,
-                 "--repeat", str(args.repeat)],
+                 "--repeat", str(args.repeat), "--job", args.job],
                 capture_output=True, text=True, cwd=os.path.dirname(
                     os.path.dirname(os.path.abspath(__file__))))
             line = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -145,9 +163,14 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "scaling.json"), "w") as f:
+    suffix = "" if args.job == "filter" else f"_{args.job}"
+    with open(os.path.join(args.out, f"scaling{suffix}.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    with open(os.path.join(args.out, "BASELINE.md"), "w") as f:
+    if args.job != "filter":
+        return  # BASELINE.md documents the filter (north-rule) job only
+    # NB: this REWRITES the generated-table file; BENCH/BASELINE.md is
+    # maintained by hand with round history — write the raw regen here:
+    with open(os.path.join(args.out, "BASELINE_autogen.md"), "w") as f:
         f.write(
             "# Scaling benchmark (N vs 4N parallelism)\n\n"
             "Sandbox substitute for the north rule's two-cluster-size "
