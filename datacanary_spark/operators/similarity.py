@@ -229,8 +229,13 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     base = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
                      norm_expr(F.col(vec_col)).alias("_nrm"))
     if use_lsh:
+        from pyspark.storagelevel import StorageLevel
+
         assert dim is not None
         b = with_lsh_buckets(base, dim, "_v", n_bits, n_tables)
+        # both self-join sides read b; persist so the n_bits·n_tables
+        # hyperplane dot products per vector run once, not per side
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
         left = b.select("table", "bucket", F.col(id_col).alias("id_a"),
                         F.col("_v").alias("va"), F.col("_nrm").alias("na"))
         right = b.select("table", "bucket", F.col(id_col).alias("id_b"),
