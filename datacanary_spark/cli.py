@@ -55,9 +55,16 @@ def resolve_source(args) -> tuple[str, dict[str, str]]:
         if getattr(args, "region", None):
             conf["spark.hadoop.fs.s3a.endpoint.region"] = args.region
         if getattr(args, "profile", None):
-            # hadoop-aws resolves named profiles via the default AWS chain
+            # hadoop-aws 3.4+ (SDK v2) instantiates providers via their
+            # no-arg create(), which reads AWS_PROFILE — export the
+            # chosen profile to the driver and executors
+            import os
+
+            os.environ["AWS_PROFILE"] = args.profile
+            conf["spark.executorEnv.AWS_PROFILE"] = args.profile
             conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
-                "com.amazonaws.auth.profile.ProfileCredentialsProvider")
+                "software.amazon.awssdk.auth.credentials."
+                "ProfileCredentialsProvider")
         return f"s3a://{args.bucket}/{args.key}", conf
     if getattr(args, "azure_container", None) and getattr(args, "azure_blob", None):
         account, key = "", ""
@@ -91,12 +98,18 @@ def resolve_source(args) -> tuple[str, dict[str, str]]:
 
 
 def _load_df(spark, args):
-    """Resolve the source flags, apply store conf, and read lazily."""
+    """Resolve the source flags, apply store conf, and read lazily.
+
+    ``spark.hadoop.*`` keys set via ``spark.conf.set`` AFTER session
+    creation never reach the Hadoop configuration (they only work as
+    session-builder conf), so Hadoop keys are applied directly to the
+    live ``hadoopConfiguration()`` — the object every FileSystem
+    connector actually reads.
+    """
     from datacanary_spark.sources import io as src_io
 
     uri, conf = resolve_source(args)
-    for k, v in conf.items():
-        spark.conf.set(k, v)
+    src_io.apply_store_conf(spark, conf)
     return src_io.read_table(spark, uri), uri
 
 

@@ -301,9 +301,13 @@ def lineage_rows_json(spark, sf_dir):
     fields only (float JSON reprs are engine-specific); both engines
     render compact ``{"k":v}`` with declared field order."""
     agg = heuristic_keep_by_lang(spark, sf_dir)
+    # ignoreNullFields=false: DuckDB's to_json always emits null fields
+    # ("k":null) while Spark omits them by default — align the wire
+    # format so a null grouping value can never hash-diverge.
     return agg.select(
         "lang",
-        F.to_json(F.struct("lang", "kept", "dropped")).alias("lineage_json"))
+        F.to_json(F.struct("lang", "kept", "dropped"),
+                  {"ignoreNullFields": "false"}).alias("lineage_json"))
 
 
 # Per-rule hit histogram: the north rule's lineage "rule-hit histogram"

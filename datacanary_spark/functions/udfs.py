@@ -30,8 +30,13 @@ from pyspark.sql.functions import pandas_udf
 # reference to the blob alongside the model: id() values can be recycled
 # after an object is GC'd (e.g. a destroyed broadcast), and pinning the
 # blob guarantees its id is never reused while the cache entry is alive —
-# a stale-model hit is impossible.
+# a stale-model hit is impossible. The cache is BOUNDED (FIFO, a few
+# entries): pinning every blob ever broadcast would leak multi-MB
+# bundles in long-lived workers that see many jobs/restarts; more than
+# one entry is kept so two model bundles alternating within one job
+# don't thrash.
 _MODEL_CACHE: dict[int, tuple[Any, Any]] = {}
+_MODEL_CACHE_MAX = 4
 
 
 def _get_models(bc) -> Any:
@@ -43,6 +48,8 @@ def _get_models(bc) -> Any:
     from datacanary_spark.functions.models import QualityModels
 
     m = blob if isinstance(blob, QualityModels) else QualityModels.from_bytes(blob)
+    while len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+        _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
     _MODEL_CACHE[key] = (blob, m)
     return m
 

@@ -261,7 +261,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 5,
                         n_hashes: int = 16, bands: int = 4,
                         max_bucket: int = 1000,
-                        hash_fn: str = "md5") -> DataFrame:
+                        hash_fn: str = "md5",
+                        persist: bool = True) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from LSH buckets.
 
     The only wide ops: one shuffle on (band_ix, band_key) to form
@@ -288,10 +289,14 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # already dropped) and BOTH sides of the self-join read them; without
     # this the 16-pass MinHash pipeline is recomputed per side (exchange
     # reuse is not guaranteed across the differently-projected sides).
-    # Spark evicts the cache LRU; at 10^12 docs this is
-    # ~bands·(8+key) bytes/doc spilled to local disk — far cheaper than
-    # a second signature pass over the corpus text.
-    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    # At 10^12 docs this is ~bands·(8+key) bytes/doc spilled to local
+    # disk — far cheaper than a second signature pass over the corpus
+    # text. Lifetime: the blocks live until the caller unpersists or
+    # clears the cache (the returned frame is lazy, so the operator has
+    # no safe unpersist point); pass persist=False for one-shot
+    # pipelines that manage their own caching.
+    if persist:
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
     left = b.select(F.col("band_ix"), F.col("band_key"), F.col(id_col).alias("id_a"))
     right = b.select(F.col("band_ix"), F.col("band_key"), F.col(id_col).alias("id_b"))
     return (left.join(right, ["band_ix", "band_key"])
@@ -300,7 +305,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", k_shingle: int = 5) -> DataFrame:
+                      text_col: str = "text", k_shingle: int = 5,
+                      persist: bool = True) -> DataFrame:
     """Exact shingle-set Jaccard for each candidate pair.
 
     Joins the (small) pair list back to the corpus twice; at scale the
@@ -312,7 +318,8 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
     sh = df.select(F.col(id_col),
                    char_shingles(F.col(text_col), k_shingle).alias("sh"))
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     bb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -326,7 +333,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k_shingle: int = 5,
                    n_hashes: int = 16, bands: int = 4,
                    threshold: float = 0.7,
-                   hash_fn: str = "md5") -> DataFrame:
+                   hash_fn: str = "md5",
+                   persist: bool = True) -> DataFrame:
     """End-to-end MinHash→LSH→Jaccard near-duplicate pairs ≥ threshold.
 
     ``hash_fn="xxhash64"`` is the documented 10^12-doc swap (3× hash
@@ -335,6 +343,7 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     every pair whose candidates survive LSH in both.
     """
     cands = lsh_candidate_pairs(df, id_col, text_col, k_shingle, n_hashes,
-                                bands, hash_fn=hash_fn)
-    j = jaccard_for_pairs(df, cands, id_col, text_col, k_shingle)
+                                bands, hash_fn=hash_fn, persist=persist)
+    j = jaccard_for_pairs(df, cands, id_col, text_col, k_shingle,
+                          persist=persist)
     return j.where(F.col("jaccard") >= threshold)

@@ -127,7 +127,12 @@ def asof_join(
     r2 = right.select(*on, rt.alias("_t"), F.lit(0).alias("_k"),
                       F.lit(None).cast(l_struct_type).alias("_l"), payload)
 
-    w = (Window.partitionBy(*on).orderBy("_t", "_k")
+    # Deterministic tie-break: when two RIGHT rows share (key, ts), order
+    # them by a stable hash of their payload so the match is a pure
+    # function of the data, not of partitioning/sort luck. (_k keeps
+    # right rows ahead of left rows at equal ts regardless.)
+    w = (Window.partitionBy(*on).orderBy("_t", "_k",
+                                         F.hash("_r").asc_nulls_last())
          .rowsBetween(Window.unboundedPreceding, 0))
     u = l2.unionByName(r2).withColumn(
         "_match", F.last("_r", ignorenulls=True).over(w))

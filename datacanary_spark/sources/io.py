@@ -33,8 +33,10 @@ ICEBERG_PREFIX = "iceberg:"
 
 def object_store_conf(provider: str, creds: dict[str, str]) -> dict[str, str]:
     """Spark/Hadoop conf keys for an object store (reference credential
-    CSVs → configuration, not code). Apply via session builder or
-    ``spark.conf.set`` before first read."""
+    CSVs → configuration, not code). Apply at session-builder time, or
+    on a LIVE session via :func:`apply_store_conf` — a runtime
+    ``spark.conf.set("spark.hadoop.*")`` silently never reaches the
+    Hadoop configuration the FileSystem connectors read."""
     p = provider.lower()
     if p in ("s3", "aws"):
         return {
@@ -56,6 +58,18 @@ def object_store_conf(provider: str, creds: dict[str, str]) -> dict[str, str]:
                 creds.get("keyfile", ""),
         }
     raise ValueError(f"unknown provider: {provider}")
+
+
+def apply_store_conf(spark: SparkSession, conf: dict[str, str]) -> None:
+    """Apply object-store conf to a LIVE session correctly:
+    ``spark.hadoop.*`` keys go (prefix-stripped) onto the live
+    ``hadoopConfiguration()``; everything else through ``spark.conf``."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop."):], v)
+        else:
+            spark.conf.set(k, v)
 
 
 def iceberg_available(spark: SparkSession) -> bool:

@@ -68,7 +68,9 @@ def worker(cpus: int, input_dir: str, repeat: int, job: str = "filter") -> None:
 
         def run_once():
             n = near_dup_pairs(pages.select("url", "text"), id_col="url",
-                               threshold=0.7, hash_fn="xxhash64").count()
+                               threshold=0.5, hash_fn="xxhash64").count()
+            spark.catalog.clearCache()  # drop the per-run persisted
+            # intermediates so repeated legs don't accumulate pinned blocks
             return {"pairs": n}
     else:
         raise SystemExit(f"unknown job: {job}")

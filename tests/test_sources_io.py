@@ -53,3 +53,17 @@ def test_snapshot_options_iceberg_only(spark):
     # iceberg: source with snapshot options still hits the jar gate first
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         sio.read_table(spark, "iceberg:web.pages", snapshot_id=123)
+
+
+def test_apply_store_conf_reaches_hadoop_config(spark):
+    """Runtime spark.conf.set('spark.hadoop.*') never reaches the Hadoop
+    configuration (round-2 review finding) — apply_store_conf must put
+    the stripped key on the live hadoopConfiguration()."""
+    from datacanary_spark.sources import io as sio
+
+    conf = sio.object_store_conf("azure", {"account": "acct",
+                                           "account_key": "SECRET"})
+    sio.apply_store_conf(spark, conf)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get(
+        "fs.azure.account.key.acct.dfs.core.windows.net") == "SECRET"

@@ -186,3 +186,23 @@ def test_range_join_matches_bruteforce(spark, evs, window):
            for rid, (rk, rs) in rights.items()
            if rk == k and abs(rs - s) <= window}
     assert got == exp
+
+
+def test_asof_tie_deterministic(spark):
+    """Two right rows at the identical (key, ts): the match must be a
+    pure function of the data — identical across partitionings/runs
+    (payload-hash tie-break in the window order)."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00"))],
+        "id: long, user_id: string, ts: timestamp")
+    right = spark.createDataFrame(
+        [(100, "u", _ts("2024-01-01 09:00:00")),
+         (101, "u", _ts("2024-01-01 09:00:00"))],  # exact tie
+        "id: long, user_id: string, ts: timestamp")
+    picks = set()
+    for parts in (1, 3, 7):
+        got = asof_join(left.repartition(parts), right.repartition(parts),
+                        on="user_id").collect()
+        picks.add(got[0]["id_right"])
+    assert len(picks) == 1
+    assert picks.pop() in (100, 101)
