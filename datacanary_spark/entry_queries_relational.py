@@ -259,6 +259,40 @@ def events_hourly(spark, sf_dir):
 
 
 @register(
+    "revenue_by_nation_brand",
+    """
+    SELECT n_name, p_brand,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(30,6)) AS VARCHAR) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 10
+    GROUP BY n_name, p_brand
+    """,
+)
+def revenue_by_nation_brand(spark, sf_dir):
+    """TPC-H Q9-shaped star over the two remaining dimension tables
+    (part, supplier): fact shuffles on its join keys, the filtered part
+    dim and the KB-sized supplier/nation dims broadcast. Money in exact
+    decimal, emitted as the shared string wire type."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_size") <= 10))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast(DEC) - _dec(F.col("l_discount")))
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+              .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+              .groupBy("n_name", "p_brand")
+              .agg(F.sum(rev).cast(DEC_OUT).cast("string").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
     "asof_click_to_view",
     """
     SELECT c.event_id AS click_id,
