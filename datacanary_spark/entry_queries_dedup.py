@@ -60,7 +60,7 @@ def _duck_band_rows(bands: int, rows: int) -> str:
       UNION ALL
       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
     )
-    SELECT md5(coalesce(text, '')) AS text_md5,
+    SELECT CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END AS text_md5,
            count(*) AS group_size,
            min(doc_id) AS canonical_id
     FROM corpus GROUP BY 1
@@ -85,7 +85,8 @@ def dedup_exact_groups(spark, sf_dir):
     SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
     FROM corpus
     WHERE doc_id IN (
-      SELECT min(doc_id) FROM corpus GROUP BY md5(coalesce(text, ''))
+      SELECT min(doc_id) FROM corpus
+      GROUP BY CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END
     )
     """,
 )
@@ -220,7 +221,8 @@ def dedup_simhash_fingerprints(spark, sf_dir):
       SELECT doc_id + 100000 AS doc_id, replace(text, ' ', '  ') AS text
       FROM documents WHERE doc_id % 7 = 0
     )
-    SELECT md5(coalesce(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '')) AS fp,
+    SELECT CASE WHEN text IS NULL THEN '<NULL>'
+           ELSE md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) END AS fp,
            count(*) AS group_size,
            min(doc_id) AS canonical_id
     FROM corpus GROUP BY 1

@@ -12,8 +12,9 @@ A large-scale training-data pipeline dedups in three tiers, all here:
    band meet, turning the O(n²) all-pairs problem into
    O(sum over buckets of |bucket|²) with tiny buckets. Identical docs
    would make degenerate quadratic buckets — run exact dedup first and
-   cap bucket size (``max_bucket``: oversized buckets are dropped with
-   a lineage count rather than exploding a 1000-executor stage).
+   cap bucket size (``max_bucket``: oversized buckets are dropped;
+   ``lsh_bucket_stats`` reports how many buckets/rows the cap excluded
+   rather than letting a 1000-executor stage explode invisibly).
 3. **Verify (n-gram Jaccard)** — candidate pairs only; a self-join on
    doc id (broadcast when the candidate set is small — AQE decides)
    followed by exact Jaccard over distinct shingle sets.
@@ -104,27 +105,31 @@ def simhash16(tokens: Column) -> Column:
     Bit i (i=0..15) is set iff, summed over tokens, the high bit of
     nibble i of md5(token) is 1 more often than 0 (ties → majority
     fails → bit 0: vote sum must be > 0).
+
+    SINGLE token pass: one ``aggregate`` carries all 16 vote counters in
+    an array accumulator, so each token is md5-hashed once. (The
+    per-bit-aggregate formulation re-evaluated the md5 transform inside
+    each of the 16 aggregates — higher-order-function subtrees are
+    excluded from Spark's subexpression elimination, the same pitfall
+    documented at minhash_signature.)
     """
     hashes = F.transform(tokens, lambda t: F.md5(t))
+    init = F.array(*[F.lit(0) for _ in range(16)])
 
-    def bit_vote(i: int) -> Column:
-        # +1 when nibble i's high bit is 1, else -1 (two-parameter merge
-        # lambda only — see minhash_signature note on lambda arity)
-        pos = i + 1
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.substring(h, pos, 1).isin(*HIGH_NIBBLES), 1).otherwise(-1),
-        )
+    def char_votes(h: Column) -> Column:
+        # first 16 hex chars → ±1 votes ("(?!$)" splits between chars)
+        chars = F.split(F.substring(h, 1, 16), r"(?!$)")
+        return F.transform(
+            chars, lambda ch: F.when(ch.isin(*HIGH_NIBBLES),
+                                     F.lit(1)).otherwise(F.lit(-1)))
 
-    bits = []
-    for i in range(16):
-        bits.append(F.when(bit_vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    votes = F.aggregate(
+        hashes, init,
+        lambda acc, h: F.zip_with(acc, char_votes(h), lambda a, v: a + v))
+    powers = F.array(*[F.lit(1 << i) for i in range(16)])
+    bits = F.zip_with(votes, powers,
+                      lambda v, p: F.when(v > 0, p).otherwise(F.lit(0)))
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b).cast("int")
 
 
 def hamming16(a: Column, b: Column) -> Column:
@@ -199,8 +204,13 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
     by true duplicate multiplicity, and AQE splits any pathological
     skew (e.g. the empty document appearing 10^9 times).
     """
+    # NULL text is NOT the same document as empty text: a coalesce-to-''
+    # would silently dedup missing-content rows against genuinely empty
+    # ones. NULLs get a sentinel that cannot collide with any md5 hex.
+    content_hash = F.when(F.col(text_col).isNull(), F.lit("<NULL>")) \
+        .otherwise(F.md5(F.col(text_col)))
     return (
-        df.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_md5"),
+        df.select(content_hash.alias("text_md5"),
                   F.col(id_col))
         .groupBy("text_md5")
         .agg(F.count(F.lit(1)).alias("group_size"),
@@ -302,6 +312,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     return (left.join(right, ["band_ix", "band_key"])
                 .where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
+
+
+def lsh_bucket_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k_shingle: int = 5,
+                     n_hashes: int = 16, bands: int = 4,
+                     max_bucket: int = 1000) -> DataFrame:
+    """Lineage accounting for the ``max_bucket`` cap: one row with
+    (n_buckets, n_oversize_buckets, n_rows_dropped) — the observability
+    companion to lsh_candidate_pairs' silent bucket filter, so a
+    boilerplate-heavy corpus's coverage loss is measurable, not
+    invisible."""
+    b = lsh_bucket_rows(df, id_col, text_col, k_shingle, n_hashes, bands)
+    sizes = b.groupBy("band_ix", "band_key").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("sz") > max_bucket).cast("long"))
+        .alias("n_oversize_buckets"),
+        F.sum(F.when(F.col("sz") > max_bucket, F.col("sz")).otherwise(0))
+        .alias("n_rows_dropped"))
 
 
 def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

@@ -56,15 +56,21 @@ def lang_guess_expr(text_col: Column) -> Column:
 
     Deterministic tie-break: first language in LANGS order wins; all-zero
     hits → 'und'. O(tokens · langs) comparisons, fully in codegen.
+
+    Shape note: the hit counts live in ONE array and the argmax is
+    ``array_position(hits, array_max(hits))`` — a per-language CASE
+    chain that re-embeds ``greatest(all hits)`` in every branch costs
+    O(langs²) un-CSE'd stopword-filter passes per row (higher-order
+    functions are excluded from Spark subexpression elimination).
     """
     words = words_expr(text_col)
-    hits = {lang: stopword_hits(words, lang) for lang in LANGS}
-    best = F.greatest(*hits.values()) if len(hits) > 1 else list(hits.values())[0]
-    guess = F.lit("und")
-    # build the CASE chain back-to-front so earlier langs take precedence
-    for lang in reversed(LANGS):
-        guess = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
-    return guess
+    hits = F.array(*[stopword_hits(words, lang) for lang in LANGS])
+    langs = F.array(*[F.lit(lang) for lang in LANGS])
+    best = F.array_max(hits)
+    # array_position returns the FIRST index of the max → same
+    # first-lang-in-LANGS-order tie-break as the old CASE chain
+    pick = F.element_at(langs, F.array_position(hits, best).cast("int"))
+    return F.when(best > 0, pick).otherwise(F.lit("und"))
 
 
 def quality_score_expr(hit_cols: dict[str, Column]) -> Column:
@@ -90,4 +96,7 @@ def content_fingerprint(text_col: Column) -> Column:
     is the O(1)-per-doc exact-identity key used for lineage joins and
     resume bookkeeping.
     """
-    return F.md5(F.coalesce(normalized_text_expr(text_col), F.lit("")))
+    # NULL stays distinct from empty/whitespace-only text (sentinel
+    # cannot collide with md5 hex)
+    return F.when(text_col.isNull(), F.lit("<NULL>")) \
+        .otherwise(F.md5(normalized_text_expr(text_col)))

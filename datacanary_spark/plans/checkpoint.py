@@ -82,6 +82,25 @@ def run_filter_job(
     summary = {"chunks_total": len(chunks), "chunks_skipped": 0,
                "chunks_run": 0, "docs": 0, "kept": 0, "wall_sec": 0.0}
     t0 = time.time()
+
+    # Resume safety: a _done marker only proves that SOME chunk k was
+    # committed — if the input file set or n_chunks changed since, the
+    # round-robin assignment differs and skipping by index would silently
+    # drop or double-process files. Validate every existing marker
+    # against the current assignment before trusting any of them.
+    for k, files in enumerate(chunks):
+        mp = _done_path(ckpt_dir, k)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                recorded = json.load(f).get("files", [])
+            if recorded != files:
+                raise RuntimeError(
+                    f"checkpoint mismatch for chunk {k}: the input file "
+                    f"set or n_chunks changed since the markers were "
+                    f"written (recorded {len(recorded)} files, current "
+                    f"assignment {len(files)}). Resume with the original "
+                    f"input + n_chunks, or start a fresh output dir.")
+
     for k, files in enumerate(chunks):
         if os.path.exists(_done_path(ckpt_dir, k)):
             summary["chunks_skipped"] += 1
@@ -93,10 +112,17 @@ def run_filter_job(
         chunk_out = os.path.join(data_dir, f"chunk={k}")
         verdicts.write.mode("overwrite").parquet(chunk_out)
 
-        # lineage from the written output (no recompute of the pipeline)
+        # lineage from the written output (no recompute of the pipeline);
+        # keyed by the materialized url-hash bucket column, stable across
+        # the re-read. Written as a dynamic overwrite of the chunk=k
+        # partition: a crash between this write and the _done marker
+        # replays the chunk on resume, and the overwrite absorbs the
+        # replay instead of appending duplicate metrics rows.
         written = spark.read.parquet(chunk_out)
         lin = partition_lineage(written, cfg).withColumn("chunk", F.lit(k))
-        lin.write.mode("append").parquet(metrics_dir)
+        (lin.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("chunk").parquet(metrics_dir))
         counts = written.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]

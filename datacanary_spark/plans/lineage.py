@@ -34,12 +34,21 @@ def _hit_sum_map(rule_names) -> F.Column:
 
 
 def partition_lineage(verdicts: DataFrame, cfg: FilterConfig | None = None) -> DataFrame:
-    """One lineage row per physical partition (run AFTER the explicit
-    url-hash repartition so partition ids are stable bucket ids)."""
+    """One lineage row per bucket/partition.
+
+    When the verdicts carry the materialized url-hash ``bucket`` column
+    (filter_pages with ``repartition_buckets``), lineage keys on it —
+    a pure function of the content, stable across re-reads, file
+    packing, and cluster sizes. Without it (e.g. micro-batches that were
+    never bucketed) it falls back to ``spark_partition_id()``, which is
+    only stable within the plan that produced it.
+    """
     cfg = cfg or FilterConfig()
     rule_names = list(cfg.rule_names)
+    pid = (F.col("bucket") if "bucket" in verdicts.columns
+           else F.spark_partition_id())
     return (
-        verdicts.withColumn("partition_id", F.spark_partition_id())
+        verdicts.withColumn("partition_id", pid)
         .groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("input_count"),

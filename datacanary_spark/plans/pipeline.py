@@ -130,6 +130,10 @@ def filter_pages(
     if repartition_buckets:
         # Explicit url-hash shuffle: stable bucket layout for the sink,
         # independent of input file layout; AQE may coalesce small ones.
-        df = df.repartition(repartition_buckets, F.pmod(F.xxhash64("url"),
-                                                        F.lit(repartition_buckets)))
+        # The bucket id is MATERIALIZED as a column so lineage rows key
+        # on the content-stable bucket, not on spark_partition_id (which
+        # changes with file packing when the output is re-read).
+        df = df.withColumn("bucket", F.pmod(F.xxhash64("url"),
+                                            F.lit(repartition_buckets)))
+        df = df.repartition(repartition_buckets, F.col("bucket"))
     return df

@@ -65,6 +65,24 @@ SESSION_STATE_SCHEMA = T.StructType([
 _US = 1_000_000
 
 
+def _idempotent_sink(output_dir: str):
+    """foreachBatch sink that absorbs at-least-once replays: rows land in
+    a ``batch_id=N`` partition via dynamic overwrite, so a replayed batch
+    rewrites its partition instead of appending a duplicate copy (same
+    contract as filter_stream.write_batch_outputs)."""
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # a partitioned write of zero rows creates a dir with
+            # no readable schema; nothing to make idempotent either
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(output_dir))
+
+    return sink
+
+
 def _make_session_fn(gap_s: int):
     import datetime as _dt
 
@@ -81,19 +99,29 @@ def _make_session_fn(gap_s: int):
             closed.append((key[0], to_ts(start_us), to_ts(last_us), n))
             state.remove()
         else:
-            cur = list(state.get) if state.exists else None
-            ts_us = []
-            for pdf in pdfs:
-                ts_us.extend(int(v) for v in pdf["ts_us"])
-            for t in sorted(ts_us):
+            # INTERVAL MERGE, not a forward-only fold: an admitted event
+            # may be event-time-older than the carried session's start
+            # (it only has to beat the watermark), so the open state is
+            # treated as one interval among the batch's events and all
+            # are merged in start order — a retrograde event within the
+            # gap correctly extends the session backward, and one beyond
+            # the gap becomes its own (earlier) session instead of being
+            # silently swallowed into a later one.
+            intervals: list[list] = [[int(v), int(v), 1]
+                                     for pdf in pdfs for v in pdf["ts_us"]]
+            if state.exists:
+                intervals.append(list(state.get))
+            intervals.sort(key=lambda iv: (iv[0], iv[1]))
+            cur = None
+            for start, end, n in intervals:
                 if cur is None:
-                    cur = [t, t, 1]
-                elif t - cur[1] > gap_s * _US:
+                    cur = [start, end, n]
+                elif start - cur[1] > gap_s * _US:
                     closed.append((key[0], to_ts(cur[0]), to_ts(cur[1]), cur[2]))
-                    cur = [t, t, 1]
+                    cur = [start, end, n]
                 else:
-                    cur[1] = max(cur[1], t)
-                    cur[2] += 1
+                    cur[1] = max(cur[1], end)
+                    cur[2] += n
             if cur is not None:
                 state.update(tuple(cur))
                 # close the open session once event time passes last+gap
@@ -135,12 +163,8 @@ def session_window_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
-    def sink(batch_df, batch_id: int) -> None:
-        (batch_df.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(output_dir))
-
     return (sessions.writeStream
-            .foreachBatch(sink)
+            .foreachBatch(_idempotent_sink(output_dir))
             .outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
@@ -176,12 +200,8 @@ def host_quota_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def sink(batch_df, batch_id: int) -> None:
-        (batch_df.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(output_dir))
-
     return (updated.writeStream
-            .foreachBatch(sink)
+            .foreachBatch(_idempotent_sink(output_dir))
             .outputMode("update")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)

@@ -205,3 +205,63 @@ def test_examples_importable():
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         assert callable(mod.main)
+
+
+def test_filter_job_rejects_changed_input(spark, tmp_path):
+    """A _done marker proves a chunk committed under a SPECIFIC file
+    assignment; if files land (or n_chunks changes) between runs, resume
+    must refuse rather than silently skip unprocessed files."""
+    import pytest
+
+    from datacanary_spark.plans import checkpoint as cp
+    from datacanary_spark.sources.fixtures import write_pages_parquet
+
+    pages, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    write_pages_parquet(pages, n_docs=40, seed=3, chunk_size=20)  # 2 files
+    cp.run_filter_job(spark, pages, out, n_chunks=2)
+
+    write_pages_parquet(pages, n_docs=20, seed=4, start_id=5000,
+                        chunk_size=20)  # a 3rd file lands
+    # same n_chunks, changed assignment (chunk0 would now be [f0, f2]
+    # but its marker recorded [f0]) -> refused
+    with pytest.raises(RuntimeError, match="checkpoint mismatch"):
+        cp.run_filter_job(spark, pages, out, n_chunks=2)
+    # n_chunks=3 happens to KEEP the committed chunks' assignments
+    # ([f0], [f1]) and put the new file in a fresh chunk -> valid
+    # incremental resume: only the new file is processed
+    summary = cp.run_filter_job(spark, pages, out, n_chunks=3)
+    assert summary["chunks_skipped"] == 2 and summary["chunks_run"] == 1
+    assert summary["docs"] == 60
+
+
+def test_filter_job_metrics_idempotent_on_replay(spark, tmp_path, monkeypatch):
+    """Crash AFTER the chunk's metrics write but BEFORE its _done marker:
+    the resumed chunk rewrites (not re-appends) its metrics partition."""
+    import pytest
+
+    from datacanary_spark.plans import checkpoint as cp
+    from datacanary_spark.sources.fixtures import write_pages_parquet
+
+    pages, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    write_pages_parquet(pages, n_docs=60, seed=5, chunk_size=30)  # 2 files
+
+    real = cp._mark_done
+    calls = {"n": 0}
+
+    def dying_mark(ckpt_dir, chunk, payload):
+        calls["n"] += 1
+        if calls["n"] == 1:  # metrics for chunk 0 already written
+            raise RuntimeError("simulated crash before marker")
+        return real(ckpt_dir, chunk, payload)
+
+    monkeypatch.setattr(cp, "_mark_done", dying_mark)
+    with pytest.raises(RuntimeError, match="simulated"):
+        cp.run_filter_job(spark, pages, out, n_chunks=2)
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(cp, "_mark_done", real)
+    summary = cp.run_filter_job(spark, pages, out, n_chunks=2)
+    assert summary["docs"] == 60
+    m = spark.read.parquet(os.path.join(out, "metrics"))
+    assert m.agg(F.sum("input_count")).collect()[0][0] == 60  # no dupes

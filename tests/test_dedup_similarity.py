@@ -299,3 +299,48 @@ def test_multimodal_feature_dedup_end_to_end(spark):
     # produce vectors
     assert vecs.where((F.col("vec_id") < 1000)
                       & (F.col("vec_id") % 17 == 0)).count() == 0
+
+
+def test_exact_dedup_null_vs_empty_distinct(spark):
+    """A NULL-text document and an empty-text document are different
+    documents — exact dedup must not collapse them into one group."""
+    from datacanary_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, ""), (4, "real text")],
+        "doc_id: long, text: string")
+    groups = {r["canonical_id"]: r["group_size"]
+              for r in dd.exact_dup_groups(df).collect()}
+    assert groups == {1: 1, 2: 2, 4: 1}
+    survivors = {r["doc_id"] for r in dd.dedup_exact(df).collect()}
+    assert survivors == {1, 2, 4}
+
+    from datacanary_spark.operators.text_analysis import content_fingerprint
+    from pyspark.sql import functions as F
+
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == "<NULL>" and fps[1] != fps[2]
+
+
+def test_lsh_bucket_stats_accounts_for_cap(spark):
+    """The max_bucket cap's coverage loss is measurable via
+    lsh_bucket_stats (docstring contract)."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import dedup as dd
+
+    base = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select("doc_id", "text").where(F.col("doc_id") < 40))
+    # 30 identical docs -> one degenerate bucket per band
+    clones = spark.range(1000, 1030).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated").alias("text"))
+    corpus = base.unionByName(clones)
+
+    stats = dd.lsh_bucket_stats(corpus, max_bucket=10).collect()[0]
+    assert stats["n_oversize_buckets"] == 4       # one per band
+    assert stats["n_rows_dropped"] == 4 * 30
+    # and the candidate generator actually excludes those buckets
+    cands = dd.lsh_candidate_pairs(corpus, max_bucket=10)
+    assert cands.where(F.col("id_a") >= 1000).count() == 0

@@ -85,3 +85,36 @@ def test_sessions_close_by_gap_and_timeout(spark, dirs):
     assert (1, T0 + 120 * m, T0 + 120 * m, 1) in got
     assert not any(u == 99 for u, *_ in got)
     assert len(got) == 4  # exactly the four closed sessions, exactly once
+
+
+def test_retrograde_events_merge_or_split_correctly(spark, tmp_path):
+    """An admitted event that is event-time-OLDER than the open session's
+    start (possible whenever the watermark delay is nonzero) must extend
+    the session backward when within the gap, and become its own earlier
+    session when beyond it — never be silently folded forward."""
+    m = dt.timedelta(minutes=1)
+    inp, ckpt, out = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    os.makedirs(inp)
+
+    # drop 1: open sessions at T0+60m for users 5 and 6
+    _write_drop(spark, inp, "d1", [(T0 + 60 * m, 5), (T0 + 60 * m, 6)])
+    session_window_stream(spark, inp, ckpt, out, gap_s=1800,
+                          watermark="4 hours").awaitTermination()
+
+    # drop 2 (admitted — 4h watermark delay):
+    #  u5: T0+50m, 10 min BEFORE its session start, within the 30-min gap
+    #  u6: T0, 60 min before, beyond the gap -> separate earlier session
+    _write_drop(spark, inp, "d2", [(T0 + 50 * m, 5), (T0, 6)])
+    session_window_stream(spark, inp, ckpt, out, gap_s=1800,
+                          watermark="4 hours").awaitTermination()
+    got = _emitted(spark, out)
+    assert (6, T0, T0, 1) in got               # closed earlier session
+    assert not any(u == 5 for u, *_ in got)    # u5's merged session open
+
+    # drop 3: far-future event closes everything via event-time timeout
+    _write_drop(spark, inp, "d3", [(T0 + 600 * m, 99)])
+    session_window_stream(spark, inp, ckpt, out, gap_s=1800,
+                          watermark="4 hours").awaitTermination()
+    got = _emitted(spark, out)
+    assert (5, T0 + 50 * m, T0 + 60 * m, 2) in got  # extended BACKWARD
+    assert (6, T0 + 60 * m, T0 + 60 * m, 1) in got
