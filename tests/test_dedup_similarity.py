@@ -96,6 +96,29 @@ def test_simhash_similar_docs_close(spark, docs_df):
     assert ham(rows[0], rows[2]) >= 4          # different doc: many bits
 
 
+def test_simhash16_matches_python_golden(spark, docs_df):
+    """Exact bit-for-bit pin of the SQL simhash16 against an
+    independent pure-Python twin (guards the single-pass array-
+    accumulator refactor and any future expression rewrite)."""
+    got = dict(docs_df.select(
+        "doc_id", dd.simhash16(
+            F.filter(F.split("text", r"\s+"), lambda w: w != F.lit(""))
+        ).alias("sh")).collect())
+
+    def py_simhash16(t):
+        import re
+        toks = [w for w in re.split(r"\s+", t or "") if w]
+        votes = [0] * 16
+        for w in toks:
+            hx = hashlib.md5(w.encode()).hexdigest()
+            for i in range(16):
+                votes[i] += 1 if hx[i] in "89abcdef" else -1
+        return sum((1 << i) for i in range(16) if votes[i] > 0)
+
+    for i, t in DOCS:
+        assert got[i] == py_simhash16(t), i
+
+
 def test_simhash64_udf_matches_python(spark, docs_df):
     got = {r["doc_id"]: r["sh"] for r in docs_df.select(
         "doc_id", dd.make_simhash64_udf()(F.col("text")).alias("sh")).collect()}
