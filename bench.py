@@ -141,7 +141,10 @@ def main() -> None:
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, f"bench_r{args.round}.json"), "w") as f:
+    # zero-pad numeric rounds so the artifact name matches the driver's
+    # BENCH_r{NN}.json convention (bench_r02.json, not bench_r2.json)
+    tag = f"{int(args.round):02d}" if str(args.round).isdigit() else args.round
+    with open(os.path.join(bench_dir, f"bench_r{tag}.json"), "w") as f:
         json.dump(result, f, indent=2, sort_keys=True)
     print(json.dumps(result))
     spark.stop()
