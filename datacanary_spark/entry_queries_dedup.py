@@ -299,3 +299,105 @@ def langid_rules_confusion(spark, sf_dir):
     return (d.select("lang", ta.lang_guess_expr(F.col("text")).alias("lang_guess"))
              .groupBy("lang", "lang_guess")
              .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (partial-overlap tier; Schleimer et al. SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of operators/text_analysis.winnow_fingerprints(k=8, window=4);
+# grams materialized once per row in a prior CTE (the oracle-side analogue
+# of the Spark bind-the-array-first discipline).
+_WINNOW_CTES = """
+  wbase AS (
+    SELECT doc_id, text IS NULL AS tnull,
+           trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+    FROM {src}
+  ),
+  wgrams AS (
+    SELECT doc_id, tnull, CAST(length(nt) - 7 AS INT) AS ng,
+           CASE WHEN NOT tnull AND length(nt) >= 8 THEN
+             list_transform(generate_series(1, CAST(length(nt) - 7 AS INT)),
+                            i -> md5(substring(nt, i, 8)))
+           END AS grams
+    FROM wbase
+  ),
+  wfps AS (
+    SELECT doc_id,
+           CASE WHEN tnull THEN NULL
+                WHEN ng < 1 THEN CAST([] AS VARCHAR[])
+                ELSE list_sort(list_distinct(list_transform(
+                       generate_series(1, greatest(ng - 3, 1)),
+                       j -> list_min(list_slice(grams, j, j + 3))))) END AS fps
+    FROM wgrams
+  )
+"""
+
+
+@register(
+    "winnow_fingerprint_stats",
+    f"""
+    WITH {_WINNOW_CTES.format(src='(SELECT doc_id, text FROM documents WHERE doc_id < 200)')}
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+           list_min(fps) AS fp_min, list_max(fps) AS fp_max
+    FROM wfps
+    """,
+)
+def winnow_fingerprint_stats(spark, sf_dir):
+    """Winnowing fingerprint set per document (count + extremes): the
+    rolling-hash local-fingerprinting tier between whole-doc identity
+    and MinHash resemblance."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    # bind the fingerprint array ONCE; three references to the raw
+    # higher-order expression would each recompute it (HOFs are outside
+    # Spark subexpression elimination)
+    b = d.select("doc_id",
+                 ta.winnow_fingerprints(F.col("text")).alias("_fps"))
+    return b.select("doc_id",
+                    F.size("_fps").cast("long").alias("n_fps"),
+                    F.array_min("_fps").alias("fp_min"),
+                    F.array_max("_fps").alias("fp_max"))
+
+
+@register(
+    "winnow_overlap_pairs",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             'COPIED PASSAGE: ' || substring(text, 1, 120) ||
+             ' plus entirely new trailing commentary unique to variant ' ||
+             doc_id AS text
+      FROM documents WHERE doc_id < 150 AND doc_id % 10 = 0 AND text IS NOT NULL
+    ),
+    {_WINNOW_CTES.format(src='corpus')},
+    posting AS (
+      SELECT doc_id, unnest(fps) AS fp FROM wfps
+    ),
+    kept AS (
+      SELECT fp, doc_id FROM posting
+      QUALIFY count(*) OVER (PARTITION BY fp) <= 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_fps
+    FROM kept a JOIN kept b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def winnow_overlap_pairs(spark, sf_dir):
+    """Copied-passage detection: planted variants embed a 120-char
+    passage from their source doc inside otherwise-new text; the
+    winnowing posting-list join must surface exactly those pairs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    aug = d.where((F.col("doc_id") % 10 == 0) & F.col("text").isNotNull()).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("COPIED PASSAGE: "),
+                 F.substring(F.col("text"), 1, 120),
+                 F.lit(" plus entirely new trailing commentary unique"
+                       " to variant "),
+                 F.col("doc_id").cast("string")).alias("text"))
+    corpus = d.select("doc_id", "text").unionByName(aug)
+    return dd.winnow_overlap_pairs(corpus, min_shared=5, max_posting=50)

@@ -314,6 +314,51 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                 .select("id_a", "id_b").distinct())
 
 
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8,
+                         window: int = 4, min_shared: int = 5,
+                         max_posting: int = 50,
+                         persist: bool = True) -> DataFrame:
+    """Partial-overlap pairs (id_a < id_b, shared_fps) via winnowing.
+
+    The copied-passage tier of the dedup stack: exact dedup catches
+    identical docs, MinHash/LSH catches globally-similar docs, and this
+    catches a paragraph pasted into an otherwise-different page —
+    ``winnow_fingerprints`` guarantees a shared fingerprint for any
+    shared run of >= k + window - 1 normalized chars.
+
+    Shape: explode fingerprints → drop ubiquitous fingerprints
+    (posting list > ``max_posting``: boilerplate grams carry no
+    discriminative signal and would create quadratic hot keys — same
+    role as LSH ``max_bucket``) → fp equi-join → per-pair count >=
+    ``min_shared``. One shuffle on fp; never a pairwise text scan.
+    Posting sizes come from a window count over the fp shuffle and the
+    tiny (id, fp) rows are persisted for both join sides, mirroring
+    lsh_candidate_pairs' plan discipline (see its docstring for the
+    persist-lifetime contract).
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from datacanary_spark.operators.text_analysis import winnow_fingerprints
+
+    fps = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias("fp"))
+    w = Window.partitionBy("fp")
+    fps = (fps.withColumn("_n", F.count(F.lit(1)).over(w))
+              .where(F.col("_n") <= max_posting).drop("_n"))
+    if persist:
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    left = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    right = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (left.join(right, "fp")
+                .where(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("shared_fps"))
+                .where(F.col("shared_fps") >= min_shared))
+
+
 def lsh_bucket_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k_shingle: int = 5,
                      n_hashes: int = 16, bands: int = 4,

@@ -100,3 +100,39 @@ def content_fingerprint(text_col: Column) -> Column:
     # cannot collide with md5 hex)
     return F.when(text_col.isNull(), F.lit("<NULL>")) \
         .otherwise(F.md5(normalized_text_expr(text_col)))
+
+
+def winnow_fingerprints(text_col: Column, k: int = 8,
+                        window: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003) — the rolling-hash fingerprinting tier between the
+    whole-doc hash (``content_fingerprint``: exact identity only) and
+    MinHash (global resemblance only): it detects PARTIAL overlap.
+
+    Hash every character k-gram of the normalized text; in each window
+    of ``window`` consecutive gram hashes keep the minimum; the sorted
+    distinct selection is the fingerprint set. Guarantee (the paper's):
+    any shared substring of length >= k + window - 1 contributes at
+    least one shared fingerprint, so copied passages are detectable by
+    set intersection — an equi-join on exploded fingerprints, never a
+    pairwise text scan.
+
+    Pure Column expression, O(chars · window) comparisons in codegen.
+    The min over md5 hex strings is order-isomorphic to a numeric min
+    over the 128-bit digests. Returns array<string>: empty for docs
+    shorter than k after normalization, null for null text.
+    """
+    t = normalized_text_expr(text_col)
+    n = (F.length(t) - F.lit(k) + 1).cast("int")  # number of k-grams
+    grams = F.transform(F.sequence(F.lit(1), n),
+                        lambda i: F.md5(t.substr(i, F.lit(k))))
+    # when n < window there is exactly one (short) window
+    n_win = F.greatest(n - F.lit(window) + 1, F.lit(1))
+    wins = F.transform(F.sequence(F.lit(1), n_win),
+                       lambda j: F.array_min(F.slice(grams, j, window)))
+    # sequence(1, n) with n < 1 would generate a DESCENDING sequence --
+    # guard short/null docs explicitly
+    return (F.when(text_col.isNull(), F.lit(None).cast("array<string>"))
+            .when(n < 1, F.array().cast("array<string>"))
+            .otherwise(F.array_sort(F.array_distinct(wins))))

@@ -100,6 +100,62 @@ def write_batch_outputs(verdicts: DataFrame, batch_id: int,
         verdicts.unpersist()
 
 
+def idempotent_parquet_sink(output_dir: str):
+    """foreachBatch sink that absorbs at-least-once replays: rows land in
+    a ``batch_id=N`` partition via dynamic overwrite, so a replayed batch
+    rewrites its partition instead of appending a duplicate copy. Empty
+    batches are skipped (a partitioned write of zero rows creates a dir
+    with no readable schema, and there is nothing to make idempotent)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(output_dir))
+
+    return sink
+
+
+def stream_dedup_pages(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+):
+    """Ingest-time exact dedup over a continuously-landing pages feed.
+
+    ``dropDuplicatesWithinWatermark`` keyed on the normalized content
+    fingerprint: the FIRST arrival of a given content survives; later
+    copies arriving within the watermark horizon are dropped. This is
+    the streaming twin of ``operators/dedup.exact_dedup`` with the state
+    contract a 10^12-doc feed needs: the state store holds only
+    fingerprints inside the watermark horizon (older ones are evicted),
+    not corpus history — recrawl/refetch duplicates, which cluster in
+    time, are removed at ingest, and the periodic batch job remains the
+    authority for global dedup.
+
+    Documented deviation from the batch operator: the survivor is the
+    first ARRIVAL (processing order), not min doc id — that is the only
+    survivor a one-pass stream can pick, and it is stable across
+    restarts because Spark's checkpoint pins the file processing order.
+    """
+    from datacanary_spark.operators.text_analysis import content_fingerprint
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    deduped = (pages
+               .withColumn("fp", content_fingerprint(F.col("text")))
+               .withWatermark("warc_ts", watermark)
+               .dropDuplicatesWithinWatermark(["fp"]))
+    return (deduped.writeStream
+            .foreachBatch(idempotent_parquet_sink(output_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_hourly_counts(
     spark: SparkSession,
     input_dir: str,

@@ -24,6 +24,9 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from datacanary_spark.schema import PAGES_SCHEMA
+from datacanary_spark.streaming.filter_stream import (
+    idempotent_parquet_sink as _idempotent_sink,
+)
 
 OUTPUT_SCHEMA = T.StructType([
     T.StructField("host", T.StringType(), False),
@@ -63,24 +66,6 @@ SESSION_STATE_SCHEMA = T.StructType([
 ])
 
 _US = 1_000_000
-
-
-def _idempotent_sink(output_dir: str):
-    """foreachBatch sink that absorbs at-least-once replays: rows land in
-    a ``batch_id=N`` partition via dynamic overwrite, so a replayed batch
-    rewrites its partition instead of appending a duplicate copy (same
-    contract as filter_stream.write_batch_outputs)."""
-
-    def sink(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # a partitioned write of zero rows creates a dir with
-            # no readable schema; nothing to make idempotent either
-        (batch_df.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(output_dir))
-
-    return sink
 
 
 def _make_session_fn(gap_s: int):

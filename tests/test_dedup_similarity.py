@@ -324,6 +324,65 @@ def test_multimodal_feature_dedup_end_to_end(spark):
                       & (F.col("vec_id") % 17 == 0)).count() == 0
 
 
+def test_winnow_fingerprints_match_python_golden(spark):
+    """Exact pin of the winnowing selection against an independent
+    Python twin, including normalization, short-doc, empty and null
+    edge cases."""
+    import re
+
+    from datacanary_spark.operators.text_analysis import winnow_fingerprints
+
+    texts = ["The quick   Brown fox\njumps over the lazy dog", "short",
+             "", None, "  ", "exactly8"]
+    df = spark.createDataFrame(list(enumerate(texts)), "id: int, text: string")
+    got = {r["id"]: r["fp"] for r in df.select(
+        "id", winnow_fingerprints(F.col("text")).alias("fp")).collect()}
+
+    def py_winnow(t, k=8, w=4):
+        if t is None:
+            return None
+        nt = re.sub(r"\s+", " ", t).lower().strip()
+        n = len(nt) - k + 1
+        if n < 1:
+            return []
+        grams = [hashlib.md5(nt[i:i + k].encode()).hexdigest()
+                 for i in range(n)]
+        return sorted({min(grams[j:j + w]) for j in range(max(n - w + 1, 1))})
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_winnow(t), i
+
+
+def test_winnow_overlap_finds_copied_passage(spark):
+    """A passage pasted into an otherwise-different document must
+    surface as an overlap pair; unrelated docs must not; a fingerprint
+    shared by more than max_posting docs must be excluded from pairing
+    (boilerplate guard)."""
+    from datacanary_spark.operators import dedup as dd
+
+    passage = ("Winnowing selects the minimum hash in each sliding "
+               "window of consecutive k-gram hashes of the document")
+    rows = [(0, passage + " and this is the original source document."),
+            (1, "A completely different page about cooking pasta with "
+                "plenty of garlic and olive oil for dinner tonight."),
+            (2, "Totally new commentary here. " + passage +
+                " Appended plagiarised content ends."),
+            (3, "Another unrelated page describing alpine hiking "
+                "routes and the weather conditions in late autumn.")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.winnow_overlap_pairs(df, min_shared=5).collect()}
+    assert (0, 2) in pairs
+    assert all(p == (0, 2) for p in pairs)
+
+    # boilerplate guard: a fp in >max_posting docs generates no pairs
+    boiler = [(i, "identical boilerplate navigation footer text")
+              for i in range(10)]
+    bdf = spark.createDataFrame(boiler, "doc_id: long, text: string")
+    assert dd.winnow_overlap_pairs(bdf, min_shared=1,
+                                   max_posting=5).count() == 0
+
+
 def test_exact_dedup_null_vs_empty_distinct(spark):
     """A NULL-text document and an empty-text document are different
     documents — exact dedup must not collapse them into one group."""

@@ -100,6 +100,60 @@ def test_batch_sink_idempotent_on_replay(spark, tmp_path):
     assert spark.read.parquet(vdir).count() == 40
 
 
+def test_stream_dedup_drops_recrawls_across_restarts(spark, tmp_path):
+    """Ingest-time exact dedup: the first arrival of a given content
+    fingerprint survives; copies arriving later (same drain or a later
+    restart, within the watermark horizon) are dropped. Fingerprint
+    state must live in the checkpoint, not the process."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from datacanary_spark.streaming.filter_stream import stream_dedup_pages
+
+    inp, out, ckpt, tmp = (str(tmp_path / d)
+                           for d in ("in", "out", "ckpt", "stage"))
+    os.makedirs(inp)
+    schema = ("url: string, warc_ts: timestamp, html: binary, "
+              "text: string, lang: string")
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def drain(rows, name):
+        staged = os.path.join(tmp, name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        shutil.copy(glob.glob(os.path.join(staged, "part-*.parquet"))[0],
+                    os.path.join(inp, name + ".parquet"))
+        stream_dedup_pages(spark, inp, out, ckpt,
+                           watermark="2 hours").awaitTermination()
+        return spark.read.parquet(out)
+
+    # drain 1: two distinct docs + an in-batch recrawl of the first
+    # (different url, same content) -> 2 survivors
+    got = drain([("http://a.example/1", ts(10, 0), None, "alpha body", "en"),
+                 ("http://b.example/1", ts(10, 5), None, "beta body", "en"),
+                 ("http://c.example/1", ts(10, 10), None, "alpha body", "en")],
+                "f1")
+    assert got.count() == 2
+    assert got.select("fp").distinct().count() == 2
+
+    # drain 2 (restart, same checkpoint): a recrawl of "alpha body" is
+    # dropped by state carried ACROSS the restart; new content is kept
+    got = drain([("http://d.example/1", ts(11, 0), None, "alpha body", "en"),
+                 ("http://e.example/1", ts(11, 5), None, "gamma body", "en")],
+                "f2")
+    assert got.count() == 3
+    urls = {r["url"] for r in got.select("url").collect()}
+    assert "http://e.example/1" in urls
+    assert "http://d.example/1" not in urls
+    # whitespace-mutated copy ("alpha  body") also collapses: the key is
+    # the NORMALIZED content fingerprint, not the raw bytes
+    got = drain([("http://f.example/1", ts(11, 30), None, "alpha  body", "en")],
+                "f3")
+    assert got.count() == 3
+
+
 def test_append_mode_drops_late_events(spark, tmp_path):
     """Watermark late-data contract: an event arriving behind the
     watermark must NOT resurrect or mutate its already-finalized window,
