@@ -513,3 +513,4 @@ from datacanary_spark import entry_queries_dedup  # noqa: E402,F401
 from datacanary_spark import entry_queries_similarity  # noqa: E402,F401
 from datacanary_spark import entry_queries_relational  # noqa: E402,F401
 from datacanary_spark import entry_queries_quality  # noqa: E402,F401
+from datacanary_spark import entry_queries_corpus  # noqa: E402,F401

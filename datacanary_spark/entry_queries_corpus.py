@@ -1,0 +1,143 @@
+"""Driver-contract queries: corpus curation operators (vocabulary
+statistics, deterministic stratified sampling, URL canonicalization).
+
+Registered into datacanary_spark.entry_queries.{QUERIES,ORACLE_SQL}.
+The documents table has no URL column, so the URL query constructs
+deterministic crawl-style URLs from doc_id — identically on the Spark
+and DuckDB sides — with planted tracking-param/port/case variants that
+must collapse onto one canonical form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datacanary_spark.entry_queries import _t, register
+from datacanary_spark.operators import corpus_stats as cs
+from datacanary_spark.operators import text_analysis as ta
+
+# ---------------------------------------------------------------------------
+# Vocabulary head per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_terms_by_lang",
+    r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT lang, term, n,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, term ASC) AS INT) AS rank
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY n DESC, term ASC) <= 5
+    """,
+)
+def top_terms_by_lang(spark, sf_dir):
+    """Top-5 most frequent whitespace tokens per language (vocabulary
+    head): map-side partial agg collapses hot terms before the shuffle;
+    the top-k window sees only the aggregated vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    return cs.top_terms_by_group(d, "text", "lang", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+
+_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+_THR = {s: f"{int(round(f * 16**8)):08x}" for s, f in _FRACTIONS.items()}
+
+
+@register(
+    "stratified_sample_by_lang",
+    f"""
+    SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '{_THR["en"]}'
+                WHEN 'de' THEN '{_THR["de"]}'
+                WHEN 'fr' THEN '{_THR["fr"]}'
+                ELSE '00000000' END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Deterministic per-stratum sampling (en 50%, de 25%, fr 10%,
+    rest 0): the selected row set is a pure function of doc_id, so the
+    identical sample falls out on any engine, partitioning, or cluster
+    size — sum(doc_id) pins the exact membership, not just the count."""
+    d = _t(spark, sf_dir, "documents")
+    s = cs.hash_stratified_sample(d, "lang", _FRACTIONS, "doc_id")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "url_canonical_groups",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || (doc_id % 20) || '.COM:443/Path/' ||
+             (doc_id % 50) || '/?utm_source=feed&id=' || (doc_id % 50) ||
+             '&utm_campaign=x&b=2#sec' || doc_id AS url
+      FROM documents WHERE doc_id < 200
+    ),
+    comp AS (
+      SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(
+          u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS h,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+      FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw)
+    ),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' ||
+        (CASE WHEN scheme = 'http' THEN regexp_replace(h, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(h, ':443$', '')
+              ELSE h END) ||
+        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') ||
+        (CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(params, '&') ELSE '' END)
+        AS canonical_url
+      FROM (
+        SELECT doc_id, scheme, h, rest,
+          list_sort(list_filter(
+            string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(
+              p, '^(utm_[^=]*|fbclid|gclid)='))) AS params
+        FROM comp)
+    )
+    SELECT canonical_url, count(*) AS group_size, min(doc_id) AS min_doc
+    FROM canon GROUP BY 1
+    """,
+)
+def url_canonical_groups(spark, sf_dir):
+    """URL-level dedup groups: constructed URLs differ in case, default
+    port, www prefix, tracking params, param order, trailing slash and
+    fragment — pairs sharing (doc_id%20, doc_id%50) must land on ONE
+    canonical form (100 groups of 2 for doc_id < 200)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".COM:443/Path/"), (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&id="), (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_campaign=x&b=2#sec"), F.col("doc_id").cast("string"))
+    return (d.select(ta.canonical_url_expr(url).alias("canonical_url"),
+                     "doc_id")
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.min("doc_id").alias("min_doc")))

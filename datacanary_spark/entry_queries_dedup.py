@@ -401,3 +401,49 @@ def winnow_overlap_pairs(spark, sf_dir):
                  F.col("doc_id").cast("string")).alias("text"))
     corpus = d.select("doc_id", "text").unionByName(aug)
     return dd.winnow_overlap_pairs(corpus, min_shared=5, max_posting=50)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level corpus dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "c4_line_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             'SHARED HEADER NAVIGATION MENU' || chr(10) ||
+             substring(text, 1, 100) || chr(10) ||
+             substring(text, 1, 100) || chr(10) ||
+             'SHARED FOOTER COPYRIGHT NOTICE' AS text
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+    ),
+    lines AS (
+      SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS ln
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, ln,
+             CASE WHEN length(ln) >= 1 THEN
+               row_number() OVER (PARTITION BY md5(ln) ORDER BY doc_id, pos)
+             ELSE 1 END AS rn
+      FROM lines
+    )
+    SELECT c.doc_id, coalesce(k.text, '') AS text
+    FROM corpus c LEFT JOIN (
+      SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+    """,
+)
+def c4_line_dedup(spark, sf_dir):
+    """Line-level corpus dedup (C4-style): planted shared header/footer
+    lines survive only in the first document; the repeated middle line
+    survives only at its first position; each doc's unique content is
+    untouched."""
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull())
+    mid = F.substring(F.col("text"), 1, 100)
+    corpus = d.select("doc_id", F.concat_ws(
+        "\n", F.lit("SHARED HEADER NAVIGATION MENU"), mid, mid,
+        F.lit("SHARED FOOTER COPYRIGHT NOTICE")).alias("text"))
+    return dd.dedup_lines(corpus)

@@ -314,6 +314,49 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                 .select("id_a", "id_b").distinct())
 
 
+def dedup_lines(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", min_chars: int = 1) -> DataFrame:
+    """C4-style line-level corpus dedup (Raffel et al. 2020 §2.2: C4
+    removes repeated three-sentence spans; the unit here is the LINE,
+    the form most webtext pipelines use for boilerplate).
+
+    Every distinct line is kept exactly once corpus-wide — in the
+    document where it FIRST appears (minimum (id, line position)) —
+    and removed everywhere else; lines shorter than ``min_chars``
+    (e.g. blank separators) are exempt and always kept. Documents are
+    reassembled in original line order; a document whose every line was
+    removed becomes the empty string (it stays in the output — the
+    caller decides whether to drop now-empty docs).
+
+    Scale shape: NOT a row_number window over the line key — a hot
+    boilerplate line ("Accept cookies") appearing in 10^9 documents
+    would funnel into one window partition. Instead the first occurrence
+    is a ``min(struct(id, pos))`` AGGREGATE (map-side partials absorb
+    the hot key) joined back on the line hash, where AQE's skew join
+    splits the hot key's probe side. Two linear shuffles total: line
+    hash (agg + join) and id (reassembly).
+    """
+    lines = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"))
+    long_ln = lines.where(F.length("ln") >= min_chars) \
+                   .withColumn("key", F.md5("ln"))
+    firsts = long_ln.groupBy("key").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"))
+    kept_long = (long_ln.join(firsts, "key")
+                 .where((F.col(id_col) == F.col(f"first.{id_col}"))
+                        & (F.col("pos") == F.col("first.pos")))
+                 .select(id_col, "pos", "ln"))
+    kept = lines.where(F.length("ln") < min_chars).unionByName(kept_long)
+    reassembled = (kept.groupBy(id_col)
+                   .agg(F.concat_ws("\n", F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                       lambda s: s["ln"])).alias("_text")))
+    ids = df.where(F.col(text_col).isNotNull()).select(id_col)
+    return (ids.join(reassembled, id_col, "left")
+            .select(id_col, F.coalesce("_text", F.lit("")).alias(text_col)))
+
+
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 8,
                          window: int = 4, min_shared: int = 5,

@@ -102,6 +102,40 @@ def content_fingerprint(text_col: Column) -> Column:
         .otherwise(F.md5(normalized_text_expr(text_col)))
 
 
+def canonical_url_expr(url_col: Column) -> Column:
+    """Canonical URL for url-level dedup and grouping.
+
+    Rules (the usual crawl-pipeline set): lowercase scheme and host,
+    strip a leading ``www.``, strip the scheme's default port
+    (http:80 / https:443), drop the fragment, remove tracking
+    parameters (``utm_*``, ``fbclid``, ``gclid``), sort the surviving
+    query parameters, and strip a trailing slash from the path. Path
+    case is preserved (paths are case-sensitive).
+
+    Pure Column expression; the param handling splits the query string
+    into an array and filters/sorts it (regex-only param surgery leaves
+    broken ``?&`` seams). Null url → null.
+    """
+    u = F.regexp_replace(url_col, "#.*$", "")  # fragment first
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
+            .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+            .otherwise(host)
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), "/$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    q_part = F.when(F.size(params) > 0,
+                    F.concat(F.lit("?"), F.concat_ws("&", params))) \
+              .otherwise(F.lit(""))
+    return F.when(url_col.isNull(), F.lit(None).cast("string")) \
+            .otherwise(F.concat(scheme, F.lit("://"), host, path, q_part))
+
+
 def winnow_fingerprints(text_col: Column, k: int = 8,
                         window: int = 4) -> Column:
     """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken,

@@ -1,0 +1,76 @@
+"""Corpus-curation operators: vocabulary head, deterministic stratified
+sampling, URL canonicalization."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacanary_spark.operators import corpus_stats as cs
+from datacanary_spark.operators.text_analysis import canonical_url_expr
+
+
+def test_top_terms_deterministic_tiebreak(spark):
+    rows = [("en", "a a a b b c"), ("en", "b z"), ("de", "x y x")]
+    df = spark.createDataFrame(rows, "lang: string, text: string")
+    got = [(r["lang"], r["term"], r["n"], r["rank"]) for r in
+           cs.top_terms_by_group(df, "text", "lang", k=2)
+             .orderBy("lang", "rank").collect()]
+    # en: a=3, b=3 -> tie broken term-asc; de: x=2, y=1
+    assert got == [("de", "x", 2, 1), ("de", "y", 1, 2),
+                   ("en", "a", 3, 1), ("en", "b", 3, 2)]
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+    frac = {"en": 0.5, "de": 0.1}
+
+    def ids(d):
+        return {r["doc_id"] for r in
+                cs.hash_stratified_sample(d, "lang", frac, "doc_id").collect()}
+
+    a = ids(df.repartition(1))
+    b = ids(df.repartition(16, "doc_id"))
+    assert a == b  # pure function of the key: partitioning-invariant
+
+    # matches an independent Python twin exactly
+    def py_keep(i, f):
+        return hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8] \
+            < f"{int(round(f * 16**8)):08x}"
+
+    exp = {i for i in range(4000)
+           if py_keep(i, frac["en" if i % 2 == 0 else "de"])}
+    assert a == exp
+    # and the rates are in the right ballpark
+    n_en = sum(1 for i in a if i % 2 == 0)
+    n_de = sum(1 for i in a if i % 2 == 1)
+    assert abs(n_en / 2000 - 0.5) < 0.05
+    assert abs(n_de / 2000 - 0.1) < 0.03
+
+    with pytest.raises(ValueError):
+        cs.hash_stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_canonical_url_rules(spark):
+    cases = [
+        # case/port/www/fragment/tracking/sort/trailing slash all at once
+        ("HTTPS://WWW.Example.COM:443/Path/sub/?utm_source=x&id=5&b=2#frag",
+         "https://example.com/Path/sub?b=2&id=5"),
+        ("http://Host.org:80/a", "http://host.org/a"),
+        ("http://host.org:8080/a", "http://host.org:8080/a"),  # non-default
+        ("https://host.org/", "https://host.org"),
+        ("https://host.org/p?fbclid=abc", "https://host.org/p"),
+        ("https://host.org/p?gclid=1&keep=2", "https://host.org/p?keep=2"),
+        ("https://host.org", "https://host.org"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i: int, url: string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonical_url_expr(F.col("url")).alias("c")).collect()}
+    for i, (_, exp) in enumerate(cases):
+        assert got[i] == exp, (i, got[i], exp)

@@ -353,7 +353,22 @@ def test_winnow_fingerprints_match_python_golden(spark):
         assert got[i] == py_winnow(t), i
 
 
-def test_winnow_overlap_finds_copied_passage(spark):
+def test_dedup_lines_c4_semantics(spark):
+    """Line-level corpus dedup: first occurrence (min (doc_id, pos))
+    survives, later copies vanish — across docs and within one doc;
+    blank lines are exempt; a fully-boilerplate doc becomes ''."""
+    from datacanary_spark.operators import dedup as dd
+
+    rows = [(1, "HEADER\nunique one\n\nHEADER\nFOOTER"),
+            (2, "HEADER\nunique two\n\nFOOTER"),
+            (3, "HEADER\nFOOTER"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["text"] for r in dd.dedup_lines(df).collect()}
+    assert got == {1: "HEADER\nunique one\n\nFOOTER",
+                   2: "unique two\n",
+                   3: ""}
+    assert 4 not in got  # null-text docs pass through untouched upstream
     """A passage pasted into an otherwise-different document must
     surface as an overlap pair; unrelated docs must not; a fingerprint
     shared by more than max_posting docs must be excluded from pairing
