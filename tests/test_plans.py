@@ -87,6 +87,42 @@ def test_filter_pipeline_python_stages_fused(spark):
     assert "Exchange" not in plan                 # narrow end to end
 
 
+def test_line_dedup_first_occurrence_is_aggregate_not_window(spark, queries):
+    """dedup_lines must select first occurrences with an aggregate
+    (map-side partials absorb a hot boilerplate line) — a row_number
+    window over the line key would funnel the hot key into one
+    partition."""
+    plan = _optimized(queries["c4_line_dedup"](spark, SF))
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+def test_winnow_overlap_is_equijoin(spark, queries):
+    """The posting-list join must be an equi-join on the fingerprint —
+    never an all-pairs product."""
+    plan = _executed(queries["winnow_overlap_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_narrow_and_jvm_side(spark):
+    """Hash sampling is a pure filter: no shuffle, no Python boundary."""
+    from datacanary_spark.operators import corpus_stats as cs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(cs.hash_stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.1}, "doc_id"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_top_terms_partial_aggregation(spark, queries):
+    """The term count must be split partial/final around the exchange —
+    a hot term ships one partial row per task, not one per occurrence."""
+    plan = _executed(queries["top_terms_by_lang"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_profile_single_scan(spark):
     """The whole multi-column profile is ONE scan + one aggregation."""
     from datacanary_spark.operators.profiler import profile_exprs
