@@ -64,12 +64,23 @@ def hash_sample_predicate(key_col: Column, fraction: float,
     fixed-width lowercase hex compare == numeric compare, so no
     hex→int conversion is needed in either engine.
     """
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
-    threshold = f"{int(round(fraction * 16**8)):08x}"
     bucket = F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), key_col.cast("string"))), 1, 8)
-    return bucket < F.lit(threshold)
+    return bucket < F.lit(_hex_threshold(fraction))
+
+
+def _hex_threshold(fraction: float) -> str:
+    """8-hex-char lexicographic threshold for ``fraction`` of the space.
+
+    fraction 1.0 needs care: 16^8 formats to NINE hex digits
+    ("100000000"), which sorts BELOW most 8-char hashes and silently
+    keeps ~1/16 of rows instead of all of them. "g" sorts above every
+    hex digit, making the predicate vacuously true.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    n = int(round(fraction * 16**8))
+    return "g" if n >= 16**8 else f"{n:08x}"
 
 
 def hash_stratified_sample(df: DataFrame, strata_col: str,
@@ -83,15 +94,11 @@ def hash_stratified_sample(df: DataFrame, strata_col: str,
     arrive as a plan-literal CASE over the stratum column. Strata not
     listed get ``default_fraction``.
     """
-    for stratum, f_ in fractions.items():
-        if not 0.0 <= f_ <= 1.0:
-            raise ValueError(f"fraction must be in [0, 1]: {stratum}={f_}")
-    thresholds = {s: f"{int(round(f_ * 16**8)):08x}"
-                  for s, f_ in fractions.items()}
+    thresholds = {s: _hex_threshold(f_) for s, f_ in fractions.items()}
     bucket = F.substring(
         F.md5(F.concat_ws(":", F.lit(salt),
                           F.col(key_col).cast("string"))), 1, 8)
-    thr = F.lit(f"{int(round(default_fraction * 16**8)):08x}")
+    thr = F.lit(_hex_threshold(default_fraction))
     for stratum, t in thresholds.items():
         thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
     return df.where(bucket < thr)

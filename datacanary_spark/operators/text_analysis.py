@@ -157,16 +157,34 @@ def winnow_fingerprints(text_col: Column, k: int = 8,
     over the 128-bit digests. Returns array<string>: empty for docs
     shorter than k after normalization, null for null text.
     """
-    t = normalized_text_expr(text_col)
-    n = (F.length(t) - F.lit(k) + 1).cast("int")  # number of k-grams
-    grams = F.transform(F.sequence(F.lit(1), n),
-                        lambda i: F.md5(t.substr(i, F.lit(k))))
-    # when n < window there is exactly one (short) window
-    n_win = F.greatest(n - F.lit(window) + 1, F.lit(1))
-    wins = F.transform(F.sequence(F.lit(1), n_win),
-                       lambda j: F.array_min(F.slice(grams, j, window)))
-    # sequence(1, n) with n < 1 would generate a DESCENDING sequence --
-    # guard short/null docs explicitly
-    return (F.when(text_col.isNull(), F.lit(None).cast("array<string>"))
-            .when(n < 1, F.array().cast("array<string>"))
-            .otherwise(F.array_sort(F.array_distinct(wins))))
+    # EVALUATION DISCIPLINE: higher-order-function subtrees are excluded
+    # from Spark's subexpression elimination, so a naive formulation
+    # re-evaluates the gram-hash array (and the regexp normalization!)
+    # once PER WINDOW POSITION — O(chars²·window) md5 calls per doc,
+    # measured as a hang on 500 ordinary documents. Each intermediate is
+    # therefore bound ONCE as a lambda variable via the
+    # transform-over-1-element-array trick: the lambda argument is a
+    # materialized VALUE, so references inside are O(1) reads.
+    def per_text(tt: Column) -> Column:
+        n = (F.length(tt) - F.lit(k) + 1).cast("int")  # number of k-grams
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.md5(tt.substr(i, F.lit(k))))
+
+        def select_mins(g: Column) -> Column:
+            # when n < window there is exactly one (short) window;
+            # slice() clamps at the array end
+            n_win = F.greatest(F.size(g) - F.lit(window) + 1, F.lit(1))
+            return F.array_sort(F.array_distinct(F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(g, j, window)))))
+
+        sel = F.element_at(F.transform(F.array(grams), select_mins), 1)
+        # sequence(1, n) with n < 1 would generate a DESCENDING sequence
+        # (greatest() above keeps it ascending); short docs return empty
+        return F.when(n < 1, F.array().cast("array<string>")).otherwise(sel)
+
+    out = F.element_at(
+        F.transform(F.array(normalized_text_expr(text_col)), per_text), 1)
+    return F.when(text_col.isNull(),
+                  F.lit(None).cast("array<string>")).otherwise(out)

@@ -54,6 +54,14 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
     with pytest.raises(ValueError):
         cs.hash_stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
 
+    # boundary fractions: 1.0 keeps EVERY row of the stratum (16^8
+    # formats to nine hex digits — the sentinel threshold must not let
+    # lexicographic compare silently keep ~1/16), 0.0 keeps none
+    edge = cs.hash_stratified_sample(df, "lang", {"en": 1.0, "de": 0.0},
+                                     "doc_id")
+    assert edge.where(F.col("lang") == "en").count() == 2000
+    assert edge.where(F.col("lang") == "de").count() == 0
+
 
 def test_canonical_url_rules(spark):
     cases = [

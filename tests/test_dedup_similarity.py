@@ -369,6 +369,9 @@ def test_dedup_lines_c4_semantics(spark):
                    2: "unique two\n",
                    3: ""}
     assert 4 not in got  # null-text docs pass through untouched upstream
+
+
+def test_winnow_overlap_finds_copied_passage(spark):
     """A passage pasted into an otherwise-different document must
     surface as an overlap pair; unrelated docs must not; a fingerprint
     shared by more than max_posting docs must be excluded from pairing
