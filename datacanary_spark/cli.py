@@ -183,6 +183,66 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus dedup job: exact | lines (C4-style) | near (MinHash-LSH).
+
+    ``near`` removes the HIGHER id of each detected pair (the min-id
+    doc survives, matching the batch operators' survivor rule).
+    """
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import dedup as dd
+    from datacanary_spark.sources.io import read_table
+
+    spark = _spark(args)
+    df = read_table(spark, args.input)
+    if args.mode == "exact":
+        out = dd.dedup_exact(df, id_col=args.id_col, text_col=args.text_col)
+    elif args.mode == "lines":
+        deduped = dd.dedup_lines(df, id_col=args.id_col,
+                                 text_col=args.text_col)
+        out = df.drop(args.text_col).join(deduped, args.id_col)
+    else:  # near
+        pairs = dd.near_dup_pairs(df, id_col=args.id_col,
+                                  text_col=args.text_col,
+                                  threshold=args.threshold,
+                                  hash_fn=args.hash_fn)
+        drops = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
+        out = df.join(drops, args.id_col, "left_anti")
+    out.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = df.count(), spark.read.parquet(args.output).count()
+    print(json.dumps({"mode": args.mode, "rows_in": n_in,
+                      "rows_out": n_out}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic stratified sample (corpus mixing).
+
+    --fractions is ``stratum=frac`` pairs, e.g. ``en=0.5,de=0.1``.
+    """
+    from datacanary_spark.operators.corpus_stats import hash_stratified_sample
+    from datacanary_spark.sources.io import read_table
+
+    fractions = {}
+    for part in args.fractions.split(","):
+        stratum, _, frac = part.partition("=")
+        if not _ or not stratum:
+            raise SystemExit(f"bad --fractions entry: {part!r} "
+                             "(expected stratum=fraction)")
+        fractions[stratum] = float(frac)
+    spark = _spark(args)
+    df = read_table(spark, args.input)
+    out = hash_stratified_sample(df, args.strata_col, fractions,
+                                 args.key_col, salt=args.salt,
+                                 default_fraction=args.default_fraction)
+    out.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = df.count(), spark.read.parquet(args.output).count()
+    print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                      "fractions": fractions}))
+    return 0
+
+
 def cmd_gen_pages(args) -> int:
     import math
 
@@ -275,6 +335,31 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--buckets", type=int, default=None)
     f.add_argument("--from-html", action="store_true")
     f.set_defaults(fn=cmd_filter)
+
+    d = sub.add_parser("dedup", help="corpus dedup (exact/lines/near)")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--mode", choices=["exact", "lines", "near"],
+                   default="exact")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.7,
+                   help="near mode: Jaccard threshold")
+    d.add_argument("--hash-fn", choices=["md5", "xxhash64"], default="md5",
+                   help="near mode: xxhash64 is the cluster-scale mode")
+    d.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("sample", help="deterministic stratified sample")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--strata-col", required=True)
+    s.add_argument("--fractions", required=True,
+                   help="stratum=fraction pairs, e.g. en=0.5,de=0.1")
+    s.add_argument("--key-col", required=True,
+                   help="column whose hash decides membership")
+    s.add_argument("--salt", default="sample")
+    s.add_argument("--default-fraction", type=float, default=0.0)
+    s.set_defaults(fn=cmd_sample)
 
     g = sub.add_parser("gen-pages", help="deterministic pages fixture")
     g.add_argument("--output", required=True)

@@ -7,6 +7,8 @@ import json
 import os
 import zipfile
 
+from pyspark.sql import functions as F
+
 from datacanary_spark.cli import main
 
 
@@ -265,3 +267,38 @@ def test_filter_job_metrics_idempotent_on_replay(spark, tmp_path, monkeypatch):
     assert summary["docs"] == 60
     m = spark.read.parquet(os.path.join(out, "metrics"))
     assert m.agg(F.sum("input_count")).collect()[0][0] == 60  # no dupes
+
+
+def test_dedup_and_sample_subcommands(spark, tmp_path, capsys):
+    """The curation subcommands run end to end: exact dedup removes the
+    planted clone (min-id survivor), near mode removes the near-dup,
+    sample keeps the deterministic stratified subset."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    corpus = str(tmp_path / "corpus")
+    d = spark.read.parquet(docs).select("doc_id", "text", "lang")
+    clones = d.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    d.unionByName(clones).write.parquet(corpus)
+
+    out = str(tmp_path / "exact")
+    assert main(["dedup", "--input", corpus, "--output", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {"mode": "exact", "rows_in": 510, "rows_out": 500}
+    assert spark.read.parquet(out).where(F.col("doc_id") >= 100000).count() == 0
+
+    out2 = str(tmp_path / "near")
+    assert main(["dedup", "--input", corpus, "--output", out2, "--mode",
+                 "near", "--hash-fn", "xxhash64"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_out"] <= 500  # clones are Jaccard-1.0 pairs
+
+    out3 = str(tmp_path / "sampled")
+    assert main(["sample", "--input", corpus, "--output", out3,
+                 "--strata-col", "lang", "--fractions", "en=1.0,de=0.5",
+                 "--key-col", "doc_id"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(out3)
+    n_en_in = spark.read.parquet(corpus).where(F.col("lang") == "en").count()
+    assert got.where(F.col("lang") == "en").count() == n_en_in  # 1.0 = all
+    assert got.where(~F.col("lang").isin("en", "de")).count() == 0
+    assert res["rows_out"] == got.count()
