@@ -201,7 +201,10 @@ def cmd_dedup(args) -> int:
     elif args.mode == "lines":
         deduped = dd.dedup_lines(df, id_col=args.id_col,
                                  text_col=args.text_col)
-        out = df.drop(args.text_col).join(deduped, args.id_col)
+        # LEFT join: dedup_lines only emits docs with non-null text; a
+        # null-text doc (extraction failure) must pass through with its
+        # text still null, not vanish from the corpus
+        out = df.drop(args.text_col).join(deduped, args.id_col, "left")
     else:  # near
         pairs = dd.near_dup_pairs(df, id_col=args.id_col,
                                   text_col=args.text_col,

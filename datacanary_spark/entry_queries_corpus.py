@@ -52,7 +52,9 @@ def top_terms_by_lang(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
-_THR = {s: f"{int(round(f * 16**8)):08x}" for s, f in _FRACTIONS.items()}
+# same helper as the Spark operator — the oracle must never drift from
+# the engine's threshold semantics (rounding, 1.0 sentinel)
+_THR = {s: cs._hex_threshold(f) for s, f in _FRACTIONS.items()}
 
 
 @register(

@@ -60,7 +60,8 @@ def _duck_band_rows(bands: int, rows: int) -> str:
       UNION ALL
       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
     )
-    SELECT CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END AS text_md5,
+    SELECT CASE WHEN text IS NULL THEN '<NULL>#' || doc_id
+           ELSE md5(text) END AS text_md5,
            count(*) AS group_size,
            min(doc_id) AS canonical_id
     FROM corpus GROUP BY 1
@@ -86,7 +87,8 @@ def dedup_exact_groups(spark, sf_dir):
     FROM corpus
     WHERE doc_id IN (
       SELECT min(doc_id) FROM corpus
-      GROUP BY CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END
+      GROUP BY CASE WHEN text IS NULL THEN '<NULL>#' || doc_id
+               ELSE md5(text) END
     )
     """,
 )
@@ -221,7 +223,7 @@ def dedup_simhash_fingerprints(spark, sf_dir):
       SELECT doc_id + 100000 AS doc_id, replace(text, ' ', '  ') AS text
       FROM documents WHERE doc_id % 7 = 0
     )
-    SELECT CASE WHEN text IS NULL THEN '<NULL>'
+    SELECT CASE WHEN text IS NULL THEN '<NULL>#' || doc_id
            ELSE md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) END AS fp,
            count(*) AS group_size,
            min(doc_id) AS canonical_id
@@ -236,7 +238,10 @@ def fingerprint_groups(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"))
     corpus = d.unionByName(aug)
-    return (corpus.select(ta.content_fingerprint(F.col("text")).alias("fp"), "doc_id")
+    fp = F.coalesce(
+        ta.content_fingerprint(F.col("text")),
+        F.concat(F.lit("<NULL>#"), F.col("doc_id").cast("string")))
+    return (corpus.select(fp.alias("fp"), "doc_id")
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("group_size"),
                  F.min("doc_id").alias("canonical_id")))

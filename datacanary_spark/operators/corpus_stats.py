@@ -64,9 +64,15 @@ def hash_sample_predicate(key_col: Column, fraction: float,
     fixed-width lowercase hex compare == numeric compare, so no
     hex→int conversion is needed in either engine.
     """
-    bucket = F.substring(
+    return _bucket_expr(key_col, salt) < F.lit(_hex_threshold(fraction))
+
+
+def _bucket_expr(key_col: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt:key) — THE sampling bucket. Every
+    sampling entry point (predicate, stratified, oracle SQL) must agree
+    on this byte-for-byte or determinism across runs/engines breaks."""
+    return F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), key_col.cast("string"))), 1, 8)
-    return bucket < F.lit(_hex_threshold(fraction))
 
 
 def _hex_threshold(fraction: float) -> str:
@@ -95,9 +101,7 @@ def hash_stratified_sample(df: DataFrame, strata_col: str,
     listed get ``default_fraction``.
     """
     thresholds = {s: _hex_threshold(f_) for s, f_ in fractions.items()}
-    bucket = F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt),
-                          F.col(key_col).cast("string"))), 1, 8)
+    bucket = _bucket_expr(F.col(key_col), salt)
     thr = F.lit(_hex_threshold(default_fraction))
     for stratum, t in thresholds.items():
         thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)

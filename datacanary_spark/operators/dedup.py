@@ -204,10 +204,15 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
     by true duplicate multiplicity, and AQE splits any pathological
     skew (e.g. the empty document appearing 10^9 times).
     """
-    # NULL text is NOT the same document as empty text: a coalesce-to-''
-    # would silently dedup missing-content rows against genuinely empty
-    # ones. NULLs get a sentinel that cannot collide with any md5 hex.
-    content_hash = F.when(F.col(text_col).isNull(), F.lit("<NULL>")) \
+    # NULL text is UNKNOWN content: it is neither the same document as
+    # empty text (a coalesce-to-'' would merge them) nor the same as any
+    # OTHER null-text document (a shared sentinel would delete
+    # all-but-one doc whose content merely failed to extract). Each
+    # null-text row gets a per-row key — its own group of one, exempt
+    # from dedup. The '#' + id suffix cannot collide with md5 hex.
+    content_hash = F.when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("<NULL>#"), F.col(id_col).cast("string"))) \
         .otherwise(F.md5(F.col(text_col)))
     return (
         df.select(content_hash.alias("text_md5"),
@@ -405,13 +410,17 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
 def lsh_bucket_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k_shingle: int = 5,
                      n_hashes: int = 16, bands: int = 4,
-                     max_bucket: int = 1000) -> DataFrame:
+                     max_bucket: int = 1000,
+                     hash_fn: str = "md5") -> DataFrame:
     """Lineage accounting for the ``max_bucket`` cap: one row with
     (n_buckets, n_oversize_buckets, n_rows_dropped) — the observability
     companion to lsh_candidate_pairs' silent bucket filter, so a
     boilerplate-heavy corpus's coverage loss is measurable, not
-    invisible."""
-    b = lsh_bucket_rows(df, id_col, text_col, k_shingle, n_hashes, bands)
+    invisible. Pass the SAME ``hash_fn`` as the candidate run: md5 and
+    xxhash64 band keys bucket differently, so stats for one mode do not
+    describe the other's drops."""
+    b = lsh_bucket_rows(df, id_col, text_col, k_shingle, n_hashes, bands,
+                        hash_fn)
     sizes = b.groupBy("band_ix", "band_key").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),

@@ -96,9 +96,12 @@ def content_fingerprint(text_col: Column) -> Column:
     is the O(1)-per-doc exact-identity key used for lineage joins and
     resume bookkeeping.
     """
-    # NULL stays distinct from empty/whitespace-only text (sentinel
-    # cannot collide with md5 hex)
-    return F.when(text_col.isNull(), F.lit("<NULL>")) \
+    # NULL text → NULL fingerprint: unknown content has no identity.
+    # Callers that key on the fingerprint must EXEMPT null-fp rows from
+    # dedup/grouping (each unknown doc is its own group) — a shared
+    # sentinel here would collapse every extraction failure into one
+    # "document" and delete all but one of them.
+    return F.when(text_col.isNull(), F.lit(None).cast("string")) \
         .otherwise(F.md5(normalized_text_expr(text_col)))
 
 

@@ -83,6 +83,20 @@ def run_filter_job(
                "chunks_run": 0, "docs": 0, "kept": 0, "wall_sec": 0.0}
     t0 = time.time()
 
+    # Layout guard: metrics moved from flat append (chunk as a data
+    # column) to chunk=k partition dirs (dynamic overwrite). Resuming a
+    # pre-migration run would mix both layouts in one dir — partition
+    # discovery then fails or misreads, and replayed chunks could not
+    # overwrite their old flat rows. Refuse up front with a clear path.
+    if os.path.isdir(metrics_dir) and any(
+            f.endswith(".parquet") and not f.startswith("_")
+            for f in os.listdir(metrics_dir)):
+        raise RuntimeError(
+            f"metrics dir {metrics_dir} uses the old flat layout (parquet "
+            f"files at the top level, no chunk=N partitions). Resuming "
+            f"across the layout change would mix layouts; start a fresh "
+            f"output dir, or move the old metrics files aside first.")
+
     # Resume safety: a _done marker only proves that SOME chunk k was
     # committed — if the input file set or n_chunks changed since, the
     # round-robin assignment differs and skipping by index would silently

@@ -145,10 +145,16 @@ def stream_dedup_pages(
     from datacanary_spark.operators.text_analysis import content_fingerprint
 
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
-    deduped = (pages
-               .withColumn("fp", content_fingerprint(F.col("text")))
-               .withWatermark("warc_ts", watermark)
-               .dropDuplicatesWithinWatermark(["fp"]))
+    keyed = (pages
+             .withColumn("fp", content_fingerprint(F.col("text")))
+             .withWatermark("warc_ts", watermark))
+    # null fingerprint = unknown content (text extraction failed): such
+    # pages are EXEMPT from dedup and pass straight through — keying
+    # them would make every extraction failure a "duplicate" of the
+    # first one and silently drop real pages.
+    deduped = (keyed.where(F.col("fp").isNotNull())
+               .dropDuplicatesWithinWatermark(["fp"])
+               .unionByName(keyed.where(F.col("fp").isNull())))
     return (deduped.writeStream
             .foreachBatch(idempotent_parquet_sink(output_dir))
             .option("checkpointLocation", checkpoint_dir)

@@ -302,3 +302,20 @@ def test_dedup_and_sample_subcommands(spark, tmp_path, capsys):
     assert got.where(F.col("lang") == "en").count() == n_en_in  # 1.0 = all
     assert got.where(~F.col("lang").isin("en", "de")).count() == 0
     assert res["rows_out"] == got.count()
+
+
+def test_filter_job_rejects_old_metrics_layout(spark, tmp_path):
+    """Resuming into a metrics dir written by the pre-partitioned (flat
+    append) layout must refuse — mixing flat files with chunk=N
+    partition dirs breaks partition discovery and replay overwrite."""
+    import pytest
+
+    from datacanary_spark.plans import checkpoint as cp
+    from datacanary_spark.sources.fixtures import write_pages_parquet
+
+    pages, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    write_pages_parquet(pages, n_docs=20, seed=2, chunk_size=20)
+    mdir = os.path.join(out, "metrics")
+    spark.range(3).coalesce(1).write.parquet(mdir)  # flat part-*.parquet
+    with pytest.raises(RuntimeError, match="old flat layout"):
+        cp.run_filter_job(spark, pages, out, n_chunks=1)

@@ -63,6 +63,18 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
     assert edge.where(F.col("lang") == "de").count() == 0
 
 
+def test_hash_sample_predicate_agrees_with_stratified(spark):
+    """The standalone predicate and the stratified operator must select
+    the same rows (single shared bucket/threshold implementation)."""
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"),
+                                     F.lit("en").alias("lang"))
+    via_pred = {r["doc_id"] for r in df.where(
+        cs.hash_sample_predicate(F.col("doc_id"), 0.3)).collect()}
+    via_strat = {r["doc_id"] for r in cs.hash_stratified_sample(
+        df, "lang", {"en": 0.3}, "doc_id").collect()}
+    assert via_pred == via_strat and 200 < len(via_pred) < 400
+
+
 def test_canonical_url_rules(spark):
     cases = [
         # case/port/www/fragment/tracking/sort/trailing slash all at once

@@ -401,26 +401,28 @@ def test_winnow_overlap_finds_copied_passage(spark):
                                    max_posting=5).count() == 0
 
 
-def test_exact_dedup_null_vs_empty_distinct(spark):
-    """A NULL-text document and an empty-text document are different
-    documents — exact dedup must not collapse them into one group."""
+def test_exact_dedup_null_text_exempt(spark):
+    """NULL text = UNKNOWN content: not the same as empty text, and not
+    the same as any OTHER null-text doc — extraction failures must all
+    survive dedup (each is its own group), never collapse to one."""
     from datacanary_spark.operators import dedup as dd
 
     df = spark.createDataFrame(
-        [(1, None), (2, ""), (3, ""), (4, "real text")],
+        [(1, None), (2, ""), (3, ""), (4, "real text"), (5, None)],
         "doc_id: long, text: string")
     groups = {r["canonical_id"]: r["group_size"]
               for r in dd.exact_dup_groups(df).collect()}
-    assert groups == {1: 1, 2: 2, 4: 1}
+    assert groups == {1: 1, 2: 2, 4: 1, 5: 1}
     survivors = {r["doc_id"] for r in dd.dedup_exact(df).collect()}
-    assert survivors == {1, 2, 4}
+    assert survivors == {1, 2, 4, 5}  # BOTH null-text docs kept
 
     from datacanary_spark.operators.text_analysis import content_fingerprint
     from pyspark.sql import functions as F
 
     fps = {r["doc_id"]: r["fp"] for r in df.select(
         "doc_id", content_fingerprint(F.col("text")).alias("fp")).collect()}
-    assert fps[1] == "<NULL>" and fps[1] != fps[2]
+    assert fps[1] is None and fps[5] is None  # unknown content: no identity
+    assert fps[2] is not None
 
 
 def test_lsh_bucket_stats_accounts_for_cap(spark):

@@ -153,6 +153,14 @@ def test_stream_dedup_drops_recrawls_across_restarts(spark, tmp_path):
                 "f3")
     assert got.count() == 3
 
+    # null-text pages (extraction failures) are EXEMPT: unknown content
+    # must never dedup against other unknown content — both pass through
+    got = drain([("http://g.example/1", ts(11, 40), None, None, "en"),
+                 ("http://h.example/1", ts(11, 45), None, None, "en")],
+                "f4")
+    assert got.count() == 5
+    assert got.where(F.col("text").isNull()).count() == 2
+
 
 def test_append_mode_drops_late_events(spark, tmp_path):
     """Watermark late-data contract: an event arriving behind the
