@@ -425,6 +425,65 @@ def test_exact_dedup_null_text_exempt(spark):
     assert fps[2] is not None
 
 
+def test_winnow_and_line_dedup_random_differential(spark):
+    """Seeded random corpus (unicode, newlines, repeats, whitespace
+    runs, short/empty/null docs) — Spark results must match independent
+    Python twins exactly, in one batched comparison."""
+    import random
+    import re
+
+    rng = random.Random(20260817)
+    alphabet = "abcdef ghij\nkl  mno\tp ÄöÜ é 日本 ,.!?"
+    docs = [(0, None), (1, ""), (2, " \n "), (3, "1234567"), (4, "12345678")]
+    for i in range(5, 60):
+        n = rng.randint(0, 200)
+        t = "".join(rng.choice(alphabet) for _ in range(n))
+        if rng.random() < 0.3 and docs[-1][1]:
+            t = docs[-1][1] + "\n" + t  # planted shared lines/passages
+        docs.append((i, t))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    # winnowing twin
+    from datacanary_spark.operators import dedup as dd
+    from datacanary_spark.operators.text_analysis import winnow_fingerprints
+
+    got_fp = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", winnow_fingerprints(F.col("text")).alias("fp")).collect()}
+
+    def py_winnow(t, k=8, w=4):
+        if t is None:
+            return None
+        nt = re.sub(r"\s+", " ", t).lower().strip()
+        n = len(nt) - k + 1
+        if n < 1:
+            return []
+        grams = [hashlib.md5(nt[i:i + k].encode()).hexdigest()
+                 for i in range(n)]
+        return sorted({min(grams[j:j + w]) for j in range(max(n - w + 1, 1))})
+
+    for i, t in docs:
+        assert got_fp[i] == py_winnow(t), i
+
+    # line-dedup twin (first (doc_id, pos) occurrence survives;
+    # lines shorter than 1 char, i.e. empty, exempt)
+    got_ld = {r["doc_id"]: r["text"] for r in dd.dedup_lines(df).collect()}
+
+    seen: set[str] = set()
+    exp: dict[int, str] = {}
+    for i, t in sorted(docs):
+        if t is None:
+            continue
+        kept = []
+        for ln in t.split("\n"):
+            if len(ln) < 1:
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        exp[i] = "\n".join(kept)
+    assert got_ld == exp
+
+
 def test_lsh_bucket_stats_accounts_for_cap(spark):
     """The max_bucket cap's coverage loss is measurable via
     lsh_bucket_stats (docstring contract)."""
