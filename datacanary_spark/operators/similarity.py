@@ -174,9 +174,16 @@ def _centroid_dots(vec: Column, centroids: np.ndarray) -> Column:
 
 
 def ivf_cell_expr(vec: Column, centroids: np.ndarray) -> Column:
-    """Nearest-centroid cell id (0-based; ties → smallest id)."""
-    dots = _centroid_dots(vec, centroids)
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    """Nearest-centroid cell id (0-based; ties → smallest id).
+
+    The dot-product array is bound ONCE as a lambda variable (the
+    argmax references it twice, and higher-order subtrees get no
+    subexpression elimination — see winnow_fingerprints)."""
+    def pick(dots: Column) -> Column:
+        return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+    return F.element_at(
+        F.transform(F.array(_centroid_dots(vec, centroids)), pick), 1)
 
 
 def ivf_probe_cells_expr(vec: Column, centroids: np.ndarray,
