@@ -63,14 +63,28 @@ def lang_guess_expr(text_col: Column) -> Column:
     O(langs²) un-CSE'd stopword-filter passes per row (higher-order
     functions are excluded from Spark subexpression elimination).
     """
-    words = words_expr(text_col)
-    hits = F.array(*[stopword_hits(words, lang) for lang in LANGS])
     langs = F.array(*[F.lit(lang) for lang in LANGS])
-    best = F.array_max(hits)
-    # array_position returns the FIRST index of the max → same
-    # first-lang-in-LANGS-order tie-break as the old CASE chain
-    pick = F.element_at(langs, F.array_position(hits, best).cast("int"))
-    return F.when(best > 0, pick).otherwise(F.lit("und"))
+
+    # bind words (one split) and hits (one stopword pass per lang) ONCE:
+    # naive references re-evaluate the un-CSE'd HOF subtrees — the split
+    # ran len(LANGS) times and the hit array three times per row
+    def over_words(words: Column) -> Column:
+        hits_arr = F.array(*[stopword_hits(words, lang) for lang in LANGS])
+
+        def pick(hits: Column) -> Column:
+            best = F.array_max(hits)
+            # array_position returns the FIRST index of the max → same
+            # first-lang-in-LANGS-order tie-break as the old CASE chain
+            return F.when(
+                best > 0,
+                F.element_at(langs,
+                             F.array_position(hits, best).cast("int"))
+            ).otherwise(F.lit("und"))
+
+        return F.element_at(F.transform(F.array(hits_arr), pick), 1)
+
+    return F.element_at(
+        F.transform(F.array(words_expr(text_col)), over_words), 1)
 
 
 def quality_score_expr(hit_cols: dict[str, Column]) -> Column:
