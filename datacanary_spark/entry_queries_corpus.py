@@ -143,3 +143,31 @@ def url_canonical_groups(spark, sf_dir):
             .groupBy("canonical_url")
             .agg(F.count(F.lit(1)).alias("group_size"),
                  F.min("doc_id").alias("min_doc")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus length distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_quantiles_by_lang",
+    """
+    SELECT lang, count(*) AS n_docs,
+           list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]),
+                          v -> round(v, 6)) AS length_quantiles
+    FROM documents GROUP BY lang
+    """,
+)
+def length_quantiles_by_lang(spark, sf_dir):
+    """Document-length distribution per language (exact interpolated
+    quantiles — Spark percentile() and DuckDB quantile_cont share the
+    (n-1)*p linear-interpolation rule). Exact percentile state is
+    unbounded; the 10^12-row mode is the profiler's approx_percentile
+    path — this query is the oracle-able exactness twin."""
+    d = _t(spark, sf_dir, "documents")
+    ps = F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)])
+    return (d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.transform(F.percentile("n_chars", ps),
+                    lambda v: F.bround(v, 6)).alias("length_quantiles")))
