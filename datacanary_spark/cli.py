@@ -246,6 +246,28 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Composed curation pipeline: filter → dedup → mix (plans/curate)."""
+    from datacanary_spark.plans.curate import run_curation_job
+
+    fractions = None
+    if args.fractions:
+        fractions = {}
+        for part in args.fractions.split(","):
+            stratum, sep, frac = part.partition("=")
+            if not sep or not stratum:
+                raise SystemExit(f"bad --fractions entry: {part!r}")
+            fractions[stratum] = float(frac)
+    spark = _spark(args)
+    summary = run_curation_job(
+        spark, args.input, args.output, fractions=fractions,
+        strata_col=args.strata_col, key_col=args.key_col,
+        line_dedup=not args.no_line_dedup,
+        extract_from_html=args.from_html)
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def cmd_gen_pages(args) -> int:
     import math
 
@@ -363,6 +385,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--salt", default="sample")
     s.add_argument("--default-fraction", type=float, default=0.0)
     s.set_defaults(fn=cmd_sample)
+
+    cu = sub.add_parser("curate",
+                        help="filter + dedup + mix end-to-end corpus job")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--fractions", default=None,
+                    help="optional mixing, e.g. en=1.0,de=0.5")
+    cu.add_argument("--strata-col", default="lang_pred")
+    cu.add_argument("--key-col", default="url")
+    cu.add_argument("--no-line-dedup", action="store_true")
+    cu.add_argument("--from-html", action="store_true")
+    cu.set_defaults(fn=cmd_curate)
 
     g = sub.add_parser("gen-pages", help="deterministic pages fixture")
     g.add_argument("--output", required=True)

@@ -1,0 +1,95 @@
+"""End-to-end corpus curation: quality filter → dedup → mixing.
+
+The full training-data pipeline composed from the engine's tiers:
+
+    pages ─ filter_pages (heuristics + langid + perplexity + scrub)
+          ─ keep==true, text := scrubbed_text
+          ─ exact dedup (content hash, min-url survivor)
+          ─ line-level corpus dedup (C4-style, optional)
+          ─ deterministic stratified mix by predicted language (optional)
+          ─ final corpus parquet + stage-count lineage JSON
+
+Every stage is one of the already-tested operators; this module only
+composes them and accounts for what each stage removed (the per-stage
+counts are the corpus-level lineage a 100-TB curation run reports).
+Determinism: every stage is a pure function of content (hashes, min-id
+survivors, hash-threshold sampling), so re-running the job on the same
+input reproduces the identical corpus on any cluster size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from datacanary_spark.functions.heuristics import FilterConfig
+from datacanary_spark.operators.corpus_stats import hash_stratified_sample
+from datacanary_spark.operators.dedup import dedup_exact, dedup_lines
+from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+from datacanary_spark.sources.io import read_table
+
+
+def run_curation_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    cfg: FilterConfig | None = None,
+    models=None,
+    fractions: dict[str, float] | None = None,
+    strata_col: str = "lang_pred",
+    key_col: str = "url",
+    line_dedup: bool = True,
+    extract_from_html: bool = False,
+) -> dict:
+    """Run the composed curation pipeline; returns stage-count summary.
+
+    ``fractions`` (e.g. ``{"en": 1.0, "de": 0.5}``) enables the mixing
+    stage; strata not listed are dropped (default_fraction=0). Without
+    it every surviving doc is kept.
+    """
+    t0 = time.time()
+    pages = read_table(spark, input_path)
+    verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
+                            extract_from_html=extract_from_html)
+    kept = (verdicts.where(F.col("keep"))
+            .select("url", F.col("scrubbed_text").alias("text"), "lang_pred")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    summary = {"docs_in": pages.count(), "kept": kept.count()}
+
+    stage = dedup_exact(kept, id_col="url", text_col="text") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    summary["after_exact_dedup"] = stage.count()
+    pinned = [kept, stage]
+
+    if line_dedup:
+        ld = dedup_lines(stage, id_col="url", text_col="text")
+        stage = (stage.drop("text").join(ld, "url")
+                 .where(F.length(F.trim("text")) > 0)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        summary["after_line_dedup"] = stage.count()
+        pinned.append(stage)
+
+    if fractions:
+        stage = hash_stratified_sample(stage, strata_col, fractions, key_col)
+        summary["sampled"] = stage.count()
+
+    corpus_dir = os.path.join(output_path, "corpus")
+    stage.write.mode("overwrite").parquet(corpus_dir)
+    for df in pinned:
+        df.unpersist()
+
+    final = spark.read.parquet(corpus_dir)
+    summary["final_docs"] = final.count()
+    summary["by_lang"] = {
+        r[strata_col]: r["n"]
+        for r in final.groupBy(strata_col)
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+    summary["wall_sec"] = round(time.time() - t0, 3)
+    with open(os.path.join(output_path, "curation_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, sort_keys=True)
+    return summary

@@ -319,3 +319,35 @@ def test_filter_job_rejects_old_metrics_layout(spark, tmp_path):
     spark.range(3).coalesce(1).write.parquet(mdir)  # flat part-*.parquet
     with pytest.raises(RuntimeError, match="old flat layout"):
         cp.run_filter_job(spark, pages, out, n_chunks=1)
+
+
+def test_curate_end_to_end_and_deterministic(spark, tmp_path, capsys):
+    """The composed curation job (filter -> exact dedup -> line dedup ->
+    stratified mix) runs end to end with monotone stage counts, and a
+    re-run reproduces the identical corpus (every stage is a pure
+    function of content)."""
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "150",
+                 "--files", "3"]) == 0
+    capsys.readouterr()
+
+    def run(out):
+        assert main(["curate", "--input", pages, "--output", out,
+                     "--fractions", "en=1.0,de=0.5,fr=0.5,es=0.5,it=0.5"]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    s1 = run(str(tmp_path / "o1"))
+    assert s1["docs_in"] == 150
+    assert (s1["docs_in"] >= s1["kept"] >= s1["after_exact_dedup"]
+            >= s1["after_line_dedup"] >= s1["sampled"] == s1["final_docs"] > 0)
+    assert os.path.exists(os.path.join(str(tmp_path / "o1"),
+                                       "curation_summary.json"))
+
+    s2 = run(str(tmp_path / "o2"))
+    assert {k: v for k, v in s1.items() if k != "wall_sec"} \
+        == {k: v for k, v in s2.items() if k != "wall_sec"}
+    a = {tuple(r) for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "o1"), "corpus")).collect()}
+    b = {tuple(r) for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "o2"), "corpus")).collect()}
+    assert a == b
