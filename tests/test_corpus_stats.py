@@ -75,6 +75,55 @@ def test_hash_sample_predicate_agrees_with_stratified(spark):
     assert via_pred == via_strat and 200 < len(via_pred) < 400
 
 
+def test_canonical_url_random_differential(spark):
+    """Seeded random URLs (mixed case, ports, params in random order,
+    fragments, empty queries) — Spark canonicalization must match an
+    independent Python twin of the documented rules exactly."""
+    import random
+    import re
+
+    rng = random.Random(20260817)
+    urls = []
+    for _ in range(120):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS", "ftp"])
+        host = rng.choice(["Example.COM", "www.Site.org", "WWW.a-b.net",
+                           "host.io"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        segs = rng.randint(0, 3)
+        path = "".join("/" + rng.choice(["Alpha", "b", "C9"])
+                       for _ in range(segs))
+        path += rng.choice(["", "/"])
+        params = rng.sample(["utm_source=x", "utm_campaign=Y", "fbclid=z",
+                             "gclid=1", "id=5", "b=2", "q=hello", "empty="],
+                            rng.randint(0, 5))
+        query = "?" + "&".join(params) if params else rng.choice(["", "?"])
+        frag = rng.choice(["", "#sec", "#a?b=1"])
+        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+
+    def py_canon(u):
+        u = re.sub(r"#.*$", "", u)
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$", u)
+        scheme, host, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+        host = re.sub(r"^www\.", "", host)
+        if scheme == "http":
+            host = re.sub(r":80$", "", host)
+        elif scheme == "https":
+            host = re.sub(r":443$", "", host)
+        path = re.sub(r"/$", "", re.match(r"^([^?]*)", rest).group(1))
+        qm = re.search(r"\?(.*)$", rest)
+        params = sorted(
+            p for p in (qm.group(1) if qm else "").split("&")
+            if p and not re.match(r"^(utm_[^=]*|fbclid|gclid)=", p))
+        return scheme + "://" + host + path + \
+            ("?" + "&".join(params) if params else "")
+
+    df = spark.createDataFrame(list(enumerate(urls)), "i: int, url: string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonical_url_expr(F.col("url")).alias("c")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == py_canon(u), (u, got[i], py_canon(u))
+
+
 def test_canonical_url_rules(spark):
     cases = [
         # case/port/www/fragment/tracking/sort/trailing slash all at once
