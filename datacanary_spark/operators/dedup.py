@@ -257,6 +257,13 @@ def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
     # functions/heuristics.with_text_stats — benchmarked ~10×)
     d = df.select(F.col(id_col),
                   char_shingles(F.col(text_col), k_shingle).alias("_sh"))
+    # Docs with no shingles (null or empty text) all hash to the SAME
+    # empty band key — at corpus scale that is one degenerate bucket of
+    # every extraction failure (the Jaccard verify would reject the
+    # pairs anyway, and max_bucket would drop the bucket, but there is
+    # no reason to build it). Unknown content has no similarity
+    # identity; exclude it from banding entirely.
+    d = d.where(F.size("_sh") > 0)
     d = d.select(F.col(id_col),
                  minhash_signature(F.col("_sh"), n_hashes, hash_fn).alias("sig"))
     band_structs = F.array(*[
