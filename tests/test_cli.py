@@ -351,3 +351,33 @@ def test_curate_end_to_end_and_deterministic(spark, tmp_path, capsys):
     b = {tuple(r) for r in spark.read.parquet(
         os.path.join(str(tmp_path / "o2"), "corpus")).collect()}
     assert a == b
+
+
+def test_spark_submit_curate_job(tmp_path):
+    """jobs/curate_job.py runs through spark-submit in a fresh JVM with
+    only the --py-files zip (the packaged composition entry point)."""
+    import subprocess
+    import sys
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    dest = str(tmp_path / "dist")
+    assert main(["gen-pages", "--output", pages, "--docs", "60",
+                 "--files", "2"]) == 0
+    assert main(["package", "--dest", dest]) == 0
+    zp = os.path.join(dest, "datacanary_spark.zip")
+
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]", "--py-files", zp,
+         "jobs/curate_job.py", "--input", pages, "--output", out,
+         "--fractions", "en=1.0,de=1.0,fr=1.0,es=1.0,it=1.0"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["docs_in"] == 60
+    assert summary["final_docs"] > 0
+    assert os.path.exists(os.path.join(out, "curation_summary.json"))
