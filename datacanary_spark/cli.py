@@ -219,6 +219,29 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def parse_fractions(spec: str) -> dict[str, float]:
+    """Parse ``stratum=frac,…`` mixing specs (single validation point
+    for the sample/curate CLI and jobs/curate_job.py)."""
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        stratum, sep, frac = part.partition("=")
+        if not sep or not stratum:
+            raise SystemExit(f"bad --fractions entry: {part!r} "
+                             "(expected stratum=fraction)")
+        try:
+            f = float(frac)
+        except ValueError:
+            raise SystemExit(f"bad --fractions value in {part!r}: "
+                             f"{frac!r} is not a number") from None
+        if not 0.0 <= f <= 1.0:
+            raise SystemExit(
+                f"--fractions value out of [0, 1] in {part!r}")
+        if stratum in out:
+            raise SystemExit(f"duplicate stratum in --fractions: {stratum!r}")
+        out[stratum] = f
+    return out
+
+
 def cmd_sample(args) -> int:
     """Deterministic stratified sample (corpus mixing).
 
@@ -227,13 +250,7 @@ def cmd_sample(args) -> int:
     from datacanary_spark.operators.corpus_stats import hash_stratified_sample
     from datacanary_spark.sources.io import read_table
 
-    fractions = {}
-    for part in args.fractions.split(","):
-        stratum, _, frac = part.partition("=")
-        if not _ or not stratum:
-            raise SystemExit(f"bad --fractions entry: {part!r} "
-                             "(expected stratum=fraction)")
-        fractions[stratum] = float(frac)
+    fractions = parse_fractions(args.fractions)
     spark = _spark(args)
     df = read_table(spark, args.input)
     out = hash_stratified_sample(df, args.strata_col, fractions,
@@ -250,14 +267,7 @@ def cmd_curate(args) -> int:
     """Composed curation pipeline: filter → dedup → mix (plans/curate)."""
     from datacanary_spark.plans.curate import run_curation_job
 
-    fractions = None
-    if args.fractions:
-        fractions = {}
-        for part in args.fractions.split(","):
-            stratum, sep, frac = part.partition("=")
-            if not sep or not stratum:
-                raise SystemExit(f"bad --fractions entry: {part!r}")
-            fractions[stratum] = float(frac)
+    fractions = parse_fractions(args.fractions) if args.fractions else None
     spark = _spark(args)
     summary = run_curation_job(
         spark, args.input, args.output, fractions=fractions,

@@ -36,6 +36,16 @@ import numpy as np
 from datacanary_spark.functions.models import SCORE_MAX_BYTES
 
 
+def _head_text(t, max_bytes: int = SCORE_MAX_BYTES) -> str:
+    """First ``max_bytes`` of the document measured in UTF-8 BYTES —
+    the same scoring window the built-in models use (a character slice
+    would read up to 4× more bytes on CJK text, diverging the verdicts
+    the adapters are supposed to reproduce). A codepoint cut in half by
+    the byte slice is dropped."""
+    b = ("" if t is None else str(t)).encode("utf-8")[:max_bytes]
+    return b.decode("utf-8", errors="ignore")
+
+
 def _require(module: str):
     import importlib
 
@@ -108,9 +118,7 @@ class FastTextLangId(_LazyBinaryModel):
         reads the same first-KBs window as the built-in model.
         """
         m = self._load()
-        cleaned = [
-            ("" if t is None else str(t)).replace("\n", " ")[:SCORE_MAX_BYTES]
-            for t in texts]
+        cleaned = [_head_text(t).replace("\n", " ") for t in texts]
         labels, probs = m.predict(cleaned, k=1)
         langs = np.array(
             [(l[0][len("__label__"):] if l else "und") for l in labels],
@@ -136,7 +144,7 @@ class KenLMPerplexity(_LazyBinaryModel):
         m = self._load()
         out = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
-            s = ("" if t is None else str(t))[:SCORE_MAX_BYTES].strip()
+            s = _head_text(t).strip()
             n_tokens = len(s.split())
             if n_tokens == 0:
                 out[i] = EMPTY_DOC_PPL

@@ -31,7 +31,7 @@ from datacanary_spark.functions.heuristics import FilterConfig
 from datacanary_spark.operators.corpus_stats import hash_stratified_sample
 from datacanary_spark.operators.dedup import dedup_exact, dedup_lines
 from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
-from datacanary_spark.sources.io import read_table
+from datacanary_spark.sources.io import read_table, write_text
 
 
 def run_curation_job(
@@ -56,8 +56,21 @@ def run_curation_job(
     pages = read_table(spark, input_path)
     verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
                             extract_from_html=extract_from_html)
+    # carry exactly the columns downstream stages key on: url + scrubbed
+    # text always, plus any non-default strata/key column — validated up
+    # front so a typo fails before the filter stage runs
+    carry = ["url", "text"]
+    for c in dict.fromkeys([strata_col, key_col]):
+        if c in ("url", "text"):
+            continue
+        if c not in verdicts.columns:
+            raise ValueError(
+                f"column {c!r} not in the filter output "
+                f"(available: {sorted(verdicts.columns)})")
+        carry.append(c)
     kept = (verdicts.where(F.col("keep"))
-            .select("url", F.col("scrubbed_text").alias("text"), "lang_pred")
+            .select("url", F.col("scrubbed_text").alias("text"),
+                    *carry[2:])
             .persist(StorageLevel.MEMORY_AND_DISK))
     summary = {"docs_in": pages.count(), "kept": kept.count()}
 
@@ -79,7 +92,9 @@ def run_curation_job(
         summary["sampled"] = stage.count()
 
     corpus_dir = os.path.join(output_path, "corpus")
-    stage.write.mode("overwrite").parquet(corpus_dir)
+    # pin the output schema: the line-dedup join reorders columns, and
+    # positional consumers must see one layout regardless of flags
+    stage.select(*carry).write.mode("overwrite").parquet(corpus_dir)
     for df in pinned:
         df.unpersist()
 
@@ -90,6 +105,8 @@ def run_curation_job(
         for r in final.groupBy(strata_col)
                       .agg(F.count(F.lit(1)).alias("n")).collect()}
     summary["wall_sec"] = round(time.time() - t0, 3)
-    with open(os.path.join(output_path, "curation_summary.json"), "w") as f:
-        json.dump(summary, f, indent=2, sort_keys=True)
+    # Hadoop-FS write: output_path may be s3a://… on a real cluster —
+    # a local open() would crash AFTER the whole compute finished
+    write_text(spark, os.path.join(output_path, "curation_summary.json"),
+               json.dumps(summary, indent=2, sort_keys=True))
     return summary

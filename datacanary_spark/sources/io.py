@@ -127,6 +127,18 @@ def write_table(df: DataFrame, target: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(target)
 
 
+def write_text(spark: SparkSession, uri: str, content: str) -> None:
+    """Write a small text/JSON artifact to ANY filesystem scheme via the
+    Hadoop FS client (local path, s3a://, abfss://, gs://, hdfs://) —
+    summary/lineage sidecars must not assume a local output dir."""
+    fs, path, _ = _fs_and_path(spark, uri)
+    out = fs.create(path, True)  # overwrite
+    try:
+        out.write(content.encode("utf-8"))
+    finally:
+        out.close()
+
+
 def _fs_and_path(spark: SparkSession, uri: str):
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -27,14 +27,9 @@ def main() -> None:
     p.add_argument("--from-html", action="store_true")
     args = p.parse_args()
 
-    fractions = None
-    if args.fractions:
-        fractions = {}
-        for part in args.fractions.split(","):
-            stratum, sep, frac = part.partition("=")
-            if not sep or not stratum:
-                raise SystemExit(f"bad --fractions entry: {part!r}")
-            fractions[stratum] = float(frac)
+    from datacanary_spark.cli import parse_fractions
+
+    fractions = parse_fractions(args.fractions) if args.fractions else None
 
     from pyspark.sql import SparkSession
 

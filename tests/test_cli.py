@@ -381,3 +381,41 @@ def test_spark_submit_curate_job(tmp_path):
     assert summary["docs_in"] == 60
     assert summary["final_docs"] > 0
     assert os.path.exists(os.path.join(out, "curation_summary.json"))
+
+
+def test_parse_fractions_validation():
+    """One shared parser guards every mixing entry point."""
+    import pytest
+
+    from datacanary_spark.cli import parse_fractions
+
+    assert parse_fractions("en=1.0,de=0.5") == {"en": 1.0, "de": 0.5}
+    for bad in ["en=", "en=abc", "=0.5", "en", "en=1.5", "en=0.5,en=0.2"]:
+        with pytest.raises(SystemExit):
+            parse_fractions(bad)
+
+
+def test_curate_custom_strata_and_key_columns(spark, tmp_path, capsys):
+    """--strata-col/--key-col other than the defaults must work (mix on
+    the model perplexity band via a verdict column) and an unknown
+    column must fail fast, before the filter stage runs."""
+    import pytest
+
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "60",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+    s = run_curation_job(spark, pages, str(tmp_path / "o"),
+                         fractions={"en": 1.0, "de": 1.0, "fr": 1.0,
+                                    "es": 1.0, "it": 1.0},
+                         strata_col="lang_pred", key_col="lang_pred")
+    assert s["final_docs"] > 0
+    cols = spark.read.parquet(
+        os.path.join(str(tmp_path / "o"), "corpus")).columns
+    assert cols == ["url", "text", "lang_pred"]  # pinned layout
+
+    with pytest.raises(ValueError, match="not in the filter output"):
+        run_curation_job(spark, pages, str(tmp_path / "o2"),
+                         strata_col="no_such_col")

@@ -99,3 +99,18 @@ def test_adapters_slot_into_quality_models_bundle(fake_modules):
     langs, conf = back.langid.predict(["the quick test"])
     assert list(langs) == ["en"]
     assert back.perplexity.score(["a b"])[0] > 0
+
+
+def test_scoring_window_is_bytes_not_chars(fake_modules):
+    """Parity with the built-in models: the scoring window is UTF-8
+    BYTES (a char slice would read ~3x more of a CJK document)."""
+    from datacanary_spark.functions.model_adapters import _head_text
+    from datacanary_spark.functions.models import SCORE_MAX_BYTES
+
+    cjk = "日" * SCORE_MAX_BYTES  # 3 bytes per char
+    head = _head_text(cjk)
+    assert len(head.encode("utf-8")) <= SCORE_MAX_BYTES
+    assert len(head) == SCORE_MAX_BYTES // 3  # not a char-count slice
+    assert _head_text(None) == ""
+    # a codepoint cut mid-sequence by the byte boundary is dropped
+    assert not _head_text("a" + "é" * SCORE_MAX_BYTES).endswith("�")
