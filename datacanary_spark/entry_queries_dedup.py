@@ -452,3 +452,83 @@ def c4_line_dedup(spark, sf_dir):
         "\n", F.lit("SHARED HEADER NAVIGATION MENU"), mid, mid,
         F.lit("SHARED FOOTER COPYRIGHT NOTICE")).alias("text"))
     return dd.dedup_lines(corpus)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (benchmark/test-set overlap removal)
+# ---------------------------------------------------------------------------
+
+def _winnow_ctes(src: str, p: str) -> str:
+    """_WINNOW_CTES with prefixed CTE names so two corpora can be
+    winnowed in one oracle query."""
+    s = _WINNOW_CTES.format(src=src)
+    for name in ("wbase", "wgrams", "wfps"):
+        s = s.replace(name, p + name[1:])
+    return s
+
+
+@register(
+    "decontaminate_exact_survivors",
+    """
+    SELECT count(*) AS n_survivors, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents c
+    WHERE doc_id < 150 AND (text IS NULL OR NOT EXISTS (
+      SELECT 1 FROM documents r
+      WHERE r.doc_id % 7 = 0 AND r.text IS NOT NULL
+        AND md5(trim(lower(regexp_replace(r.text, '\\s+', ' ', 'g'))))
+          = md5(trim(lower(regexp_replace(c.text, '\\s+', ' ', 'g'))))))
+    """,
+)
+def decontaminate_exact_survivors(spark, sf_dir):
+    """Exact decontamination: corpus docs whose normalized content
+    appears in the reference set (every 7th doc) are dropped;
+    null-text docs are never dropped (unknown content is not evidence
+    of contamination). sum(doc_id) pins exact membership."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 150).select("doc_id", "text")
+    reference = d.where(F.col("doc_id") % 7 == 0).select("text")
+    out = dd.decontaminate(corpus, reference, mode="exact")
+    return out.agg(F.count(F.lit(1)).alias("n_survivors"),
+                   F.sum("doc_id").alias("sum_ids"))
+
+
+@register(
+    "decontaminate_winnow_survivors",
+    f"""
+    WITH {_winnow_ctes(
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 150)", "c")},
+    {_winnow_ctes(
+        "(SELECT doc_id, 'BENCHMARK QUESTION: ' || substring(text, 1, 120) "
+        "AS text FROM documents "
+        "WHERE doc_id % 10 = 0 AND doc_id < 150 AND text IS NOT NULL)", "r")},
+    cpost AS (SELECT doc_id, unnest(fps) AS fp FROM cfps),
+    ckept AS (
+      SELECT fp, doc_id FROM cpost
+      QUALIFY count(*) OVER (PARTITION BY fp) <= 50
+    ),
+    rfp AS (SELECT DISTINCT unnest(fps) AS fp FROM rfps),
+    contaminated AS (
+      SELECT doc_id FROM ckept JOIN rfp USING (fp)
+      GROUP BY doc_id HAVING count(*) >= 5
+    )
+    SELECT count(*) AS n_survivors, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    WHERE doc_id < 150
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminate_winnow_survivors(spark, sf_dir):
+    """Passage-level decontamination: the reference quotes a 120-char
+    passage of every 10th doc inside benchmark framing text; winnowing
+    overlap must drop exactly those docs from the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 150).select("doc_id", "text")
+    reference = d.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 150)
+        & F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(F.lit("BENCHMARK QUESTION: "),
+                 F.substring(F.col("text"), 1, 120)).alias("text"))
+    out = dd.decontaminate(corpus, reference, mode="winnow")
+    return out.agg(F.count(F.lit(1)).alias("n_survivors"),
+                   F.sum("doc_id").alias("sum_ids"))

@@ -414,6 +414,65 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                 .where(F.col("shared_fps") >= min_shared))
 
 
+def decontaminate(corpus: DataFrame, reference: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ref_text_col: str = "text", mode: str = "exact",
+                  k: int = 8, window: int = 4, min_shared: int = 5,
+                  max_posting: int = 50) -> DataFrame:
+    """Remove corpus documents that overlap a reference corpus
+    (test-set / benchmark decontamination).
+
+    ``mode="exact"``: drop corpus docs whose normalized content
+    fingerprint appears in the reference — a LEFT ANTI join on the
+    fingerprint (null-fingerprint docs are never dropped: unknown
+    content is not evidence of contamination).
+
+    ``mode="winnow"``: drop corpus docs sharing >= ``min_shared``
+    winnowing fingerprints with ANY reference doc — catches a benchmark
+    question quoted inside an otherwise-novel page. Asymmetric posting
+    join: reference fingerprints are DISTINCT (the reference's own
+    duplication is irrelevant) and, being benchmark-sized, typically
+    broadcast; ``max_posting`` caps ubiquitous corpus fingerprints like
+    everywhere else in this module. One shuffle on the fingerprint at
+    most — never a pairwise text scan.
+
+    Returns the surviving corpus rows (schema unchanged).
+    """
+    from datacanary_spark.operators.text_analysis import (
+        content_fingerprint,
+        winnow_fingerprints,
+    )
+
+    if mode == "exact":
+        ref_fp = reference.select(
+            content_fingerprint(F.col(ref_text_col)).alias("_fp")) \
+            .where(F.col("_fp").isNotNull()).distinct()
+        keyed = corpus.withColumn(
+            "_fp", content_fingerprint(F.col(text_col)))
+        return keyed.join(ref_fp, "_fp", "left_anti").drop("_fp")
+    if mode != "winnow":
+        raise ValueError(f"unknown mode: {mode!r} (exact|winnow)")
+
+    from pyspark.sql import Window
+
+    c_fp = corpus.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k, window))
+        .alias("fp"))
+    w = Window.partitionBy("fp")
+    c_fp = (c_fp.withColumn("_n", F.count(F.lit(1)).over(w))
+                .where(F.col("_n") <= max_posting).drop("_n"))
+    r_fp = reference.select(
+        F.explode(winnow_fingerprints(F.col(ref_text_col), k, window))
+        .alias("fp")).distinct()
+    contaminated = (c_fp.join(r_fp, "fp")
+                    .groupBy(id_col)
+                    .agg(F.count(F.lit(1)).alias("_shared"))
+                    .where(F.col("_shared") >= min_shared)
+                    .select(id_col))
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def lsh_bucket_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k_shingle: int = 5,
                      n_hashes: int = 16, bands: int = 4,

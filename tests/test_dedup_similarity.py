@@ -484,6 +484,36 @@ def test_winnow_and_line_dedup_random_differential(spark):
     assert got_ld == exp
 
 
+def test_decontaminate_exact_and_winnow(spark):
+    """Benchmark decontamination: exact mode drops normalized-content
+    matches (never null-text docs); winnow mode drops docs whose
+    passage is quoted inside reference framing text."""
+    from datacanary_spark.operators import dedup as dd
+
+    passage = ("the capital of the example country is exampleville "
+               "according to the benchmark answer key")
+    corpus = spark.createDataFrame(
+        [(1, "a perfectly clean training document about cooking"),
+         (2, "LEAKED  doc   with odd spacing"),
+         (3, None),
+         (4, "Intro paragraph. " + passage + " Outro paragraph."),
+         (5, "another clean document describing mountain hiking")],
+        "doc_id: long, text: string")
+    reference = spark.createDataFrame(
+        [("leaked doc with odd spacing",),         # normalized == doc 2
+         ("BENCHMARK QUESTION: " + passage,)],
+        "text: string")
+
+    exact = {r["doc_id"] for r in
+             dd.decontaminate(corpus, reference, mode="exact").collect()}
+    assert exact == {1, 3, 4, 5}  # doc 2 dropped; null doc 3 survives
+
+    winnow = {r["doc_id"] for r in
+              dd.decontaminate(corpus, reference, mode="winnow").collect()}
+    assert 4 not in winnow        # quoted passage detected
+    assert {1, 3, 5} <= winnow    # clean + null docs survive
+
+
 def test_lsh_bucket_stats_accounts_for_cap(spark):
     """The max_bucket cap's coverage loss is measurable via
     lsh_bucket_stats (docstring contract)."""
