@@ -273,7 +273,9 @@ def cmd_curate(args) -> int:
         spark, args.input, args.output, fractions=fractions,
         strata_col=args.strata_col, key_col=args.key_col,
         line_dedup=not args.no_line_dedup,
-        extract_from_html=args.from_html)
+        extract_from_html=args.from_html,
+        decontaminate_path=args.decontaminate_against,
+        decontaminate_mode=args.decontaminate_mode)
     print(json.dumps(summary, sort_keys=True))
     return 0
 
@@ -406,6 +408,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--key-col", default="url")
     cu.add_argument("--no-line-dedup", action="store_true")
     cu.add_argument("--from-html", action="store_true")
+    cu.add_argument("--decontaminate-against", default=None,
+                    help="benchmark table (text column); overlapping "
+                         "docs are removed")
+    cu.add_argument("--decontaminate-mode", choices=["exact", "winnow"],
+                    default="winnow")
     cu.set_defaults(fn=cmd_curate)
 
     g = sub.add_parser("gen-pages", help="deterministic pages fixture")

@@ -29,7 +29,11 @@ from pyspark.storagelevel import StorageLevel
 
 from datacanary_spark.functions.heuristics import FilterConfig
 from datacanary_spark.operators.corpus_stats import hash_stratified_sample
-from datacanary_spark.operators.dedup import dedup_exact, dedup_lines
+from datacanary_spark.operators.dedup import (
+    decontaminate,
+    dedup_exact,
+    dedup_lines,
+)
 from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
 from datacanary_spark.sources.io import read_table, write_text
 
@@ -45,12 +49,16 @@ def run_curation_job(
     key_col: str = "url",
     line_dedup: bool = True,
     extract_from_html: bool = False,
+    decontaminate_path: str | None = None,
+    decontaminate_mode: str = "winnow",
 ) -> dict:
     """Run the composed curation pipeline; returns stage-count summary.
 
     ``fractions`` (e.g. ``{"en": 1.0, "de": 0.5}``) enables the mixing
     stage; strata not listed are dropped (default_fraction=0). Without
-    it every surviving doc is kept.
+    it every surviving doc is kept. ``decontaminate_path`` points at a
+    benchmark/test-set table with a ``text`` column; overlapping corpus
+    docs are removed (``decontaminate_mode``: "exact" or "winnow").
     """
     t0 = time.time()
     pages = read_table(spark, input_path)
@@ -85,6 +93,14 @@ def run_curation_job(
                  .where(F.length(F.trim("text")) > 0)
                  .persist(StorageLevel.MEMORY_AND_DISK))
         summary["after_line_dedup"] = stage.count()
+        pinned.append(stage)
+
+    if decontaminate_path:
+        reference = read_table(spark, decontaminate_path)
+        stage = decontaminate(stage, reference, id_col="url",
+                              text_col="text", mode=decontaminate_mode) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        summary["after_decontamination"] = stage.count()
         pinned.append(stage)
 
     if fractions:

@@ -25,6 +25,9 @@ def main() -> None:
     p.add_argument("--key-col", default="url")
     p.add_argument("--no-line-dedup", action="store_true")
     p.add_argument("--from-html", action="store_true")
+    p.add_argument("--decontaminate-against", default=None)
+    p.add_argument("--decontaminate-mode", choices=["exact", "winnow"],
+                   default="winnow")
     args = p.parse_args()
 
     from datacanary_spark.cli import parse_fractions
@@ -44,7 +47,9 @@ def main() -> None:
         spark, args.input, args.output, fractions=fractions,
         strata_col=args.strata_col, key_col=args.key_col,
         line_dedup=not args.no_line_dedup,
-        extract_from_html=args.from_html)
+        extract_from_html=args.from_html,
+        decontaminate_path=args.decontaminate_against,
+        decontaminate_mode=args.decontaminate_mode)
     print(json.dumps(summary, sort_keys=True))
 
 

@@ -419,3 +419,32 @@ def test_curate_custom_strata_and_key_columns(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="not in the filter output"):
         run_curation_job(spark, pages, str(tmp_path / "o2"),
                          strata_col="no_such_col")
+
+
+def test_curate_with_decontamination(spark, tmp_path, capsys):
+    """The optional decontamination stage removes corpus docs whose
+    scrubbed text overlaps the benchmark table."""
+    from pyspark.sql import functions as F2
+
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    # benchmark = exact scrubbed text of some surviving docs
+    corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    bench = str(tmp_path / "bench")
+    corpus.orderBy("url").limit(5).select("text").write.parquet(bench)
+
+    s = run_curation_job(spark, pages, str(tmp_path / "dec"),
+                         decontaminate_path=bench,
+                         decontaminate_mode="exact")
+    assert s["after_decontamination"] == s["after_line_dedup"] - 5
+    assert s["final_docs"] == base["final_docs"] - 5
+    leaked = {r["text"] for r in spark.read.parquet(bench).collect()}
+    out = spark.read.parquet(os.path.join(str(tmp_path / "dec"), "corpus"))
+    assert out.where(F2.col("text").isin(list(leaked))).count() == 0
