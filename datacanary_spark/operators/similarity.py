@@ -166,6 +166,40 @@ def ivf_centroids(dim: int, n_centroids: int,
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
+                        n_centroids: int = 16, seed: int = PLANE_SEED,
+                        sample_fraction: float | None = None,
+                        max_iter: int = 20) -> np.ndarray:
+    """Train the IVF coarse quantizer with Spark ML KMeans.
+
+    Returns a unit-norm centroid matrix that plugs into ``ivf_topk``'s
+    ``centroids`` parameter unchanged (the deterministic random
+    centroids from ``ivf_centroids`` are the no-training fallback; a
+    trained quantizer concentrates probe mass where the data actually
+    lives and measurably improves recall — see the recall test).
+
+    At 10^12 vectors, train on a sample: ``sample_fraction`` applies a
+    deterministic hash sample on the vector bytes (same pure-function
+    contract as corpus_stats sampling — reproducible on any cluster),
+    and KMeans cost is O(sample · k · iters), independent of corpus
+    size. The centroid matrix itself stays a few KB of plan literals.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_fraction is not None:
+        thr = f"{int(round(sample_fraction * 16**8)):08x}"
+        data = data.where(
+            F.substring(F.md5(F.col("_v").cast("string")), 1, 8)
+            < F.lit(thr))
+    data = data.select(array_to_vector(F.col("_v")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(data)
+    c = np.asarray(model.clusterCenters(), dtype=np.float64)
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    return c / np.where(norms == 0, 1.0, norms)
+
+
 def _centroid_dots(vec: Column, centroids: np.ndarray) -> Column:
     return F.array(*[
         dot_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
