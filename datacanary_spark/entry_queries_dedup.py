@@ -502,13 +502,9 @@ def decontaminate_exact_survivors(spark, sf_dir):
         "AS text FROM documents "
         "WHERE doc_id % 10 = 0 AND doc_id < 150 AND text IS NOT NULL)", "r")},
     cpost AS (SELECT doc_id, unnest(fps) AS fp FROM cfps),
-    ckept AS (
-      SELECT fp, doc_id FROM cpost
-      QUALIFY count(*) OVER (PARTITION BY fp) <= 50
-    ),
     rfp AS (SELECT DISTINCT unnest(fps) AS fp FROM rfps),
     contaminated AS (
-      SELECT doc_id FROM ckept JOIN rfp USING (fp)
+      SELECT doc_id FROM cpost JOIN rfp USING (fp)
       GROUP BY doc_id HAVING count(*) >= 5
     )
     SELECT count(*) AS n_survivors, CAST(sum(doc_id) AS BIGINT) AS sum_ids

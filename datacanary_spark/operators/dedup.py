@@ -418,7 +418,8 @@ def decontaminate(corpus: DataFrame, reference: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   ref_text_col: str = "text", mode: str = "exact",
                   k: int = 8, window: int = 4, min_shared: int = 5,
-                  max_posting: int = 50) -> DataFrame:
+                  max_posting: int | None = None,
+                  persist: bool = False) -> DataFrame:
     """Remove corpus documents that overlap a reference corpus
     (test-set / benchmark decontamination).
 
@@ -432,9 +433,22 @@ def decontaminate(corpus: DataFrame, reference: DataFrame,
     question quoted inside an otherwise-novel page. Asymmetric posting
     join: reference fingerprints are DISTINCT (the reference's own
     duplication is irrelevant) and, being benchmark-sized, typically
-    broadcast; ``max_posting`` caps ubiquitous corpus fingerprints like
-    everywhere else in this module. One shuffle on the fingerprint at
-    most — never a pairwise text scan.
+    broadcast. One shuffle on the fingerprint at most — never a
+    pairwise text scan.
+
+    ``max_posting`` is OFF by default, unlike the self-join operators:
+    here each corpus fingerprint row matches at most one (distinct)
+    reference row, so there is no quadratic blowup for the cap to
+    prevent — and capping would mean the WORSE a benchmark leak (the
+    more corpus docs quote the passage), the LESS gets removed. Set it
+    only to ignore corpus-wide boilerplate fingerprints deliberately.
+
+    ``persist=True`` caches the corpus input, which is referenced twice
+    (fingerprint branch + the final anti-join); the default leaves it
+    uncached because re-scanning a 100-TB corpus once is usually
+    cheaper than caching it — persist when the corpus is a small or
+    expensive-to-recompute frame (same lifetime contract as
+    lsh_candidate_pairs).
 
     Returns the surviving corpus rows (schema unchanged).
     """
@@ -453,15 +467,21 @@ def decontaminate(corpus: DataFrame, reference: DataFrame,
     if mode != "winnow":
         raise ValueError(f"unknown mode: {mode!r} (exact|winnow)")
 
-    from pyspark.sql import Window
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
 
     c_fp = corpus.select(
         F.col(id_col),
         F.explode(winnow_fingerprints(F.col(text_col), k, window))
         .alias("fp"))
-    w = Window.partitionBy("fp")
-    c_fp = (c_fp.withColumn("_n", F.count(F.lit(1)).over(w))
-                .where(F.col("_n") <= max_posting).drop("_n"))
+    if max_posting is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp")
+        c_fp = (c_fp.withColumn("_n", F.count(F.lit(1)).over(w))
+                    .where(F.col("_n") <= max_posting).drop("_n"))
     r_fp = reference.select(
         F.explode(winnow_fingerprints(F.col(ref_text_col), k, window))
         .alias("fp")).distinct()

@@ -187,12 +187,20 @@ def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    data = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    data = (df.where(F.col(vec_col).isNotNull())  # null features crash fit
+              .select(F.col(vec_col).cast("array<double>").alias("_v")))
     if sample_fraction is not None:
-        thr = f"{int(round(sample_fraction * 16**8)):08x}"
+        # the shared sampling helpers: _hex_threshold clamps the 1.0
+        # nine-hex-digit edge case and validates range; _bucket_expr is
+        # the single definition of the salt:key bucket
+        from datacanary_spark.operators.corpus_stats import (
+            _bucket_expr,
+            _hex_threshold,
+        )
+
         data = data.where(
-            F.substring(F.md5(F.col("_v").cast("string")), 1, 8)
-            < F.lit(thr))
+            _bucket_expr(F.col("_v").cast("string"), "ivf-train")
+            < F.lit(_hex_threshold(sample_fraction)))
     data = data.select(array_to_vector(F.col("_v")).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(data)
     c = np.asarray(model.clusterCenters(), dtype=np.float64)

@@ -317,6 +317,17 @@ def test_ivf_trained_centroids_beat_random(spark):
     assert r_trained >= r_random
     assert r_trained >= 0.7
 
+    # sample_fraction=1.0 must mean ALL rows (the nine-hex-digit
+    # threshold edge), and null embedding rows must not crash training
+    import pyspark.sql.functions as F2
+
+    with_null = e.unionByName(e.limit(1).select(
+        (F2.col("vec_id") + 10**6).alias("vec_id"),
+        F2.lit(None).cast("array<float>").alias("embedding"), "label"))
+    t2 = sim.train_ivf_centroids(with_null, n_centroids=16, seed=7,
+                                 sample_fraction=1.0)
+    assert np.allclose(t2, trained)
+
 
 def test_multimodal_feature_dedup_end_to_end(spark):
     """Media dedup across the full stack: decode (mapInPandas) ->
@@ -541,6 +552,17 @@ def test_decontaminate_exact_and_winnow(spark):
               dd.decontaminate(corpus, reference, mode="winnow").collect()}
     assert 4 not in winnow        # quoted passage detected
     assert {1, 3, 5} <= winnow    # clean + null docs survive
+
+    # a WIDELY leaked passage (many corpus docs quote it) must still be
+    # fully removed — no posting cap in the asymmetric reference join;
+    # the worse the leak, the MORE must go, never less
+    wide = spark.createDataFrame(
+        [(i, f"intro {i}. " + passage + f" outro {i}.")
+         for i in range(100, 112)] + [(200, "clean control document")],
+        "doc_id: long, text: string")
+    survivors = {r["doc_id"] for r in
+                 dd.decontaminate(wide, reference, mode="winnow").collect()}
+    assert survivors == {200}
 
 
 def test_lsh_bucket_stats_accounts_for_cap(spark):
