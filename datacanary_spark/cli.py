@@ -32,11 +32,12 @@ import json
 import sys
 
 
-def _spark(args):
+def _spark(args, extra_conf=None):
     from datacanary_spark.session import get_spark
 
     return get_spark(app_name=f"datacanary_{args.command}",
-                     master=getattr(args, "master", None))
+                     master=getattr(args, "master", None),
+                     extra_conf=extra_conf)
 
 
 def resolve_source(args) -> tuple[str, dict[str, str]]:
@@ -56,8 +57,12 @@ def resolve_source(args) -> tuple[str, dict[str, str]]:
             conf["spark.hadoop.fs.s3a.endpoint.region"] = args.region
         if getattr(args, "profile", None):
             # hadoop-aws 3.4+ (SDK v2) instantiates providers via their
-            # no-arg create(), which reads AWS_PROFILE — export the
-            # chosen profile to the driver and executors
+            # no-arg create(), which reads AWS_PROFILE. This export only
+            # reaches the driver JVM if it happens BEFORE getOrCreate()
+            # (Java captures env at process start), and the executorEnv
+            # key only works as session-builder conf — which is why
+            # _spark_and_df resolves the source first and passes this
+            # conf into the builder.
             import os
 
             os.environ["AWS_PROFILE"] = args.profile
@@ -97,27 +102,36 @@ def resolve_source(args) -> tuple[str, dict[str, str]]:
         "--azure-container/--azure-blob, or --gcs-bucket/--gcs-blob")
 
 
-def _load_df(spark, args):
-    """Resolve the source flags, apply store conf, and read lazily.
+def _spark_and_df(args):
+    """Resolve the source flags BEFORE building the session, then read
+    lazily. Ordering matters twice:
 
-    ``spark.hadoop.*`` keys set via ``spark.conf.set`` AFTER session
-    creation never reach the Hadoop configuration (they only work as
-    session-builder conf), so Hadoop keys are applied directly to the
-    live ``hadoopConfiguration()`` — the object every FileSystem
-    connector actually reads.
+    * ``resolve_source`` may export ``AWS_PROFILE`` — the driver JVM
+      captures its environment at launch, so the export must precede
+      ``getOrCreate()`` (an SDK-v2 ProfileCredentialsProvider on a JVM
+      started earlier would silently see no profile).
+    * ``spark.executorEnv.*`` keys only take effect as session-builder
+      conf (executor launch env is fixed at session start), so the
+      resolved conf is passed through ``get_spark(extra_conf=...)``.
+
+    ``apply_store_conf`` then ALSO applies the keys to the live session:
+    if ``getOrCreate`` returned a pre-existing session (tests, notebook
+    reuse) the builder conf was ignored, and ``spark.hadoop.*`` keys
+    must go directly onto the live ``hadoopConfiguration()`` — the
+    object every FileSystem connector actually reads.
     """
     from datacanary_spark.sources import io as src_io
 
     uri, conf = resolve_source(args)
+    spark = _spark(args, extra_conf=conf)
     src_io.apply_store_conf(spark, conf)
-    return src_io.read_table(spark, uri), uri
+    return spark, src_io.read_table(spark, uri), uri
 
 
 def cmd_analyse(args) -> int:
     from datacanary_spark.operators.profiler import analyse_dataframe
 
-    spark = _spark(args)
-    df, uri = _load_df(spark, args)
+    spark, df, uri = _spark_and_df(args)
     profile = analyse_dataframe(df, approx=args.approx)
     _print_profile(profile)
     if args.output:
@@ -136,8 +150,7 @@ def cmd_check(args) -> int:
     from datacanary_spark.rules.config import load_rules_from_file
     from datacanary_spark.rules.engine import RuleEngine, default_rules
 
-    spark = _spark(args)
-    df, uri = _load_df(spark, args)
+    spark, df, uri = _spark_and_df(args)
     profile = analyse_dataframe(df, approx=args.approx)
 
     engine = RuleEngine()
@@ -201,9 +214,8 @@ def cmd_dedup(args) -> int:
     elif args.mode == "lines":
         deduped = dd.dedup_lines(df, id_col=args.id_col,
                                  text_col=args.text_col)
-        # LEFT join: dedup_lines only emits docs with non-null text; a
-        # null-text doc (extraction failure) must pass through with its
-        # text still null, not vanish from the corpus
+        # dedup_lines returns every doc (null-text rows pass through
+        # with text still null); join re-attaches the non-text columns
         out = df.drop(args.text_col).join(deduped, args.id_col, "left")
     else:  # near
         pairs = dd.near_dup_pairs(df, id_col=args.id_col,

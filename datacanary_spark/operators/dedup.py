@@ -338,7 +338,10 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
     (e.g. blank separators) are exempt and always kept. Documents are
     reassembled in original line order; a document whose every line was
     removed becomes the empty string (it stays in the output — the
-    caller decides whether to drop now-empty docs).
+    caller decides whether to drop now-empty docs). Null-text documents
+    (extraction failures) pass through UNCHANGED — text stays null, the
+    row stays in the output, and no line of theirs participates in
+    dedup (null has no lines).
 
     Scale shape: NOT a row_number window over the line key — a hot
     boilerplate line ("Accept cookies") appearing in 10^9 documents
@@ -365,8 +368,11 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
                        F.array_sort(F.collect_list(F.struct("pos", "ln"))),
                        lambda s: s["ln"])).alias("_text")))
     ids = df.where(F.col(text_col).isNotNull()).select(id_col)
-    return (ids.join(reassembled, id_col, "left")
-            .select(id_col, F.coalesce("_text", F.lit("")).alias(text_col)))
+    deduped = (ids.join(reassembled, id_col, "left")
+               .select(id_col, F.coalesce("_text", F.lit("")).alias(text_col)))
+    null_docs = df.where(F.col(text_col).isNull()) \
+                  .select(id_col, F.col(text_col).cast("string").alias(text_col))
+    return deduped.unionByName(null_docs)
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",

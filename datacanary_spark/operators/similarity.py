@@ -283,12 +283,20 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding",
                              dim: int | None = None,
                              use_lsh: bool = False, n_bits: int = 8,
-                             n_tables: int = 4) -> DataFrame:
+                             n_tables: int = 4,
+                             persist: bool = True) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
     ``use_lsh=False`` does the exact quadratic join (test scale / oracle
     twin); ``use_lsh=True`` is the cluster path: pairs must share a
     bucket in some table, shrinking the join from n² to sum(bucket²).
+
+    ``persist`` (LSH mode only) caches the bucketed frame so the two
+    self-join sides don't recompute the n_bits·n_tables hyperplane dot
+    products — same persist-lifetime contract as lsh_candidate_pairs:
+    the default leaks one MEMORY_AND_DISK frame per call into a
+    long-lived session; pass ``persist=False`` and manage caching
+    yourself if you invoke this repeatedly.
     """
     # Precompute each vector's norm BEFORE the pair join: the naive
     # per-pair cosine evaluates 3 dot products (a·b, a·a, b·b) inside the
@@ -303,7 +311,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         b = with_lsh_buckets(base, dim, "_v", n_bits, n_tables)
         # both self-join sides read b; persist so the n_bits·n_tables
         # hyperplane dot products per vector run once, not per side
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        if persist:
+            b = b.persist(StorageLevel.MEMORY_AND_DISK)
         left = b.select("table", "bucket", F.col(id_col).alias("id_a"),
                         F.col("_v").alias("va"), F.col("_nrm").alias("na"))
         right = b.select("table", "bucket", F.col(id_col).alias("id_b"),

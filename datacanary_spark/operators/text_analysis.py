@@ -131,7 +131,14 @@ def canonical_url_expr(url_col: Column) -> Column:
 
     Pure Column expression; the param handling splits the query string
     into an array and filters/sorts it (regex-only param surgery leaves
-    broken ``?&`` seams). Null url → null.
+    broken ``?&`` seams). Null url → null, and a url that does not match
+    ``scheme://host`` (scheme-less ``example.com/a``, non-hierarchical
+    ``mailto:x@y``) → null too: its canonical identity is UNKNOWN, and
+    null keys are exempt from grouping (the same convention
+    content_fingerprint uses for null text). Mapping every malformed
+    url onto one shared key (the old behavior: they all collapsed to
+    ``"://"``) would make a min-id survivor rule delete distinct real
+    documents.
     """
     u = F.regexp_replace(url_col, "#.*$", "")  # fragment first
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -149,7 +156,9 @@ def canonical_url_expr(url_col: Column) -> Column:
     q_part = F.when(F.size(params) > 0,
                     F.concat(F.lit("?"), F.concat_ws("&", params))) \
               .otherwise(F.lit(""))
-    return F.when(url_col.isNull(), F.lit(None).cast("string")) \
+    hierarchical = u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]")
+    return F.when(url_col.isNull() | ~hierarchical,
+                  F.lit(None).cast("string")) \
             .otherwise(F.concat(scheme, F.lit("://"), host, path, q_part))
 
 

@@ -136,6 +136,14 @@ def test_canonical_url_rules(spark):
         ("https://host.org/p?gclid=1&keep=2", "https://host.org/p?keep=2"),
         ("https://host.org", "https://host.org"),
         (None, None),
+        # non-hierarchical / scheme-less urls have UNKNOWN identity →
+        # NULL (exempt from grouping), never a shared "://" key that
+        # would collapse distinct malformed docs into one dedup group
+        ("example.com/a", None),
+        ("mailto:x@y.z", None),
+        ("://nohost", None),
+        ("https://", None),
+        ("", None),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i: int, url: string")

@@ -407,8 +407,11 @@ def test_dedup_lines_c4_semantics(spark):
     got = {r["doc_id"]: r["text"] for r in dd.dedup_lines(df).collect()}
     assert got == {1: "HEADER\nunique one\n\nFOOTER",
                    2: "unique two\n",
-                   3: ""}
-    assert 4 not in got  # null-text docs pass through untouched upstream
+                   3: "",
+                   # null-text docs stay in the output unchanged (text
+                   # still null) — they have no lines to dedup, and a
+                   # library caller must not silently lose rows
+                   4: None}
 
 
 def test_winnow_overlap_finds_copied_passage(spark):
@@ -512,6 +515,7 @@ def test_winnow_and_line_dedup_random_differential(spark):
     exp: dict[int, str] = {}
     for i, t in sorted(docs):
         if t is None:
+            exp[i] = None  # null-text docs pass through unchanged
             continue
         kept = []
         for ln in t.split("\n"):
