@@ -107,7 +107,8 @@ def make_mad_udaf():
 
     Scale: grouped-agg pandas UDFs buffer ONE GROUP per invocation —
     fine for bounded groups (languages, hosts); for unbounded groups use
-    approx_percentile composition instead.
+    :func:`mad_approx` (two-pass approx_percentile composition, bounded
+    sketch state per group).
     """
     import numpy as np
 
@@ -119,6 +120,37 @@ def make_mad_udaf():
         return float(np.median(np.abs(v - np.median(v))))
 
     return mad
+
+
+def mad_approx(df, value_col: str, group_cols: list[str],
+               accuracy: int = 10000, out_col: str = "mad"):
+    """Median-absolute-deviation with BOUNDED state — the 10^12-row
+    companion to :func:`make_mad_udaf` (which buffers one whole group
+    per invocation and is therefore only safe for bounded groups).
+
+    Two passes, each a Greenwald-Khanna ``percentile_approx`` sketch of
+    O(accuracy) state per group regardless of group size:
+
+    1. per-group approximate median of ``value_col``;
+    2. join the medians back on the group key (same hash partitioning —
+       on a cluster the exchange is reused) and sketch the median of
+       ``abs(value - median)``.
+
+    Rank error is bounded by 1/accuracy per pass; both sketches return
+    an actual data value (no interpolation), so for groups smaller than
+    ``accuracy`` each median is exact up to the discrete/interpolated
+    median difference on even-sized groups. Agreement with the exact
+    UDAF is pinned by a tolerance test at fixture scale.
+
+    Plan shape: two shuffles on the group key and one join — no pandas
+    UDF, no per-group buffering, fully whole-stage-codegen eligible.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.percentile_approx(value_col, 0.5, accuracy).alias("_med"))
+    dev = F.abs(F.col(value_col).cast("double") - F.col("_med").cast("double"))
+    return (df.join(med, group_cols)
+              .groupBy(*group_cols)
+              .agg(F.percentile_approx(dev, 0.5, accuracy).alias(out_col)))
 
 
 def make_extract_udf():

@@ -7,12 +7,18 @@ Two tiers, mirroring how a training-data pipeline scales ANN:
   slice of the corpus once, scores locally, and a per-query window
   keeps top-k. Shuffle volume is O(n_queries · k), never O(corpus).
 * **LSH-bucketed ANN (sign random projection)** — the scale path.
-  ``n_bits`` fixed hyperplanes (deterministic seed, shipped as literal
-  arrays — a few KB, embedded in the plan) map each vector to a bucket
-  id; candidates = same-bucket vectors across ``n_tables`` independent
-  tables (multiprobe-lite). One shuffle on (table, bucket); bucket
-  sizes concentrate around n/2^n_bits, and AQE's skew handling splits
-  hot buckets. Recall is tunable via n_bits/n_tables.
+  ``n_bits`` fixed hyperplanes (deterministic seed) map each vector to
+  a bucket id; candidates = same-bucket vectors across ``n_tables``
+  independent tables (multiprobe-lite). One shuffle on (table, bucket);
+  bucket sizes concentrate around n/2^n_bits, and AQE's skew handling
+  splits hot buckets. Recall is tunable via n_bits/n_tables.
+
+Bucket/cell ASSIGNMENT has two interchangeable forms, dispatched by the
+``assignment`` parameter (default ``"auto"``): at test/oracle dims the
+planes/centroids are plan literals (pure Column expressions, DuckDB-
+expressible); at real embedding dims (768+) they are broadcast numpy
+matrices applied by one Arrow pandas UDF per frame — plan size flat in
+dim. See LITERAL_ASSIGN_BUDGET.
 
 All arithmetic is element-wise double-precision with sequential
 left-to-right accumulation, which both Spark's ``aggregate`` and
@@ -25,10 +31,47 @@ pandas UDF in one place.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 PLANE_SEED = 20240816
+
+# Max literal scalars an assignment expression may embed in the plan.
+# Below this, hyperplanes/centroids ship as plan literals (pure Column
+# expressions, oracle-expressible in SQL); above it — real embedding
+# dims like 768·8 bits·4 tables — the literal form becomes 10^5+
+# expression nodes (Catalyst analysis blowup, codegen past the JVM's
+# 64KB method limit), so assignment switches to a broadcast numpy
+# matrix + Arrow pandas UDF: plan size flat in dim, one matmul per
+# Arrow batch. Both forms compute the same buckets/cells (equivalence
+# is pinned by tests at fixture dim); the only divergence surface is
+# float summation order (sequential vs BLAS) flipping a sign/argmax on
+# a dot product within ~1e-13 of a tie — vanishingly rare for real
+# embeddings, and harmless: LSH/IVF assignment is approximate by
+# construction.
+LITERAL_ASSIGN_BUDGET = 4096
+
+
+def _resolve_assignment(assignment: str, n_literals: int) -> str:
+    if assignment == "auto":
+        return "literal" if n_literals <= LITERAL_ASSIGN_BUDGET else "udf"
+    if assignment not in ("literal", "udf"):
+        raise ValueError(f"assignment must be auto|literal|udf, "
+                         f"got {assignment!r}")
+    return assignment
+
+
+def _vec_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix; null vectors become zero rows — the
+    zero vector has dot 0 with every plane/centroid, which reproduces
+    the literal path's null semantics for SRP (no bit set → bucket 0)."""
+    out = np.zeros((len(vecs), dim), dtype=np.float64)
+    for i, v in enumerate(vecs):
+        if v is not None:
+            out[i, :] = np.asarray(v, dtype=np.float64)
+    return out
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -98,10 +141,52 @@ def srp_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     return bucket.cast("int")
 
 
+def make_srp_buckets_udf(df: DataFrame, dim: int, n_bits: int,
+                         n_tables: int, seed: int = PLANE_SEED):
+    """Arrow pandas UDF computing all per-table SRP buckets at once.
+
+    The (n_tables, n_bits, dim) plane tensor is broadcast ONCE (a few
+    hundred KB even at dim 1536) and each Arrow batch does one einsum —
+    the plan carries a single ArrowEvalPython node whose size does not
+    grow with dim. Null vectors get bucket 0 in every table, matching
+    the literal expression's null semantics.
+    """
+    planes = np.stack([random_planes(dim, n_bits, t, seed)
+                       for t in range(n_tables)])  # (T, B, D)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    @pandas_udf("array<int>")
+    def srp_buckets(vecs: pd.Series) -> pd.Series:
+        P = bc.value
+        n_b = P.shape[1]
+        M = _vec_matrix(vecs, P.shape[2])
+        dots = np.einsum("nd,tbd->ntb", M, P)          # (n, T, B)
+        weights = (np.int64(1) << np.arange(n_b, dtype=np.int64))
+        bkts = ((dots > 0) @ weights).astype(np.int32)  # (n, T)
+        return pd.Series(list(bkts))
+
+    return srp_buckets
+
+
 def with_lsh_buckets(df: DataFrame, dim: int, vec_col: str = "embedding",
                      n_bits: int = 8, n_tables: int = 2,
-                     seed: int = PLANE_SEED) -> DataFrame:
-    """Explode each vector into one row per LSH table: (…, table, bucket)."""
+                     seed: int = PLANE_SEED,
+                     assignment: str = "auto") -> DataFrame:
+    """Explode each vector into one row per LSH table: (…, table, bucket).
+
+    ``assignment`` picks how bucket ids are computed: ``"literal"``
+    (plan-literal hyperplanes, pure Column expressions — the oracle
+    form), ``"udf"`` (broadcast plane tensor + one pandas UDF — the
+    high-dim form), or ``"auto"`` (literal while dim·n_bits·n_tables ≤
+    LITERAL_ASSIGN_BUDGET, else udf). Both yield identical buckets —
+    see the budget constant's comment for the dispatch rationale.
+    """
+    mode = _resolve_assignment(assignment, dim * n_bits * n_tables)
+    if mode == "udf":
+        buckets = make_srp_buckets_udf(df, dim, n_bits, n_tables, seed)
+        return (df.withColumn("_bkts", buckets(F.col(vec_col)))
+                  .select("*", F.posexplode("_bkts").alias("table", "bucket"))
+                  .drop("_bkts"))
     tables = F.array(*[
         F.struct(F.lit(t).alias("table"),
                  srp_bucket_expr(F.col(vec_col),
@@ -117,7 +202,8 @@ def with_lsh_buckets(df: DataFrame, dim: int, vec_col: str = "embedding",
 def ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_bits: int = 8,
-             n_tables: int = 2, seed: int = PLANE_SEED) -> DataFrame:
+             n_tables: int = 2, seed: int = PLANE_SEED,
+             assignment: str = "auto") -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any table.
 
     Same output shape as brute_force_topk; rank is within the candidate
@@ -128,11 +214,11 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     c = with_lsh_buckets(
         corpus.select(F.col(id_col), F.col(vec_col),
                       norm_expr(F.col(vec_col)).alias("_cnrm")),
-        dim, vec_col, n_bits, n_tables, seed)
+        dim, vec_col, n_bits, n_tables, seed, assignment)
     q = with_lsh_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
                        norm_expr(F.col(vec_col)).alias("_qnrm")),
-        dim, "_qvec", n_bits, n_tables, seed)
+        dim, "_qvec", n_bits, n_tables, seed, assignment)
     cand = (c.join(q, ["table", "bucket"])
              .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                      F.try_divide(dot_expr(F.col(vec_col), F.col("_qvec")),
@@ -240,11 +326,54 @@ def ivf_probe_cells_expr(vec: Column, centroids: np.ndarray,
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int"))
 
 
+def make_ivf_cell_udf(df: DataFrame, centroids: np.ndarray):
+    """Arrow pandas UDF for nearest-centroid cell assignment — the
+    high-dim twin of ``ivf_cell_expr`` (broadcast centroid matrix, one
+    matmul + argmax per Arrow batch; np.argmax returns the FIRST max,
+    matching the literal expression's smallest-id tie-break). Null
+    vectors → null cell, matching the literal path (null dots → null
+    argmax)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def ivf_cell(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        M = _vec_matrix(vecs, C.shape[1])
+        cells = np.argmax(M @ C.T, axis=1).astype("int32")
+        out = pd.Series(cells, index=vecs.index, dtype="Int32")
+        out[vecs.isna()] = None
+        return out
+
+    return ivf_cell
+
+
+def make_ivf_probe_udf(df: DataFrame, centroids: np.ndarray, n_probe: int):
+    """Arrow pandas UDF for the n_probe nearest cells of each query —
+    the high-dim twin of ``ivf_probe_cells_expr``. Stable argsort on
+    -dot gives (dot desc, id asc) ordering, the literal form's exact
+    tie-break. Null query vectors → null (no probe cells: a query with
+    no vector matches nothing after the explode)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("array<int>")
+    def ivf_probe(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        M = _vec_matrix(vecs, C.shape[1])
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")
+        probes = order[:, :n_probe].astype("int32")
+        return pd.Series([None if vecs.iloc[i] is None else probes[i]
+                          for i in range(len(vecs))], index=vecs.index)
+
+    return ivf_probe
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_centroids: int = 16,
              n_probe: int = 4, centroids: np.ndarray | None = None,
-             seed: int = PLANE_SEED) -> DataFrame:
+             seed: int = PLANE_SEED, assignment: str = "auto") -> DataFrame:
     """IVF-flat approximate top-k (the second scale path besides LSH).
 
     Corpus vectors are assigned to their nearest coarse-quantizer cell
@@ -258,13 +387,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     """
     cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
         else centroids
-    c = (corpus.select(F.col(id_col), F.col(vec_col),
-                       norm_expr(F.col(vec_col)).alias("_cnrm"))
-               .withColumn("cell", ivf_cell_expr(F.col(vec_col), cents)))
-    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-                        norm_expr(F.col(vec_col)).alias("_qnrm"))
-         .withColumn("cell", F.explode(
-             ivf_probe_cells_expr(F.col("_qvec"), cents, n_probe))))
+    mode = _resolve_assignment(assignment, dim * len(cents))
+    c = corpus.select(F.col(id_col), F.col(vec_col),
+                      norm_expr(F.col(vec_col)).alias("_cnrm"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                       norm_expr(F.col(vec_col)).alias("_qnrm"))
+    if mode == "udf":
+        cell_udf = make_ivf_cell_udf(c, cents)
+        probe_udf = make_ivf_probe_udf(q, cents, n_probe)
+        c = c.withColumn("cell", cell_udf(F.col(vec_col)))
+        q = q.withColumn("cell", F.explode(probe_udf(F.col("_qvec"))))
+    else:
+        c = c.withColumn("cell", ivf_cell_expr(F.col(vec_col), cents))
+        q = q.withColumn("cell", F.explode(
+            ivf_probe_cells_expr(F.col("_qvec"), cents, n_probe)))
     cand = (c.join(q, "cell")
              .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                      F.try_divide(dot_expr(F.col(vec_col), F.col("_qvec")),
@@ -284,7 +420,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              dim: int | None = None,
                              use_lsh: bool = False, n_bits: int = 8,
                              n_tables: int = 4,
-                             persist: bool = True) -> DataFrame:
+                             persist: bool = True,
+                             assignment: str = "auto") -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
     ``use_lsh=False`` does the exact quadratic join (test scale / oracle
@@ -308,7 +445,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         from pyspark.storagelevel import StorageLevel
 
         assert dim is not None
-        b = with_lsh_buckets(base, dim, "_v", n_bits, n_tables)
+        b = with_lsh_buckets(base, dim, "_v", n_bits, n_tables,
+                             assignment=assignment)
         # both self-join sides read b; persist so the n_bits·n_tables
         # hyperplane dot products per vector run once, not per side
         if persist:

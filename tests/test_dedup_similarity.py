@@ -208,6 +208,80 @@ def test_embedding_near_dup_lsh_agrees_with_exact(spark, emb_df):
     assert (0, 50) in lpairs         # and finds the planted one (4 tables)
 
 
+def test_srp_udf_assignment_matches_literal(spark, emb_df):
+    """The broadcast-matrix pandas-UDF bucket assignment (the high-dim
+    path) must produce the SAME (id, table, bucket) rows as the
+    plan-literal expression form — including bucket 0 for null vectors."""
+    df, _ = emb_df
+    withnull = df.unionByName(spark.createDataFrame(
+        [(99, None)], "vec_id: long, embedding: array<double>"))
+    lit_rows = {(r["vec_id"], r["table"], r["bucket"]) for r in
+                sim.with_lsh_buckets(withnull, dim=16, n_bits=6,
+                                     n_tables=3, assignment="literal").collect()}
+    udf_rows = {(r["vec_id"], r["table"], r["bucket"]) for r in
+                sim.with_lsh_buckets(withnull, dim=16, n_bits=6,
+                                     n_tables=3, assignment="udf").collect()}
+    assert lit_rows == udf_rows
+    assert (99, 0, 0) in udf_rows  # null vec → bucket 0, every table
+
+
+def test_ivf_udf_assignment_matches_literal(spark, emb_df):
+    """ivf_topk with assignment='udf' must return the identical result
+    frame as the literal form (same cells, same probes, same tie-breaks)."""
+    df, _ = emb_df
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    lit = sim.ivf_topk(df, queries, dim=16, k=4, n_centroids=8, n_probe=3,
+                       assignment="literal").collect()
+    udf = sim.ivf_topk(df, queries, dim=16, k=4, n_centroids=8, n_probe=3,
+                       assignment="udf").collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+                   for r in lit)) == \
+           sorted(((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+                   for r in udf))
+
+
+def test_high_dim_auto_dispatch_keeps_plan_flat(spark):
+    """Above LITERAL_ASSIGN_BUDGET (real embedding dims), 'auto' must
+    switch to the UDF path: one ArrowEvalPython node, plan size flat in
+    dim — never 10^5 literal expression nodes."""
+    dim = 768
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    assert dim * 8 * 4 > sim.LITERAL_ASSIGN_BUDGET
+    b = sim.with_lsh_buckets(df, dim=dim, n_bits=8, n_tables=4)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert len(plan) < 20_000  # literal form at this dim would be ~MBs
+    assert b.count() == 8 * 4  # one row per (vec, table)
+
+    # IVF side: 256 centroids at dim 768 also crosses the budget
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.ivf_topk(df, q, dim=dim, k=3, n_centroids=8, n_probe=8,
+                       assignment="udf")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in out.collect() if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1}  # probing every cell → self is rank 1
+
+
+def test_registered_ann_queries_stay_on_literal_path(spark):
+    """The oracle-paired queries at fixture dim must keep the literal
+    (SQL-expressible) assignment under 'auto' — the driver's DuckDB
+    oracle can't run a pandas UDF."""
+    from datacanary_spark import entry_queries as eq
+
+    for name in ("ann_lsh_top5", "ann_ivf_top5"):
+        plan = eq.QUERIES[name](spark, "/root/testdata/sf0.01") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, name
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
