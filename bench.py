@@ -137,6 +137,15 @@ def main() -> None:
         "cpus": str(args.cpus),
         "protocol": "warm (all tables scanned + flagship run before timing); "
                     f"best of {args.repeat} per query",
+        "notes": {
+            "embedding_near_dup_pairs":
+                "exact all-pairs oracle twin, O(n^2) by design (corpus "
+                "capped at 1k vectors); the scale path is "
+                "embedding_near_dup_lsh_pairs (bucketed)",
+            "knn_bruteforce_top5":
+                "exact scan baseline; scale paths are ann_lsh_top5 / "
+                "ann_ivf_top5",
+        },
         "round": str(args.round),
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")

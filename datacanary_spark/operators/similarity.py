@@ -88,6 +88,20 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the STREAMED side of a nested-loop pair stage across
+    all cores when the source has fewer partitions than the cluster has
+    slots. A small parquet table often scans as ONE partition, which
+    silently serializes the O(n²) stage onto a single core (measured
+    exactly that on the near-dup bench query). At real scale the scan
+    already has >= parallelism partitions and this is a no-op — no
+    extra exchange."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id") -> DataFrame:
@@ -106,8 +120,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(F.col(query_id_col),
                        F.col(vec_col).alias("_qvec"),
                        norm_expr(F.col(vec_col)).alias("_qnrm"))
-    c = corpus.select(F.col(id_col), F.col(vec_col),
-                      norm_expr(F.col(vec_col)).alias("_cnrm"))
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col),
+                              norm_expr(F.col(vec_col)).alias("_cnrm")))
     scored = c.join(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
@@ -460,8 +474,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                      .select("id_a", "id_b", "va", "vb", "na", "nb")
                      .dropDuplicates(["id_a", "id_b"]))
     else:
-        left = base.select(F.col(id_col).alias("id_a"),
-                           F.col("_v").alias("va"), F.col("_nrm").alias("na"))
+        # the left side STREAMS through the nested-loop join — spread it
+        # across cores (a one-file test-scale scan is 1 partition, which
+        # would run the whole quadratic stage single-threaded)
+        left = _spread(base.select(F.col(id_col).alias("id_a"),
+                                   F.col("_v").alias("va"),
+                                   F.col("_nrm").alias("na")))
         right = base.select(F.col(id_col).alias("id_b"),
                             F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
         pairs = left.join(right, F.col("id_a") < F.col("id_b"))
