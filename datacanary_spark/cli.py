@@ -40,19 +40,73 @@ def _spark(args, extra_conf=None):
                      extra_conf=extra_conf)
 
 
+def load_credentials_file(path: str, provider: str) -> dict[str, str]:
+    """Reference-parity credential files → Spark conf.
+
+    The reference auto-discovers ``credentials/{s3_credentials.csv,
+    azure_credentials.json, gcs_credentials.json}`` and parses them
+    in-process (__main__.py:20-51,156-177); here the file is passed
+    explicitly (``--credentials-file``) and maps onto configuration:
+
+    * s3 — CSV with a header row, first data row ``access_key,
+      secret_key`` (exactly the reference's parse) → fs.s3a keys;
+    * azure — JSON with ``connection_string`` and/or ``account_url`` +
+      ``account_key`` → the account-key conf entry;
+    * gcs — the file IS the service-account JSON keyfile → keyfile conf.
+    """
+    from datacanary_spark.sources.io import object_store_conf
+
+    if provider == "s3":
+        import csv
+
+        with open(path, newline="") as f:
+            reader = csv.reader(f)
+            next(reader, None)  # header row
+            for row in reader:
+                if len(row) >= 2:
+                    return object_store_conf("s3", {
+                        "access_key": row[0].strip(),
+                        "secret_key": row[1].strip()})
+        raise SystemExit(f"no credential row in {path} "
+                         "(expected header then access_key,secret_key)")
+    if provider == "azure":
+        with open(path) as f:
+            creds = json.load(f)
+        out = {}
+        conn = creds.get("connection_string")
+        if conn:
+            parts = dict(kv.split("=", 1)
+                         for kv in conn.split(";") if "=" in kv)
+            out["account"] = parts.get("AccountName", "")
+            out["account_key"] = parts.get("AccountKey", "")
+        if creds.get("account_url"):
+            out["account"] = creds["account_url"].split("//")[-1].split(".")[0]
+        if creds.get("account_key"):
+            out["account_key"] = creds["account_key"]
+        return object_store_conf("azure", out) if out.get("account") else {}
+    if provider == "gcs":
+        return object_store_conf("gcs", {"keyfile": path})
+    raise SystemExit(f"unknown credentials provider: {provider}")
+
+
 def resolve_source(args) -> tuple[str, dict[str, str]]:
     """Map the reference's per-provider source flags
     (/root/reference/src/datacanary/__main__.py:62-109: --bucket/--key,
     --azure-container/--azure-blob, --gcs-bucket/--gcs-blob) onto the
     engine's single code path: a Hadoop-FS URI plus Spark conf entries.
     Returns (uri, conf). ``--file`` wins when given (local/any URI).
+    ``--credentials-file`` supplies credentials in the reference's file
+    formats (see :func:`load_credentials_file`).
     """
     from datacanary_spark.sources.io import object_store_conf
 
+    cred_file = getattr(args, "credentials_file", None)
     if getattr(args, "file", None):
         return args.file, {}
     if getattr(args, "bucket", None) and getattr(args, "key", None):
         conf = {}
+        if cred_file:
+            conf.update(load_credentials_file(cred_file, "s3"))
         if getattr(args, "region", None):
             conf["spark.hadoop.fs.s3a.endpoint.region"] = args.region
         if getattr(args, "profile", None):
@@ -73,6 +127,13 @@ def resolve_source(args) -> tuple[str, dict[str, str]]:
         return f"s3a://{args.bucket}/{args.key}", conf
     if getattr(args, "azure_container", None) and getattr(args, "azure_blob", None):
         account, key = "", ""
+        if cred_file:
+            file_conf = load_credentials_file(cred_file, "azure")
+            for k, v in file_conf.items():
+                # key looks like spark.hadoop.fs.azure.account.key.
+                # {account}.dfs.core.windows.net
+                account = k.split("account.key.")[-1].split(".")[0]
+                key = v
         if getattr(args, "azure_connection_string", None):
             parts = dict(kv.split("=", 1)
                          for kv in args.azure_connection_string.split(";") if "=" in kv)
@@ -94,6 +155,8 @@ def resolve_source(args) -> tuple[str, dict[str, str]]:
         conf = {}
         if getattr(args, "gcs_credentials", None):
             conf = object_store_conf("gcs", {"keyfile": args.gcs_credentials})
+        elif cred_file:
+            conf = load_credentials_file(cred_file, "gcs")
         if getattr(args, "gcs_project", None):
             conf["spark.hadoop.fs.gs.project.id"] = args.gcs_project
         return f"gs://{args.gcs_bucket}/{args.gcs_blob}", conf
@@ -347,6 +410,11 @@ def _add_provider_flags(p) -> None:
     p.add_argument("--gcs-credentials", default=None,
                    help="path to GCS service-account JSON key")
     p.add_argument("--gcs-project", default=None)
+    p.add_argument("--credentials-file", default=None,
+                   help="reference-format credential file: s3 CSV "
+                        "(header, then access_key,secret_key), azure "
+                        "JSON (connection_string/account_url+account_"
+                        "key), or a GCS service-account JSON keyfile")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -376,6 +444,26 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--json", default=None)
     c.add_argument("--approx", action="store_true")
     c.set_defaults(fn=cmd_check)
+
+    # literal-name parity with the reference's local subcommands
+    # (__main__.py:84-86,112-116) — same code path as --file; the
+    # reference's check-local --json crashes on an undefined args.key
+    # (":593 vs :112-116"), which we deliberately do not replicate
+    al = sub.add_parser("analyse-local",
+                        help="profile a local parquet file")
+    al.add_argument("--file", required=True, help="path to parquet")
+    al.add_argument("--output", default=None, help="write profile JSON here")
+    al.add_argument("--approx", action="store_true")
+    al.set_defaults(fn=cmd_analyse)
+
+    cl = sub.add_parser("check-local",
+                        help="profile + rule verdicts on a local file")
+    cl.add_argument("--file", required=True, help="path to parquet")
+    cl.add_argument("--rules", default=None, help="YAML/JSON rule config")
+    cl.add_argument("--report", default=None)
+    cl.add_argument("--json", default=None)
+    cl.add_argument("--approx", action="store_true")
+    cl.set_defaults(fn=cmd_check)
 
     f = sub.add_parser("filter", help="web-text quality-filter job")
     f.add_argument("--input", required=True)

@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-``mapInPandas`` iteration, partition sizing; only the codec itself is a
-deterministic fake (this container has no image/audio libraries). A real
-decoder (PIL/ffmpeg/torchaudio) slots into ``_decode_payload`` without
-touching any Spark code.
+``mapInPandas`` iteration, partition sizing. Decoding goes through a
+CODEC ADAPTER (same gating pattern as functions/model_adapters.py for
+fastText/KenLM): the deterministic FAKEMM container codec always works
+(fixtures, sandbox, byte-reproducible tests), and ``PillowImageCodec``
+decodes real JPEG/PNG bytes when Pillow is installed on the workers —
+imports are lazy and gated with a clear error, so the sandbox (no image
+libraries) falls back to per-row contained errors for real formats.
+Swapping in ffmpeg/torchaudio is one more codec class; no Spark code
+changes.
 
 Fake container format (fixtures + tests):
     b"FAKEMM" | kind:1B (I/A/V) | width:u16 | height:u16 | n_frames:u16
@@ -61,20 +66,83 @@ def encode_fake_media(kind: str, width: int, height: int, n_frames: int,
                        n_frames) + payload
 
 
-def _decode_payload(payload: bytes) -> tuple[str, int, int, int, bytes]:
-    """Parse the fake container. A real decoder replaces this function.
+class UnsupportedPayload(Exception):
+    """A codec does not recognize this payload format (the chain moves
+    on to the next codec; a recognized-but-corrupt payload raises the
+    codec's own error instead, which is final)."""
 
-    Raises on unknown formats — real JPEG/PNG/WAV decode is
-    intentionally unimplemented in this environment.
+
+class FakeContainerCodec:
+    """The deterministic FAKEMM container (fixtures/tests/sandbox)."""
+
+    def decode(self, payload: bytes) -> tuple[str, int, int, int, bytes]:
+        if payload is None:
+            raise ValueError("null payload")
+        if (len(payload) < HEADER.size
+                or bytes(payload[:len(MAGIC)]) != MAGIC):
+            # not ours — maybe a real (possibly tiny) image; let the
+            # next codec in the chain have it
+            raise UnsupportedPayload("not a FAKEMM container")
+        _, kind, w, h, f = HEADER.unpack_from(payload)
+        return kind.decode(), w, h, f, payload[HEADER.size:]
+
+
+class PillowImageCodec:
+    """Real image decode (JPEG/PNG/WebP/…) via Pillow.
+
+    Import is LAZY and worker-side — the class itself is a stateless
+    picklable shell, mirroring model_adapters' lazy native-handle
+    contract: shipping the codec in a mapInPandas closure costs bytes,
+    the library loads once per worker process. Raises ImportError with
+    install guidance when Pillow is absent (the sandbox case — the
+    error is contained per row by decode_media).
     """
-    if payload is None or len(payload) < HEADER.size:
-        raise ValueError("truncated payload")
-    magic, kind, w, h, f = HEADER.unpack_from(payload)
-    if magic != MAGIC:
-        raise NotImplementedError(
-            "real codec decode (JPEG/PNG/WAV/MP4) not available in this "
-            "environment; only the FAKEMM container is supported")
-    return kind.decode(), w, h, f, payload[HEADER.size:]
+
+    def decode(self, payload: bytes) -> tuple[str, int, int, int, bytes]:
+        import importlib
+        import io
+
+        if payload is None or len(payload) == 0:
+            raise ValueError("truncated payload")
+        try:
+            image_mod = importlib.import_module("PIL.Image")
+        except ImportError as e:
+            raise ImportError(
+                "the 'Pillow' package is required to decode real image "
+                "bytes but is not installed; install it on driver and "
+                "executors (e.g. via --archives of a packed env) or feed "
+                "FAKEMM containers") from e
+        img = image_mod.open(io.BytesIO(bytes(payload)))
+        w, h = img.size
+        n_frames = int(getattr(img, "n_frames", 1))
+        body = img.convert("RGB").tobytes()
+        return "I", int(w), int(h), n_frames, body
+
+
+class CodecChain:
+    """Try codecs in order; UnsupportedPayload falls through to the
+    next codec, any other error (corrupt payload, missing library) is
+    final. The LAST codec's UnsupportedPayload propagates as-is."""
+
+    def __init__(self, codecs):
+        self.codecs = list(codecs)
+
+    def decode(self, payload: bytes) -> tuple[str, int, int, int, bytes]:
+        last: Exception | None = None
+        for c in self.codecs:
+            try:
+                return c.decode(payload)
+            except UnsupportedPayload as e:
+                last = e
+        raise last if last is not None else ValueError("no codecs")
+
+
+DEFAULT_CODEC = CodecChain([FakeContainerCodec(), PillowImageCodec()])
+
+
+def _decode_payload(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Back-compat shim: decode with the default codec chain."""
+    return DEFAULT_CODEC.decode(payload)
 
 
 def _features(body: bytes) -> np.ndarray:
@@ -87,13 +155,20 @@ def _features(body: bytes) -> np.ndarray:
     return (hist / hist.sum()).astype(np.float32)
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, codec=None) -> DataFrame:
     """Decode + feature-extract a media table (mapInPandas, Arrow batches).
+
+    ``codec`` is any object with ``decode(payload) -> (kind, w, h,
+    n_frames, body)`` — default is the FAKEMM + Pillow chain. It ships
+    in the mapInPandas closure, so it must be picklable (the provided
+    codecs are stateless shells; native libraries load lazily per
+    worker).
 
     Per-row error containment mirrors the reference's per-rule
     containment (rule_engine.py:368-378): a bad payload yields
     ok=false + error, never a task failure.
     """
+    codec = DEFAULT_CODEC if codec is None else codec
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -105,7 +180,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 try:
-                    _, w, h, f, body = _decode_payload(payload)
+                    _, w, h, f, body = codec.decode(payload)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_frames"].append(f)
@@ -124,10 +199,11 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
+def sample_frames(df: DataFrame, every_k: int = 2, codec=None) -> DataFrame:
     """Frame sampling for video rows: emit one output row per sampled
     frame (frame payload = that frame's byte slice). Demonstrates the
     1→N mapInPandas fan-out shape real video pipelines use."""
+    codec = DEFAULT_CODEC if codec is None else codec
     schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_ix", T.IntegerType(), False),
@@ -139,7 +215,7 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             rows = {"media_id": [], "frame_ix": [], "frame_bytes": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    kind, w, h, f, body = _decode_payload(payload)
+                    kind, w, h, f, body = codec.decode(payload)
                 except Exception:
                     continue
                 if kind != "V" or f == 0:

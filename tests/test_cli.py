@@ -94,6 +94,78 @@ def test_provider_flags_resolve_to_uris():
         ["analyse", "--file", "/tmp/local.parquet"])) == ("/tmp/local.parquet", {})
 
 
+def test_credentials_file_maps_to_conf(tmp_path):
+    """--credentials-file in the reference's file formats
+    (__main__.py:20-51,156-177: s3 CSV with header row, azure JSON,
+    gcs keyfile) resolves into the same Spark conf keys the explicit
+    flags produce."""
+    import json as _json
+
+    from datacanary_spark.cli import build_parser, resolve_source
+
+    p = build_parser()
+
+    csv_path = tmp_path / "s3_credentials.csv"
+    csv_path.write_text("Access key ID,Secret access key\nAKIA123,shh/secret\n")
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--bucket", "b", "--key", "k.parquet",
+         "--credentials-file", str(csv_path)]))
+    assert uri == "s3a://b/k.parquet"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "AKIA123"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "shh/secret"
+
+    az_path = tmp_path / "azure_credentials.json"
+    az_path.write_text(_json.dumps(
+        {"account_url": "https://acct.blob.core.windows.net",
+         "account_key": "K"}))
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--azure-container", "c", "--azure-blob", "y.parquet",
+         "--credentials-file", str(az_path)]))
+    assert uri == "abfss://c@acct.dfs.core.windows.net/y.parquet"
+    assert conf[("spark.hadoop.fs.azure.account.key."
+                 "acct.dfs.core.windows.net")] == "K"
+
+    # connection-string form works too
+    az2 = tmp_path / "azure_conn.json"
+    az2.write_text(_json.dumps({"connection_string":
+                                "AccountName=acc2;AccountKey=K2;X=Y"}))
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--azure-container", "c", "--azure-blob", "y.parquet",
+         "--credentials-file", str(az2)]))
+    assert "acc2" in uri
+    assert conf[("spark.hadoop.fs.azure.account.key."
+                 "acc2.dfs.core.windows.net")] == "K2"
+
+    # gcs: the credentials file IS the keyfile
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--gcs-bucket", "g", "--gcs-blob", "z.parquet",
+         "--credentials-file", "/tmp/sa.json"]))
+    assert conf[("spark.hadoop.google.cloud.auth."
+                 "service.account.json.keyfile")] == "/tmp/sa.json"
+
+
+def test_local_subcommand_aliases(spark, tmp_path, capsys):
+    """analyse-local / check-local (reference __main__.py:84,112) run
+    the same code path as --file."""
+    import json as _json
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("id", "cast(id as double) AS v") \
+        .write.mode("overwrite").parquet(path)
+    from datacanary_spark.cli import main
+
+    out_json = str(tmp_path / "profile.json")
+    assert main(["analyse-local", "--file", path,
+                 "--output", out_json]) == 0
+    prof = _json.load(open(out_json))["profile"]
+    assert prof["id"]["stats"]["count"] == 5
+
+    rc = main(["check-local", "--file", path,
+               "--json", str(tmp_path / "chk.json")])
+    assert rc in (0, 1)  # verdict depends on default rules
+    assert _json.load(open(tmp_path / "chk.json"))["profile"]
+
+
 def test_analyse_via_provider_flags(spark, tmp_path, monkeypatch, capsys):
     """`analyse --bucket/--key` goes through read_table with the composed
     s3a:// URI (store mocked — no cloud in the sandbox)."""

@@ -313,6 +313,75 @@ def test_multimodal_frame_sampling(spark):
         assert len(fr["frame_bytes"]) > 0
 
 
+def test_pillow_codec_plumbing_with_fake_module(monkeypatch):
+    """PillowImageCodec drives PIL through the adapter contract —
+    verified by injecting a fake PIL module (the real library is absent
+    in this sandbox), mirroring test_model_adapters' fake fasttext."""
+    import sys
+    import types
+
+    class _FakeImg:
+        size = (8, 6)
+        n_frames = 3
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return types.SimpleNamespace(tobytes=lambda: b"\x01\x02" * 72)
+
+    fake_image = types.SimpleNamespace(open=lambda bio: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    kind, w, h, f, body = mm.PillowImageCodec().decode(b"\x89PNG-ish")
+    assert (kind, w, h, f) == ("I", 8, 6, 3)
+    assert body == b"\x01\x02" * 72
+
+    # the default chain routes non-FAKEMM payloads to Pillow…
+    kind2, *_ = mm.CodecChain(
+        [mm.FakeContainerCodec(), mm.PillowImageCodec()]).decode(b"\x89PNG-ish")
+    assert kind2 == "I"
+    # …and FAKEMM payloads never touch it
+    p = mm.encode_fake_media("image", 4, 4, 1, b"\x00" * 16)
+    assert mm.FakeContainerCodec().decode(p)[1] == 4
+
+
+def test_pillow_codec_missing_library_is_gated():
+    """Without Pillow installed, the codec raises an ImportError with
+    install guidance (and decode_media contains it per row) — never an
+    opaque crash."""
+    import builtins
+    import sys
+
+    if any(k == "PIL" or k.startswith("PIL.") for k in sys.modules):
+        pytest.skip("Pillow present in this environment")
+    with pytest.raises(ImportError, match="Pillow"):
+        mm.PillowImageCodec().decode(b"\x89PNG-not-fake")
+    assert builtins  # keep import honest
+
+
+def test_decode_media_custom_codec_end_to_end(spark):
+    """A user codec object flows through the mapInPandas closure into
+    the workers (cloudpickle ships the class by value) — the adapter
+    seam the real Pillow/ffmpeg codecs use."""
+
+    class UpperKindCodec:
+        def decode(self, payload):
+            if payload is None or not bytes(payload).startswith(b"OK:"):
+                raise ValueError("bad payload")
+            body = bytes(payload)[3:]
+            return "X", 2, 2, 1, body
+
+    rows = [(0, "image", bytearray(b"OK:abcd"), None),
+            (1, "image", bytearray(b"NOPE"), None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           mm.decode_media(df, codec=UpperKindCodec()).collect()}
+    assert got[0]["ok"] and got[0]["n_bytes"] == 4
+    assert not got[1]["ok"] and "bad payload" in got[1]["error"]
+
+
 def test_near_dup_hash_modes_agree(spark):
     """md5 (oracle mode) and xxhash64 (scale mode) MinHash must both find
     every planted near-duplicate; Jaccard values for shared pairs are
