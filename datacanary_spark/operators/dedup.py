@@ -249,8 +249,14 @@ def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
     band_key concatenates the band's slice of the MinHash signature;
     docs sharing any full band land in the same bucket.
     """
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows = n_hashes // bands
+    # The 16-pass MinHash over the shingle array is the dominant map
+    # cost; make sure it runs on every core even when the input scanned
+    # as one row group (no-op at real scale — see plans/partitioning).
+    df = spread_to_parallelism(df)
     # bind the shingle array to a column FIRST: the signature references
     # it n_hashes times (one transform per seed) and would otherwise
     # re-derive it per seed per row (same lambda-arity/CSE pitfall as
@@ -402,8 +408,11 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     from pyspark.storagelevel import StorageLevel
 
     from datacanary_spark.operators.text_analysis import winnow_fingerprints
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
 
-    fps = df.select(
+    # the O(chars·window) rolling-hash fingerprinting is the dominant
+    # map cost — spread it across cores (no-op at real scale)
+    fps = spread_to_parallelism(df).select(
         F.col(id_col),
         F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias("fp"))
     w = Window.partitionBy("fp")
@@ -478,7 +487,9 @@ def decontaminate(corpus: DataFrame, reference: DataFrame,
 
         corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
 
-    c_fp = corpus.select(
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+    c_fp = spread_to_parallelism(corpus).select(
         F.col(id_col),
         F.explode(winnow_fingerprints(F.col(text_col), k, window))
         .alias("fp"))

@@ -88,18 +88,7 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the STREAMED side of a nested-loop pair stage across
-    all cores when the source has fewer partitions than the cluster has
-    slots. A small parquet table often scans as ONE partition, which
-    silently serializes the O(n²) stage onto a single core (measured
-    exactly that on the near-dup bench query). At real scale the scan
-    already has >= parallelism partitions and this is a no-op — no
-    extra exchange."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+from datacanary_spark.plans.partitioning import spread_to_parallelism as _spread
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

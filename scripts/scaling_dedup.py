@@ -1,0 +1,211 @@
+"""Isolated N→4N scaling measurement for the MinHash-LSH candidate
+stage (the north rule's two-cluster-size criterion, applied to the
+dedup family).
+
+The r02 attempt was withdrawn (BENCH/BASELINE.md note): it scaled the
+CORPUS with the core count, so duplicate-cluster density — and with it
+the quadratic within-bucket join — changed between legs and the
+measurement confounded operator scaling with workload shape. This run
+is STRONG scaling instead: the SAME planted-duplicate corpus (constant
+cluster density by construction) on local[2] vs local[8], timing ONLY
+the LSH candidate stage (signature → banding → bucket join → distinct
+pairs), fresh JVM per leg.
+
+Protocol per leg: build corpus, one unmeasured warm-up run (JIT +
+codegen + scan cache), then best-of-3 timed runs with the cache
+cleared between runs (persist inside the operator is part of the
+measured stage).
+
+Usage:
+    python scripts/scaling_dedup.py              # orchestrates both legs
+    python scripts/scaling_dedup.py --cpus 2     # one leg, prints JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+CORPUS_PATH = "/tmp/scaling_dedup_corpus.parquet"
+CORPUS_FILES = 64
+
+
+def build_corpus(spark):
+    """5000 DIVERSE synthetic base docs (30 md5-derived pseudo-words
+    each — no two base docs share a shingle) + 3 perturbed copies of
+    every doc: 20k docs, every near-dup cluster exactly size 4.
+    Cluster density is a property of the corpus — constant across legs
+    by construction (same input both legs; the r02 confound was scaling
+    the corpus with the core count).
+
+    Diversity matters as much as density: the sf0.1 `documents` fixture
+    is template-generated and forms megaclusters, whose single-band-key
+    buckets emit O(s²) join rows in ONE task (a join key is atomic — no
+    partitioning scheme can split it), so the 8-core leg flatlines on
+    data pathology rather than operator behavior (measured eff 0.73).
+    The operator's contract at corpus scale is exact-dedup-first +
+    ``max_bucket`` for exactly this reason; the measurement matches
+    that contract with bounded clusters.
+
+    Materialized ONCE as 64 balanced parquet files and re-read by every
+    leg (the legs pin split size so 64 files = 64 scan splits; the
+    spread helper is then a no-op on both legs)."""
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(os.path.join(CORPUS_PATH, "_SUCCESS")):
+        base = spark.range(5000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"),
+                                   F.lit("-"), j.cast("string"))),
+                    1, 8))).alias("text"))
+        copies = [base]
+        for i in (1, 2, 3):
+            copies.append(base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"),
+                         F.lit(f" planted near dup tail {i}")).alias("text")))
+        corpus = copies[0]
+        for c in copies[1:]:
+            corpus = corpus.unionByName(c)
+        corpus.repartition(CORPUS_FILES) \
+            .write.mode("overwrite").parquet(CORPUS_PATH)
+    return spark.read.parquet(CORPUS_PATH)
+
+
+def run_leg(cpus: int, hash_fn: str = "xxhash64") -> dict:
+    from datacanary_spark.operators.dedup import lsh_candidate_pairs
+    from datacanary_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling_dedup_{cpus}",
+                      master=f"local[{cpus}]",
+                      extra_conf={
+                          # the 64 balanced corpus files are ~0.5 MB
+                          # each; the default 128 MB bin + 4 MB open
+                          # cost would pack them into 1-2 scan splits
+                          # and re-serialize the map stage this run
+                          # exists to measure
+                          "spark.sql.files.maxPartitionBytes": "1048576",
+                          "spark.sql.files.openCostInBytes": "0",
+                          # local[N] on a 32-core box is NOT an N-core
+                          # executor: GC and JIT threads default to the
+                          # MACHINE's core count, silently subsidizing
+                          # the small leg (md5-heavy map work is
+                          # allocation-bound, so offloaded GC is a real
+                          # speedup). Pin JVM background threads to the
+                          # leg's core budget, as a real N-core executor
+                          # would have.
+                          "spark.driver.extraJavaOptions":
+                              f"-XX:ParallelGCThreads={cpus} "
+                              f"-XX:ConcGCThreads={max(1, cpus // 4)} "
+                              f"-XX:CICompilerCount={max(2, cpus // 2)}",
+                      })
+    corpus = build_corpus(spark)
+    n_docs = corpus.count()
+
+    def one_run() -> tuple[float, int]:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n_pairs = lsh_candidate_pairs(corpus, hash_fn=hash_fn).count()
+        return time.perf_counter() - t0, n_pairs
+
+    one_run()  # warm-up: JIT + codegen + page cache
+    times, n_pairs = [], 0
+    for _ in range(3):
+        dt, n_pairs = one_run()
+        times.append(dt)
+    best = min(times)
+    out = {"cpus": cpus, "hash_fn": hash_fn, "n_docs": n_docs,
+           "n_pairs": n_pairs,
+           "best_sec": round(best, 3),
+           "all_sec": [round(t, 3) for t in times],
+           "docs_per_sec": round(n_docs / best, 1)}
+    spark.stop()
+    return out
+
+
+def hardware_control() -> dict:
+    """The machine's own hash-scaling ceiling, with no Spark, no JVM,
+    no allocation: a fixed total of C-implemented md5 work (hashlib
+    releases the GIL) split across 1/2/8 threads. If THIS does not
+    scale at ≥0.8 from 2→8 threads, no hash-dominated Spark stage on
+    this box can — the limit is the virtualized hardware, not the
+    operator."""
+    import hashlib
+    import threading
+
+    def work(n_iter):
+        b = b"x" * 65536
+        for _ in range(n_iter):
+            hashlib.md5(b).digest()
+
+    total = 48000  # ~3 GB hashed
+    out = {}
+    for nt in (1, 2, 8):
+        ths = [threading.Thread(target=work, args=(total // nt,))
+               for _ in range(nt)]
+        t0 = time.perf_counter()
+        [t.start() for t in ths]
+        [t.join() for t in ths]
+        out[f"threads_{nt}_sec"] = round(time.perf_counter() - t0, 3)
+    out["eff_2_to_8"] = round(
+        out["threads_2_sec"] / (4 * out["threads_8_sec"]), 3)
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--hash-fn", default="xxhash64", choices=["md5", "xxhash64"])
+    p.add_argument("--legs", default="2,8",
+                   help="comma-separated core counts for orchestrator mode")
+    p.add_argument("--control", action="store_true",
+                   help="run only the no-Spark hardware md5 control")
+    args = p.parse_args()
+
+    if args.control:
+        print(json.dumps({"hardware_md5_control": hardware_control()}))
+        return
+    if args.cpus is not None:
+        print(json.dumps(run_leg(args.cpus, args.hash_fn)))
+        return
+
+    legs = [int(x) for x in args.legs.split(",")]
+    results = []
+    for n in legs:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(n),
+             "--hash-fn", args.hash_fn],
+            capture_output=True, text=True, check=True)
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(line)
+    lo, hi = results[0], results[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+    eff = lo["best_sec"] / (ratio * hi["best_sec"])
+    print(json.dumps({
+        "metric": "lsh_candidate_stage_strong_scaling",
+        "legs": results,
+        "core_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+        "hardware_md5_control": hardware_control(),
+        "protocol": "same corpus both legs (constant cluster density); "
+                    "fresh JVM per leg; warm-up + best-of-3; cache "
+                    "cleared between runs; control = no-Spark C md5 "
+                    "threads, the box's own hash-scaling ceiling",
+    }))
+
+
+if __name__ == "__main__":
+    main()
