@@ -127,6 +127,43 @@ def write_table(df: DataFrame, target: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(target)
 
 
+def write_bucketed(df: DataFrame, name: str, bucket_cols: list[str],
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   path: str | None = None, mode: str = "overwrite") -> None:
+    """Write a BUCKETED parquet table: rows are hash-distributed into
+    ``n_buckets`` files per partition by ``bucket_cols`` and sorted
+    within each bucket.
+
+    This is the co-located-join primitive at 100 TB: two tables
+    bucketed by the same key with the same bucket count join with NO
+    exchange on either side (the scan itself reports the hash
+    distribution, so the sort-merge join's shuffle is elided —
+    plan-locked in tests/test_plans.py), and aggregations on the bucket
+    key skip their exchange the same way. For a url-keyed corpus that
+    is repeatedly joined against its metrics/lineage tables, bucketing
+    both once turns every subsequent join into a map-side zip.
+
+    Bucketing requires the table catalog (``saveAsTable``) — Spark's
+    native datasource bucketing, no Hive needed; ``path`` makes it an
+    external table so the files live where the pipeline expects them.
+    Read back with ``spark.table(name)`` (``read_bucketed``): reading
+    the bare parquet directory would silently DROP the bucket metadata
+    and re-shuffle.
+    """
+    w = df.write.format("parquet").mode(mode) \
+        .bucketBy(n_buckets, *bucket_cols) \
+        .sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog read of a bucketed table (keeps the bucket distribution;
+    a plain ``spark.read.parquet`` of the same files would not)."""
+    return spark.table(name)
+
+
 def write_text(spark: SparkSession, uri: str, content: str) -> None:
     """Write a small text/JSON artifact to ANY filesystem scheme via the
     Hadoop FS client (local path, s3a://, abfss://, gs://, hdfs://) —

@@ -67,3 +67,53 @@ def test_apply_store_conf_reaches_hadoop_config(spark):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get(
         "fs.azure.account.key.acct.dfs.core.windows.net") == "SECRET"
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    must sort-merge join with NO exchange on either side, and a
+    groupBy on the bucket key must aggregate without an exchange —
+    the co-located-join contract write_bucketed exists for. A plain
+    parquet read of the same files (bucket metadata dropped) is the
+    negative control."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.sources import io as sio
+
+    pages = spark.range(2000).select(
+        F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 7).alias("score"))
+    metrics = spark.range(2000).select(
+        F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 3).alias("hits"))
+    p_path, m_path = str(tmp_path / "pages"), str(tmp_path / "metrics")
+    sio.write_bucketed(pages, "bt_pages", ["url"], 8, path=p_path)
+    sio.write_bucketed(metrics, "bt_metrics", ["url"], 8, path=m_path)
+    try:
+        a = sio.read_bucketed(spark, "bt_pages")
+        b = sio.read_bucketed(spark, "bt_metrics")
+        # disable broadcast so the join strategy question is real
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "url")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: zero shuffles
+            assert joined.count() == 2000
+
+            agg = a.groupBy("url").agg(F.sum("score").alias("s"))
+            aplan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in aplan  # bucket distribution reused
+
+            # negative control: the bare parquet files lose bucketing
+            raw = spark.read.parquet(p_path).join(
+                spark.read.parquet(m_path), "url")
+            rplan = raw._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in rplan
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_pages")
+        spark.sql("DROP TABLE IF EXISTS bt_metrics")
