@@ -442,3 +442,79 @@ def user_sessions(spark, sf_dir):
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Window frames (moving average / running total) + ntile bucketing
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_rolling_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, n_events,
+           round(avg(n_events) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_3h,
+           CAST(sum(n_events) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+    FROM hourly
+    """,
+)
+def events_rolling_hourly(spark, sf_dir):
+    """Window FRAMES over the hourly event stream: a 3-hour ROWS-frame
+    moving average (the crawl-health trend line) and a running total —
+    the frame varieties (bounded preceding / unbounded preceding) the
+    other window queries don't touch. Frames run over the AGGREGATED
+    hourly rows, so per-partition window state is O(hours), never
+    O(events)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (e.groupBy(
+                  "event_type",
+                  F.date_format(F.date_trunc("hour", F.col("ts")),
+                                "yyyy-MM-dd HH:mm:ss").alias("hour"))
+               .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    return hourly.select(
+        "event_type", "hour", "n_events",
+        F.bround(F.avg("n_events").over(w.rowsBetween(-2, 0)), 6)
+         .alias("mov_avg_3h"),
+        F.sum("n_events").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("cum_events"))
+
+
+@register(
+    "doc_length_deciles_by_lang",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ntile(10) OVER (PARTITION BY lang
+                             ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT lang, CAST(decile AS INT) AS decile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def doc_length_deciles_by_lang(spark, sf_dir):
+    """ntile() bucketing of document length per language — the
+    corpus-mixing view ("how long is each decile of each language").
+    The window ORDER BY includes doc_id so tile assignment is fully
+    deterministic (identical on any engine or partitioning); the
+    min/max per tile then pin the exact bucket boundaries."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select("lang", "n_chars",
+                      F.ntile(10).over(w).alias("decile"))
+    return ranked.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"))
