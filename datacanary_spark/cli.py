@@ -51,7 +51,11 @@ def load_credentials_file(path: str, provider: str) -> dict[str, str]:
     * s3 — CSV with a header row, first data row ``access_key,
       secret_key`` (exactly the reference's parse) → fs.s3a keys;
     * azure — JSON with ``connection_string`` and/or ``account_url`` +
-      ``account_key`` → the account-key conf entry;
+      ``account_key``. Returns the parsed PARTS (``{"account": …,
+      "account_key": …}``, either possibly empty) rather than conf:
+      the account name may instead come from a flag or the abfss://
+      URI, so the caller merges and builds the conf entry once — a
+      file that carries only the key must not be discarded;
     * gcs — the file IS the service-account JSON keyfile → keyfile conf.
     """
     from datacanary_spark.sources.io import object_store_conf
@@ -72,21 +76,48 @@ def load_credentials_file(path: str, provider: str) -> dict[str, str]:
     if provider == "azure":
         with open(path) as f:
             creds = json.load(f)
-        out = {}
-        conn = creds.get("connection_string")
-        if conn:
-            parts = dict(kv.split("=", 1)
-                         for kv in conn.split(";") if "=" in kv)
-            out["account"] = parts.get("AccountName", "")
-            out["account_key"] = parts.get("AccountKey", "")
+        account, key = "", ""
+        if creds.get("connection_string"):
+            account, key = _parse_azure_conn(creds["connection_string"])
         if creds.get("account_url"):
-            out["account"] = creds["account_url"].split("//")[-1].split(".")[0]
+            account = creds["account_url"].split("//")[-1].split(".")[0]
         if creds.get("account_key"):
-            out["account_key"] = creds["account_key"]
-        return object_store_conf("azure", out) if out.get("account") else {}
+            key = creds["account_key"]
+        return {"account": account, "account_key": key}
     if provider == "gcs":
         return object_store_conf("gcs", {"keyfile": path})
     raise SystemExit(f"unknown credentials provider: {provider}")
+
+
+def _parse_azure_conn(conn: str) -> tuple[str, str]:
+    """(AccountName, AccountKey) from an Azure connection string — the
+    single parse shared by the flag and the credentials file."""
+    parts = dict(kv.split("=", 1) for kv in conn.split(";") if "=" in kv)
+    return parts.get("AccountName", ""), parts.get("AccountKey", "")
+
+
+def _file_uri_conf(uri: str, cred_file: str) -> dict[str, str]:
+    """Credentials-file conf for a --file cloud URI, provider inferred
+    from the scheme (a local path or an unknown scheme gets none). For
+    abfss:// the account comes from the URI authority
+    (``container@account.dfs…``) when the file doesn't name one."""
+    from datacanary_spark.sources.io import object_store_conf
+
+    scheme = uri.split("://", 1)[0].lower() if "://" in uri else ""
+    if scheme in ("s3a", "s3", "s3n"):
+        return load_credentials_file(cred_file, "s3")
+    if scheme in ("abfss", "abfs", "wasb", "wasbs"):
+        parts = load_credentials_file(cred_file, "azure")
+        account = parts.get("account", "")
+        if not account and "@" in uri:
+            account = uri.split("@", 1)[1].split(".", 1)[0]
+        if account and parts.get("account_key"):
+            return object_store_conf("azure", {
+                "account": account, "account_key": parts["account_key"]})
+        return {}
+    if scheme == "gs":
+        return load_credentials_file(cred_file, "gcs")
+    return {}
 
 
 def resolve_source(args) -> tuple[str, dict[str, str]]:
@@ -102,7 +133,10 @@ def resolve_source(args) -> tuple[str, dict[str, str]]:
 
     cred_file = getattr(args, "credentials_file", None)
     if getattr(args, "file", None):
-        return args.file, {}
+        # --file takes any URI — a cloud scheme still deserves the
+        # credentials file (provider inferred from the scheme)
+        conf = _file_uri_conf(args.file, cred_file) if cred_file else {}
+        return args.file, conf
     if getattr(args, "bucket", None) and getattr(args, "key", None):
         conf = {}
         if cred_file:
@@ -128,17 +162,12 @@ def resolve_source(args) -> tuple[str, dict[str, str]]:
     if getattr(args, "azure_container", None) and getattr(args, "azure_blob", None):
         account, key = "", ""
         if cred_file:
-            file_conf = load_credentials_file(cred_file, "azure")
-            for k, v in file_conf.items():
-                # key looks like spark.hadoop.fs.azure.account.key.
-                # {account}.dfs.core.windows.net
-                account = k.split("account.key.")[-1].split(".")[0]
-                key = v
+            parts = load_credentials_file(cred_file, "azure")
+            # partial files are fine: a key-only file pairs with an
+            # account named by flag; flags below override non-empty
+            account, key = parts.get("account", ""), parts.get("account_key", "")
         if getattr(args, "azure_connection_string", None):
-            parts = dict(kv.split("=", 1)
-                         for kv in args.azure_connection_string.split(";") if "=" in kv)
-            account = parts.get("AccountName", "")
-            key = parts.get("AccountKey", "")
+            account, key = _parse_azure_conn(args.azure_connection_string)
         if getattr(args, "azure_account_url", None):
             # https://{account}.blob.core.windows.net
             account = args.azure_account_url.split("//")[-1].split(".")[0]

@@ -496,7 +496,7 @@ def events_rolling_hourly(spark, sf_dir):
     WITH ranked AS (
       SELECT lang, n_chars,
              ntile(10) OVER (PARTITION BY lang
-                             ORDER BY n_chars, doc_id) AS decile
+                             ORDER BY n_chars NULLS LAST, doc_id) AS decile
       FROM documents
     )
     SELECT lang, CAST(decile AS INT) AS decile, count(*) AS n_docs,
@@ -508,10 +508,14 @@ def doc_length_deciles_by_lang(spark, sf_dir):
     """ntile() bucketing of document length per language — the
     corpus-mixing view ("how long is each decile of each language").
     The window ORDER BY includes doc_id so tile assignment is fully
-    deterministic (identical on any engine or partitioning); the
-    min/max per tile then pin the exact bucket boundaries."""
+    deterministic (identical on any engine or partitioning), and null
+    ordering is EXPLICIT (nulls last) — Spark's ASC default is nulls
+    FIRST while DuckDB's is nulls LAST, a divergence that would shift
+    every tile boundary on a corpus with null n_chars. The min/max per
+    tile then pin the exact bucket boundaries."""
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc_nulls_last(), "doc_id")
     ranked = d.select("lang", "n_chars",
                       F.ntile(10).over(w).alias("decile"))
     return ranked.groupBy("lang", "decile").agg(

@@ -78,11 +78,15 @@ class FakeContainerCodec:
     def decode(self, payload: bytes) -> tuple[str, int, int, int, bytes]:
         if payload is None:
             raise ValueError("null payload")
-        if (len(payload) < HEADER.size
-                or bytes(payload[:len(MAGIC)]) != MAGIC):
+        if bytes(payload[:len(MAGIC)]) != MAGIC:
             # not ours — maybe a real (possibly tiny) image; let the
             # next codec in the chain have it
             raise UnsupportedPayload("not a FAKEMM container")
+        if len(payload) < HEADER.size:
+            # magic says it IS ours, so a short payload is corrupt
+            # FAKEMM data — diagnose precisely, don't hand a known
+            # container to the image codec for a misleading error
+            raise ValueError("truncated FAKEMM payload")
         _, kind, w, h, f = HEADER.unpack_from(payload)
         return kind.decode(), w, h, f, payload[HEADER.size:]
 

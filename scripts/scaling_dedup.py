@@ -181,7 +181,9 @@ def main() -> None:
         print(json.dumps(run_leg(args.cpus, args.hash_fn)))
         return
 
-    legs = [int(x) for x in args.legs.split(",")]
+    # ascending order: the efficiency formula reads (lo, hi) from the
+    # ends, and a reversed --legs would publish a garbage core_ratio
+    legs = sorted(int(x) for x in args.legs.split(","))
     results = []
     for n in legs:
         r = subprocess.run(

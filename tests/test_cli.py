@@ -143,6 +143,34 @@ def test_credentials_file_maps_to_conf(tmp_path):
     assert conf[("spark.hadoop.google.cloud.auth."
                  "service.account.json.keyfile")] == "/tmp/sa.json"
 
+    # a key-only azure file pairs with an account named by flag
+    az3 = tmp_path / "azure_key_only.json"
+    az3.write_text(_json.dumps({"account_key": "KK"}))
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--azure-container", "c", "--azure-blob", "y.parquet",
+         "--azure-account-url", "https://acct.blob.core.windows.net",
+         "--credentials-file", str(az3)]))
+    assert conf[("spark.hadoop.fs.azure.account.key."
+                 "acct.dfs.core.windows.net")] == "KK"
+
+    # --file with a cloud URI still gets the credentials file
+    # (provider inferred from the scheme; abfss account from the URI)
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--file", "s3a://b/k.parquet",
+         "--credentials-file", str(csv_path)]))
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "AKIA123"
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--file",
+         "abfss://c@uriacct.dfs.core.windows.net/y.parquet",
+         "--credentials-file", str(az3)]))
+    assert conf[("spark.hadoop.fs.azure.account.key."
+                 "uriacct.dfs.core.windows.net")] == "KK"
+    # local path: credentials file is a no-op, not an error
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--file", "/tmp/local.parquet",
+         "--credentials-file", str(csv_path)]))
+    assert conf == {}
+
 
 def test_local_subcommand_aliases(spark, tmp_path, capsys):
     """analyse-local / check-local (reference __main__.py:84,112) run

@@ -346,6 +346,12 @@ def test_pillow_codec_plumbing_with_fake_module(monkeypatch):
     p = mm.encode_fake_media("image", 4, 4, 1, b"\x00" * 16)
     assert mm.FakeContainerCodec().decode(p)[1] == 4
 
+    # a TRUNCATED FAKEMM payload is corrupt FAKEMM data — precise
+    # diagnosis, never handed to the image codec for a wrong error
+    with pytest.raises(ValueError, match="truncated FAKEMM"):
+        mm.CodecChain([mm.FakeContainerCodec(),
+                       mm.PillowImageCodec()]).decode(b"FAKEMM\x00")
+
 
 def test_pillow_codec_missing_library_is_gated():
     """Without Pillow installed, the codec raises an ImportError with
