@@ -171,3 +171,70 @@ def length_quantiles_by_lang(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.transform(F.percentile("n_chars", ps),
                     lambda v: F.bround(v, 6)).alias("length_quantiles")))
+
+
+# ---------------------------------------------------------------------------
+# Host caps (anti-spam) and token-budget sharding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "host_capped_sample",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5('hostcap:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked WHERE rn <= 80 GROUP BY source
+    """,
+)
+def host_capped_sample(spark, sf_dir):
+    """Per-host document cap (the C4/Gopher anti-spam step, with
+    `source` standing in for the host): at most 80 docs per group,
+    chosen by deterministic hash order — sum(doc_id) pins the exact
+    survivor set, not just the count."""
+    d = _t(spark, sf_dir, "documents")
+    capped = cs.cap_per_group(d, "source", 80, "doc_id", salt="hostcap")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"))
+
+
+@register(
+    "token_shard_sizes",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '')), 0) AS t
+      FROM documents
+    ),
+    cum AS (SELECT doc_id, t, sum(t) OVER (ORDER BY doc_id) AS c FROM toks),
+    sh AS (SELECT doc_id, t,
+                  CAST(floor((c - t) / 20000) AS INT) AS shard FROM cum)
+    SELECT shard, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM sh GROUP BY shard
+    """,
+)
+def token_shard_sizes(spark, sf_dir):
+    """Token-budget sharding (pack the corpus into ~20k-token output
+    shards in doc-id order): shard sizes, token totals and id ranges.
+    The running total underneath is the DISTRIBUTED prefix sum
+    (deterministic id-range buckets + per-bucket window + literal
+    offsets), never a single-partition global window — the oracle's
+    serial `sum() OVER (ORDER BY doc_id)` pins its exactness."""
+    d = _t(spark, sf_dir, "documents")
+    sharded = cs.assign_token_shards(d, 20000)
+    toks = F.coalesce(ta.token_count_ws(F.col("text")), F.lit(0))
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"))

@@ -89,6 +89,129 @@ def _hex_threshold(fraction: float) -> str:
     return "g" if n >= 16**8 else f"{n:08x}"
 
 
+def cap_per_group(df: DataFrame, group_col: str, cap: int, key_col: str,
+                  salt: str = "hostcap", prefilter: bool = False,
+                  oversample: float = 4.0) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    hash order — the anti-spam HOST CAP of web pipelines (C4/Gopher cap
+    documents per host so link farms can't dominate the corpus).
+
+    Selection: rows ranked by (md5 bucket, key) within each group; the
+    ``cap`` smallest survive. A pure function of the keys → identical
+    output on any engine, partitioning, or cluster size, and re-runs of
+    a resumable job pick the same survivors.
+
+    Scale shape: the rank is a per-group window — fine when groups are
+    hosts (≤10^6 rows each). For PATHOLOGICAL groups (a single host
+    with 10^9 pages funneling one window partition),
+    ``prefilter=True`` first drops rows whose hash bucket exceeds
+    ~``oversample·cap/n_g`` of the hash space (per-group counts via one
+    aggregate whose map-side partials absorb the hot key), so the
+    window only ranks ~oversample·cap survivors per group. The
+    survivors' ranks equal their global ranks (the hash filter keeps a
+    PREFIX of the hash order), so results are identical to the plain
+    window **provided ≥ cap rows survive** — P(shortfall) < 10⁻⁹ at
+    oversample=4, cap ≥ 50 (Chernoff); the exact window form is the
+    oracle twin.
+    """
+    bucket = _bucket_expr(F.col(key_col), salt)
+    d = df
+    if prefilter:
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+        frac = F.least(F.lit(1.0), F.lit(float(oversample * cap)) / F.col("_n"))
+        # per-group threshold: same hex-space prefix rule as sampling
+        # F.conv emits UPPERCASE hex; md5 hex is lowercase — lower()
+        # or the lexicographic compare silently drops every row
+        thr = F.lpad(F.lower(F.conv(
+            (frac * F.lit(float(16 ** 8))).cast("long").cast("string"),
+            10, 16)), 8, "0")
+        thr = F.when(frac >= 1.0, F.lit("g")).otherwise(thr)
+        d = (df.join(counts.select(group_col, thr.alias("_thr")), group_col)
+               .where(bucket < F.col("_thr")).drop("_thr"))
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(),
+                                              F.col(key_col).asc())
+    return (d.withColumn("_rank", F.row_number().over(w))
+             .where(F.col("_rank") <= cap).drop("_rank"))
+
+
+def distributed_cumsum(df: DataFrame, order_col: str, value_col: str,
+                       out_col: str = "cum",
+                       n_parts: int | None = None) -> DataFrame:
+    """Global running total of ``value_col`` in ``order_col`` order —
+    WITHOUT the single-partition window a bare
+    ``Window.orderBy(order_col)`` plans (every row through one task: a
+    non-starter at 10^12 rows).
+
+    Classic two-pass distributed prefix sum over DETERMINISTIC buckets:
+
+    1. bucket each row by an explicit id-range rule (bucket =
+       ``(id − min) // width``, width from one tiny min/max aggregate)
+       — NOT ``repartitionByRange``, whose sampled boundaries can
+       differ between the offsets job and the final job and would
+       silently misalign the offsets; per-bucket local cumsum via a
+       window partitioned by the bucket;
+    2. the P per-bucket totals (P rows, not data rows) come to the
+       driver, a running offset per bucket goes back as plan literals,
+       and one narrow map adds it.
+
+    Each row's result is the sum over all preceding order keys —
+    identical to the serial form and to a SQL oracle's ``sum() OVER
+    (ORDER BY …)``. ``order_col`` must be unique (it is a doc id);
+    ties would make "preceding" ambiguous. Bucket balance tracks id
+    density (dense ids → even buckets; pathological sparsity just
+    skews bucket sizes, never correctness).
+    """
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max((int(hi) - int(lo)) // n_parts + 1, 1)
+    bucket = ((F.col(order_col) - F.lit(int(lo))) / F.lit(width)) \
+        .cast("long")
+    d = df.withColumn("_pid", bucket)
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = d.withColumn("_local", F.sum(value_col).over(w))
+    # P tiny rows to the driver — the legitimate kind of collect
+    totals = sorted(
+        local.groupBy("_pid").agg(F.max("_local").alias("_t")).collect(),
+        key=lambda r: r["_pid"])
+    offsets, running = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = running
+        running += r["_t"] or 0
+    off = F.lit(0).cast("long")
+    for pid, o in offsets.items():
+        off = F.when(F.col("_pid") == pid, F.lit(o)).otherwise(off)
+    return (local.withColumn(out_col, (F.col("_local") + off).cast("long"))
+                 .drop("_pid", "_local"))
+
+
+def assign_token_shards(df: DataFrame, shard_tokens: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        out_col: str = "shard") -> DataFrame:
+    """Deterministic token-budget sharding: docs in id order are packed
+    greedily into shards of ~``shard_tokens`` whitespace tokens — the
+    "write the corpus as N-token output files" step before tokenizer
+    runs. ``shard = floor((cumsum_tokens − tokens) / shard_tokens)``:
+    a doc starts a new shard when the budget is exhausted, shard ids
+    are dense from 0, and the assignment is a pure function of the
+    corpus (re-runs and engines agree). Null text counts 0 tokens and
+    stays in the stream (its shard is still defined).
+
+    Built on :func:`distributed_cumsum` — no single-partition window.
+    """
+    from datacanary_spark.operators.text_analysis import token_count_ws
+
+    toks = df.withColumn(
+        "_tok", F.coalesce(token_count_ws(F.col(text_col)), F.lit(0)))
+    cum = distributed_cumsum(toks, id_col, "_tok", out_col="_cum")
+    return (cum.withColumn(
+                out_col,
+                F.floor((F.col("_cum") - F.col("_tok")) /
+                        F.lit(shard_tokens)).cast("int"))
+               .drop("_tok", "_cum"))
+
+
 def hash_stratified_sample(df: DataFrame, strata_col: str,
                            fractions: dict[str, float], key_col: str,
                            salt: str = "sample",

@@ -151,3 +151,73 @@ def test_canonical_url_rules(spark):
         "i", canonical_url_expr(F.col("url")).alias("c")).collect()}
     for i, (_, exp) in enumerate(cases):
         assert got[i] == exp, (i, got[i], exp)
+
+
+def test_cap_per_group_prefilter_matches_exact(spark):
+    """The prefiltered scale path must select the IDENTICAL survivors
+    as the exact window form (the hash filter keeps a prefix of the
+    hash order), and never exceed the cap."""
+    from datacanary_spark.operators.corpus_stats import cap_per_group
+
+    rows = [(i, f"host{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id: long, host: string")
+    exact = {(r["host"], r["doc_id"]) for r in
+             cap_per_group(df, "host", 60, "doc_id").collect()}
+    fast = {(r["host"], r["doc_id"]) for r in
+            cap_per_group(df, "host", 60, "doc_id",
+                          prefilter=True).collect()}
+    assert exact == fast
+    per_host = {}
+    for h, _ in exact:
+        per_host[h] = per_host.get(h, 0) + 1
+    assert all(v == 60 for v in per_host.values())
+    # a group smaller than the cap keeps everything
+    small = spark.createDataFrame([(1, "h"), (2, "h")],
+                                  "doc_id: long, host: string")
+    assert cap_per_group(small, "host", 60, "doc_id",
+                         prefilter=True).count() == 2
+
+
+def test_distributed_cumsum_matches_serial_and_handles_nulls(spark):
+    """The bucketed two-pass prefix sum must equal the serial
+    single-window form row-for-row, including null values (sum ignores
+    them; the row still gets the running total so far)."""
+    from pyspark.sql import Window
+
+    from datacanary_spark.operators.corpus_stats import distributed_cumsum
+
+    rows = [(i * 3 + 1, float(i % 7) if i % 11 else None)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id: long, v: double")
+    got = {r["id"]: r["cum"] for r in
+           distributed_cumsum(df, "id", "v", n_parts=8).collect()}
+    w = Window.orderBy("id")
+    exp = {r["id"]: r["c"] for r in
+           df.withColumn("c", F.sum("v").over(w).cast("long")).collect()}
+    assert got == exp
+    # empty frame: defined, all-null output column
+    empty = spark.createDataFrame([], "id: long, v: double")
+    assert distributed_cumsum(empty, "id", "v").count() == 0
+
+
+def test_assign_token_shards_budget_and_determinism(spark):
+    """Shards are dense from 0, no shard exceeds the budget by more
+    than one document's tokens (greedy packing), null text rides along
+    with 0 tokens, and re-running yields the identical assignment."""
+    from datacanary_spark.operators.corpus_stats import assign_token_shards
+
+    rows = [(i, "tok " * (i % 50)) for i in range(300)] + [(300, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = assign_token_shards(df, 200).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == list(range(301))
+    shards = [r["shard"] for r in out]
+    assert shards[0] == 0 and sorted(set(shards)) == list(range(max(shards) + 1))
+    again = assign_token_shards(df, 200).orderBy("doc_id").collect()
+    assert [r["shard"] for r in again] == shards
+    # greedy budget: the doc STARTING a shard begins before the budget
+    # boundary; cumulative tokens at each shard start < (shard+1)*budget
+    tok = [len([w for w in (r["text"] or "").split() if w]) for r in out]
+    cum = 0
+    for i, r in enumerate(out):
+        assert r["shard"] == cum // 200
+        cum += tok[i]
