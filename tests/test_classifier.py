@@ -1,0 +1,104 @@
+"""Trained quality classifier: Spark ML training, pure-expression
+inference. Pins (a) generalization F1 on a held-out split, (b) exact
+agreement between the Column-expression sigmoid and MLlib's own
+transform probabilities, (c) a UDF-free scoring plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacanary_spark.operators.corpus_stats import hash_sample_predicate
+from datacanary_spark.plans import classifier as qc
+
+
+@pytest.fixture(scope="module")
+def labeled_pages(spark):
+    """Fixture pages labeled by the golden filter pipeline's heuristic
+    verdict — the 'seed labels' a classifier generalizes from."""
+    from datacanary_spark.functions.heuristics import (
+        FilterConfig,
+        heuristic_hit_exprs,
+        stat_cols,
+        with_text_stats,
+    )
+    from datacanary_spark.sources.fixtures import pages_spark_df
+
+    pages = pages_spark_df(spark, 1200, seed=77)
+    d = with_text_stats(pages, text_col="text")
+    hits = heuristic_hit_exprs(FilterConfig(), stat_cols())
+    label = F.lit(1)
+    for h in hits.values():
+        label = F.when(h > 0, 0).otherwise(label)
+    return d.select("url", "text", label.alias("label"))
+
+
+def test_classifier_generalizes_and_matches_mllib(spark, labeled_pages):
+    train = labeled_pages.where(
+        hash_sample_predicate(F.col("url"), 0.7, salt="clfsplit"))
+    test = labeled_pages.where(
+        ~hash_sample_predicate(F.col("url"), 0.7, salt="clfsplit"))
+    clf = qc.train_quality_classifier(train, "label")
+    assert len(clf.weights) == len(qc.FEATURE_NAMES)
+
+    scored = qc.classify(test, clf)
+    agg = scored.select(
+        F.sum(((F.col("keep_pred")) & (F.col("label") == 1)).cast("int"))
+        .alias("tp"),
+        F.sum(((F.col("keep_pred")) & (F.col("label") == 0)).cast("int"))
+        .alias("fp"),
+        F.sum(((~F.col("keep_pred")) & (F.col("label") == 1)).cast("int"))
+        .alias("fn"),
+    ).first()
+    prec = agg["tp"] / max(agg["tp"] + agg["fp"], 1)
+    rec = agg["tp"] / max(agg["tp"] + agg["fn"], 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1 >= 0.9, (prec, rec, f1)
+
+    # expression inference == MLlib transform probabilities
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    d = qc.featurized(train, "text")
+    assembler = VectorAssembler(
+        inputCols=[f"feat_{n}" for n in qc.FEATURE_NAMES],
+        outputCol="features")
+    model = LogisticRegression(maxIter=50, regParam=0.0,
+                               labelCol="label").fit(
+        assembler.transform(d).select(
+            "features", F.col("label").cast("double").alias("label")))
+    ml_probs = {r["url"]: r["p"] for r in model.transform(
+        assembler.transform(qc.featurized(test, "text")))
+        .select("url", vector_to_array("probability")[1].alias("p"))
+        .collect()}
+    expr_probs = {r["url"]: r["quality_prob"] for r in
+                  scored.select("url", "quality_prob").collect()}
+    assert set(ml_probs) == set(expr_probs)
+    for u in ml_probs:
+        assert expr_probs[u] == pytest.approx(ml_probs[u], abs=1e-9), u
+
+
+def test_classifier_scoring_plan_is_pure_codegen(spark, labeled_pages):
+    """The 10^12-doc scoring pass must be one narrow projection: no
+    Python evaluation, no shuffle, no MLlib transformer in the plan."""
+    clf = qc.QualityClassifier(
+        qc.FEATURE_NAMES, tuple([0.01] * len(qc.FEATURE_NAMES)), -0.5)
+    plan = qc.classify(labeled_pages.select("url", "text"), clf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Exchange",
+                "FlatMapGroupsInPandas"):
+        assert bad not in plan, bad
+
+
+def test_classifier_roundtrip_and_null_text(spark):
+    clf = qc.QualityClassifier(qc.FEATURE_NAMES,
+                               tuple([0.5] * len(qc.FEATURE_NAMES)), 0.1)
+    assert qc.QualityClassifier.from_dict(clf.to_dict()) == clf
+    df = spark.createDataFrame([("u1", None)], "url: string, text: string")
+    row = qc.classify(df, clf).first()
+    # null text → zero feature vector → sigmoid(intercept)
+    import math
+
+    assert row["quality_prob"] == pytest.approx(
+        1 / (1 + math.exp(-0.1)), abs=1e-12)
