@@ -65,3 +65,83 @@ def test_state_accumulates_across_restarts(spark, dirs):
     assert latest == expected
     total_seen = sum(v[0] for v in expected.values())
     assert total_seen == 140
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _protobuf_available(),
+                    reason="transformWithStateInPandas worker protocol "
+                           "needs protobuf (absent in this sandbox)")
+def test_tws_state_accumulates_across_restarts(spark, tmp_path):
+    """transformWithStateInPandas (the Spark 4 successor API) must show
+    the same cumulative-state-across-restart behavior as the
+    applyInPandasWithState form, against the same batch twin."""
+    from datacanary_spark.streaming.stateful import host_quota_stream_tws
+
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    write_pages_parquet(inp, n_docs=80, seed=42, start_id=0)
+    q = host_quota_stream_tws(spark, inp, ckpt, out)
+    q.awaitTermination()
+    assert _latest_from_sink(spark, out) == _batch_twin(spark, inp)
+
+    write_pages_parquet(inp, n_docs=60, seed=42, start_id=5000)
+    q2 = host_quota_stream_tws(spark, inp, ckpt, out)
+    q2.awaitTermination()
+    assert _latest_from_sink(spark, out) == _batch_twin(spark, inp)
+
+
+def test_tws_processor_logic_with_fake_handle():
+    """The StatefulProcessor's accumulation logic, unit-tested against
+    a fake handle/ValueState (the sandbox cannot run the TWS worker
+    protocol — protobuf is absent — so the logic is pinned here and
+    the wiring mirrors the e2e-tested applyInPandasWithState path)."""
+    import pandas as pd
+
+    from datacanary_spark.streaming.stateful import HostQuotaProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.requested_ttl = ttlDurationMs
+            return self.states.setdefault(name, FakeValueState())
+
+    handle = FakeHandle()
+    proc = HostQuotaProcessor(state_ttl_ms=3_600_000)
+    proc.init(handle)
+    assert handle.requested_ttl == 3_600_000
+
+    b1 = pd.DataFrame({"keep": [True, False, True]})
+    out1 = list(proc.handleInputRows(("h.example",), iter([b1]), None))
+    assert out1[0].iloc[0].tolist() == ["h.example", 3, 2]
+
+    # second micro-batch accumulates on the stored state
+    b2 = pd.DataFrame({"keep": [True]})
+    out2 = list(proc.handleInputRows(("h.example",), iter([b2]), None))
+    assert out2[0].iloc[0].tolist() == ["h.example", 4, 3]
+    assert handle.states["counts"].get() == (4, 3)
+    proc.close()
