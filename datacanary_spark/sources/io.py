@@ -117,14 +117,32 @@ def read_table(spark: SparkSession, source: str,
     return spark.read.parquet(source)
 
 
-def write_table(df: DataFrame, target: str, mode: str = "append") -> None:
-    """Write to an Iceberg table (``iceberg:db.table``) or parquet dir."""
+def write_table(df: DataFrame, target: str, mode: str = "append",
+                partition_by: list[str] | None = None) -> None:
+    """Write to an Iceberg table (``iceberg:db.table``) or parquet dir.
+
+    ``partition_by`` writes hive-style directory partitions
+    (``lang=en/…``): a reader's filter on the partition column becomes
+    a PartitionFilters entry on the scan and prunes whole directories
+    before any file is opened — the coarse pruning tier above parquet
+    row-group min/max skipping (plan-locked in
+    tests/test_plans.py::test_partitioned_write_prunes_directories).
+    Partition by LOW-cardinality columns only (lang, date, source);
+    a url-grained partitioning would create 10^9 directories.
+    """
     if target.startswith(ICEBERG_PREFIX):
         name = target[len(ICEBERG_PREFIX):]
         writer = df.writeTo(name)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         (writer.append() if mode == "append" else writer.createOrReplace())
         return
-    df.write.mode(mode).parquet(target)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)
 
 
 def write_bucketed(df: DataFrame, name: str, bucket_cols: list[str],

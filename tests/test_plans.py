@@ -130,3 +130,27 @@ def test_profile_single_scan(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _executed(d.agg(*profile_exprs(d)))
     assert plan.count("Scan parquet") == 1
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must become PartitionFilters on
+    the scan (whole directories pruned before any file opens) and must
+    NOT appear in PushedFilters (it never reaches row groups)."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.sources import io as sio
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    sio.write_table(docs, out, mode="overwrite", partition_by=["lang"])
+
+    q = spark.read.parquet(out).where(F.col("lang") == "en") \
+        .select("doc_id", "n_chars")
+    plan = _executed(q)
+    assert "PartitionFilters: [" in plan and "lang" in plan.split(
+        "PartitionFilters:")[1].split("]")[0]
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "lang" not in pushed
+    # and the values survive the layout round-trip
+    n = q.count()
+    assert n == docs.where(F.col("lang") == "en").count() and n > 0
