@@ -212,6 +212,39 @@ def assign_token_shards(df: DataFrame, shard_tokens: int,
                .drop("_tok", "_cum"))
 
 
+def approx_quantile_buckets(df: DataFrame, value_col: str,
+                            group_col: str, n_buckets: int = 10,
+                            accuracy: int = 10000,
+                            out_col: str = "bucket") -> DataFrame:
+    """Per-group quantile bucketing with BOUNDED state — the 10^12-row
+    companion to the ntile() decile query (whose window ranks every row
+    of a group in one partition: fine at test scale, a hot-partition
+    funnel at corpus scale).
+
+    One ``percentile_approx`` sketch per group (O(accuracy) state)
+    yields the n_buckets−1 boundaries; a join brings them back and the
+    bucket is ``1 + #boundaries ≤ value`` — a narrow map, no window
+    anywhere. Semantics note: this is VALUE-quantile bucketing (equal
+    values land in one bucket) where ntile is row-balanced (ties can
+    straddle buckets); at corpus scale the value semantic is the one
+    you want for "which length band is this doc in". Null values get a
+    null bucket.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("_bounds"))
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_bounds"), F.lit(0),
+        lambda acc, b: acc + F.when(v >= b, 1).otherwise(0))
+    return (df.join(bounds, group_col)
+              .withColumn(out_col,
+                          F.when(v.isNull(),
+                                 F.lit(None).cast("int"))
+                           .otherwise(bucket.cast("int")))
+              .drop("_bounds"))
+
+
 def hash_stratified_sample(df: DataFrame, strata_col: str,
                            fractions: dict[str, float], key_col: str,
                            salt: str = "sample",

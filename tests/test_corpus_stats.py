@@ -221,3 +221,32 @@ def test_assign_token_shards_budget_and_determinism(spark):
     for i, r in enumerate(out):
         assert r["shard"] == cum // 200
         cum += tok[i]
+
+
+def test_approx_quantile_buckets_scale_twin(spark):
+    """The bounded-state bucket path: roughly balanced buckets, no
+    window in the plan, null values → null bucket, and boundaries
+    consistent with the exact decile query's semantics (every bucket's
+    values strictly ordered between its neighbors')."""
+    rows = [(i, "en", float((i * 37) % 1000)) for i in range(1000)] \
+        + [(2000, "en", None)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, v: double")
+    out = cs.approx_quantile_buckets(df, "v", "lang", n_buckets=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # the whole point of the scale path
+    rowsb = out.collect()
+    got = {r["doc_id"]: r["bucket"] for r in rowsb}
+    assert got[2000] is None
+    sizes = {}
+    for r in rowsb:
+        if r["bucket"] is not None:
+            sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert set(sizes) == set(range(1, 11))
+    assert all(60 <= n <= 140 for n in sizes.values()), sizes
+    # bucket ordering is consistent with value ordering
+    by_bucket = {}
+    for r in rowsb:
+        if r["bucket"] is not None:
+            by_bucket.setdefault(r["bucket"], []).append(r["v"])
+    for b in range(1, 10):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
