@@ -238,3 +238,40 @@ def token_shard_sizes(spark, sf_dir):
         F.sum(toks).alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"))
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide rollup)
+# ---------------------------------------------------------------------------
+
+_PIVOT_LANGS = ("en", "fr", "es", "de", "zh")
+
+
+@register(
+    "docs_pivot_source_lang",
+    """
+    SELECT source,
+           """ + ",\n           ".join(
+        f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {lg}" for lg in _PIVOT_LANGS) + """
+    FROM documents GROUP BY source
+    """,
+)
+def docs_pivot_source_lang(spark, sf_dir):
+    """PIVOT: per-source document counts spread into one column per
+    language (the wide lineage rollup dashboards want). The pivot
+    values are EXPLICIT plan literals — `pivot(col)` without values
+    runs an extra distinct-scan job to discover them, which at corpus
+    scale is a full pass just to learn column names; a fixed language
+    taxonomy is known up front. Absent (source, lang) cells coalesce
+    to 0 like the oracle's CASE-sum."""
+    from datacanary_spark.entry_queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    wide = (d.groupBy("source")
+             .pivot("lang", list(_PIVOT_LANGS))
+             .agg(F.count(F.lit(1))))
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(lg)
+          for lg in _PIVOT_LANGS])
