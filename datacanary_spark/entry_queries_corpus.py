@@ -265,8 +265,6 @@ def docs_pivot_source_lang(spark, sf_dir):
     scale is a full pass just to learn column names; a fixed language
     taxonomy is known up front. Absent (source, lang) cells coalesce
     to 0 like the oracle's CASE-sum."""
-    from datacanary_spark.entry_queries import _t
-
     d = _t(spark, sf_dir, "documents")
     wide = (d.groupBy("source")
              .pivot("lang", list(_PIVOT_LANGS))

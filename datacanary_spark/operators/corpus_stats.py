@@ -126,8 +126,13 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int, key_col: str,
             (frac * F.lit(float(16 ** 8))).cast("long").cast("string"),
             10, 16)), 8, "0")
         thr = F.when(frac >= 1.0, F.lit("g")).otherwise(thr)
-        d = (df.join(counts.select(group_col, thr.alias("_thr")), group_col)
-               .where(bucket < F.col("_thr")).drop("_thr"))
+        # null-SAFE join: groupBy emits a row for the null group and
+        # the window path ranks it like any other — an equality join
+        # here would silently drop every null-group row, diverging
+        # from the exact form this path must match
+        c = counts.select(F.col(group_col).alias("_g"), thr.alias("_thr"))
+        d = (df.join(c, F.col(group_col).eqNullSafe(F.col("_g")))
+               .where(bucket < F.col("_thr")).drop("_g", "_thr"))
     w = Window.partitionBy(group_col).orderBy(bucket.asc(),
                                               F.col(key_col).asc())
     return (d.withColumn("_rank", F.row_number().over(w))
@@ -151,15 +156,18 @@ def distributed_cumsum(df: DataFrame, order_col: str, value_col: str,
        silently misalign the offsets; per-bucket local cumsum via a
        window partitioned by the bucket;
     2. the P per-bucket totals (P rows, not data rows) come to the
-       driver, a running offset per bucket goes back as plan literals,
-       and one narrow map adds it.
+       driver, and the running offsets go back as a broadcast join
+       against the tiny offsets frame — one narrow map adds them.
 
     Each row's result is the sum over all preceding order keys —
     identical to the serial form and to a SQL oracle's ``sum() OVER
-    (ORDER BY …)``. ``order_col`` must be unique (it is a doc id);
-    ties would make "preceding" ambiguous. Bucket balance tracks id
-    density (dense ids → even buckets; pathological sparsity just
-    skews bucket sizes, never correctness).
+    (ORDER BY …)``, including the null contract (the running sum is
+    NULL until the first non-null value, then nulls are skipped) and
+    negative values (totals are per-bucket SUMs, never running maxes).
+    ``order_col`` must be unique (it is a doc id); ties would make
+    "preceding" ambiguous. Bucket balance tracks id density (dense ids
+    → even buckets; pathological sparsity just skews bucket sizes,
+    never correctness).
     """
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
@@ -170,20 +178,35 @@ def distributed_cumsum(df: DataFrame, order_col: str, value_col: str,
         .cast("long")
     d = df.withColumn("_pid", bucket)
     w = Window.partitionBy("_pid").orderBy(order_col)
-    local = d.withColumn("_local", F.sum(value_col).over(w))
-    # P tiny rows to the driver — the legitimate kind of collect
+    # running sum AND running non-null count per bucket: the serial
+    # window sum is NULL until the first non-null value, and the
+    # distributed form must reproduce that exactly
+    local = d.withColumn("_local", F.sum(value_col).over(w)) \
+             .withColumn("_lcnt", F.count(value_col).over(w))
+    # P tiny rows to the driver — the legitimate kind of collect.
+    # Totals come from SUM over the bucket (a running MAX would be
+    # wrong the moment value_col goes negative).
     totals = sorted(
-        local.groupBy("_pid").agg(F.max("_local").alias("_t")).collect(),
+        d.groupBy("_pid").agg(F.sum(value_col).alias("_t"),
+                              F.count(value_col).alias("_c")).collect(),
         key=lambda r: r["_pid"])
-    offsets, running = {}, 0
+    off_rows, run_sum, run_cnt = [], 0, 0
     for r in totals:
-        offsets[r["_pid"]] = running
-        running += r["_t"] or 0
-    off = F.lit(0).cast("long")
-    for pid, o in offsets.items():
-        off = F.when(F.col("_pid") == pid, F.lit(o)).otherwise(off)
-    return (local.withColumn(out_col, (F.col("_local") + off).cast("long"))
-                 .drop("_pid", "_local"))
+        off_rows.append((int(r["_pid"]), run_sum, run_cnt))
+        run_sum += int(r["_t"] or 0)
+        run_cnt += int(r["_c"])
+    # offsets go back as a BROADCAST join against the P-row frame —
+    # O(1) expression depth (a per-pid CASE chain would be O(P) deep
+    # and overflow Catalyst/codegen at cluster partition counts)
+    offsets = df.sparkSession.createDataFrame(
+        off_rows, "_pid: long, _off: long, _pcnt: long")
+    joined = local.join(F.broadcast(offsets), "_pid")
+    cum = F.when(F.col("_lcnt") + F.col("_pcnt") == 0,
+                 F.lit(None).cast("long")) \
+           .otherwise((F.coalesce(F.col("_local"), F.lit(0))
+                       + F.col("_off")).cast("long"))
+    return (joined.withColumn(out_col, cum)
+                  .drop("_pid", "_local", "_lcnt", "_off", "_pcnt"))
 
 
 def assign_token_shards(df: DataFrame, shard_tokens: int,
@@ -193,10 +216,14 @@ def assign_token_shards(df: DataFrame, shard_tokens: int,
     greedily into shards of ~``shard_tokens`` whitespace tokens — the
     "write the corpus as N-token output files" step before tokenizer
     runs. ``shard = floor((cumsum_tokens − tokens) / shard_tokens)``:
-    a doc starts a new shard when the budget is exhausted, shard ids
-    are dense from 0, and the assignment is a pure function of the
-    corpus (re-runs and engines agree). Null text counts 0 tokens and
-    stays in the stream (its shard is still defined).
+    a doc starts a new shard when the budget is exhausted; shard ids
+    start at 0 and are monotone non-decreasing in doc order, but NOT
+    necessarily dense — a single doc larger than the budget advances
+    the cumulative count past whole shard ids (writers keyed on shard
+    id must iterate the ids PRESENT, not ``range(max+1)``). The
+    assignment is a pure function of the corpus (re-runs and engines
+    agree). Null text counts 0 tokens and stays in the stream (its
+    shard is still defined).
 
     Built on :func:`distributed_cumsum` — no single-partition window.
     """
@@ -232,17 +259,21 @@ def approx_quantile_buckets(df: DataFrame, value_col: str,
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.groupBy(group_col).agg(
-        F.percentile_approx(value_col, probs, accuracy).alias("_bounds"))
+        F.percentile_approx(value_col, probs, accuracy).alias("_bounds")) \
+        .select(F.col(group_col).alias("_g"), "_bounds")
     v = F.col(value_col).cast("double")
     bucket = F.lit(1) + F.aggregate(
         F.col("_bounds"), F.lit(0),
         lambda acc, b: acc + F.when(v >= b, 1).otherwise(0))
-    return (df.join(bounds, group_col)
+    # null-SAFE join: a null group has its own sketch row and its rows
+    # must be bucketed like the window twin buckets them — an equality
+    # join would silently delete every null-group doc
+    return (df.join(bounds, F.col(group_col).eqNullSafe(F.col("_g")))
               .withColumn(out_col,
                           F.when(v.isNull(),
                                  F.lit(None).cast("int"))
                            .otherwise(bucket.cast("int")))
-              .drop("_bounds"))
+              .drop("_g", "_bounds"))
 
 
 def hash_stratified_sample(df: DataFrame, strata_col: str,

@@ -134,6 +134,16 @@ def write_table(df: DataFrame, target: str, mode: str = "append",
         name = target[len(ICEBERG_PREFIX):]
         writer = df.writeTo(name)
         if partition_by:
+            if mode == "append":
+                # DataFrameWriterV2.partitionedBy only applies to
+                # create/createOrReplace; append() silently ignores it
+                # and the existing table keeps its (possibly
+                # unpartitioned) spec — fail loudly instead
+                raise ValueError(
+                    "partition_by with mode='append' is a no-op on an "
+                    "Iceberg table (the existing partition spec wins); "
+                    "use mode='overwrite' to (re)create the table "
+                    "partitioned, or evolve the spec via Iceberg DDL")
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])

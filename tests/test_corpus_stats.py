@@ -250,3 +250,54 @@ def test_approx_quantile_buckets_scale_twin(spark):
             by_bucket.setdefault(r["bucket"], []).append(r["v"])
     for b in range(1, 10):
         assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+
+def test_distributed_cumsum_negative_values_and_null_boundary(spark):
+    """Review regressions: (a) negative values — per-bucket totals
+    must be SUMs, a running max gave cum=6 instead of 3; (b) a null
+    value landing FIRST in a non-first bucket must still get the
+    running offset (null + offset was null); (c) an all-null prefix
+    stays null like the serial window."""
+    from pyspark.sql import Window
+
+    from datacanary_spark.operators.corpus_stats import distributed_cumsum
+
+    rows = [(1, 5.0), (2, -3.0), (100, 1.0),     # negative inside bucket 0
+            (150, None), (151, 2.0),             # null first in a bucket
+            (-50, None)]                         # all-null global prefix
+    df = spark.createDataFrame(rows, "id: long, v: double")
+    for n_parts in (2, 3, 8):
+        got = {r["id"]: r["cum"] for r in
+               distributed_cumsum(df, "id", "v", n_parts=n_parts).collect()}
+        w = Window.orderBy("id")
+        exp = {r["id"]: r["c"] for r in
+               df.withColumn("c", F.sum("v").over(w).cast("long")).collect()}
+        assert got == exp, (n_parts, got, exp)
+    assert got[-50] is None and got[2] == 2 and got[100] == 3
+    assert got[150] == 3 and got[151] == 5
+
+
+def test_cap_and_buckets_keep_null_groups(spark):
+    """Review regressions: rows whose GROUP key is null must survive
+    both scale paths (equality joins on a null key silently deleted
+    them) exactly like the window forms keep them."""
+    from datacanary_spark.operators.corpus_stats import (
+        approx_quantile_buckets,
+        cap_per_group,
+    )
+
+    rows = [(i, None if i < 5 else "h", float(i)) for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id: long, host: string, v: double")
+
+    exact = {(r["host"], r["doc_id"]) for r in
+             cap_per_group(df, "host", 3, "doc_id").collect()}
+    fast = {(r["host"], r["doc_id"]) for r in
+            cap_per_group(df, "host", 3, "doc_id", prefilter=True).collect()}
+    assert exact == fast
+    assert sum(1 for h, _ in exact if h is None) == 3  # null group capped too
+
+    out = approx_quantile_buckets(df, "v", "host", n_buckets=2)
+    assert out.count() == 15  # nothing dropped
+    null_rows = [r for r in out.collect() if r["host"] is None]
+    assert len(null_rows) == 5 and all(r["bucket"] in (1, 2)
+                                       for r in null_rows)
