@@ -379,7 +379,8 @@ def cmd_curate(args) -> int:
         line_dedup=not args.no_line_dedup,
         extract_from_html=args.from_html,
         decontaminate_path=args.decontaminate_against,
-        decontaminate_mode=args.decontaminate_mode)
+        decontaminate_mode=args.decontaminate_mode,
+        host_cap=args.host_cap)
     print(json.dumps(summary, sort_keys=True))
     return 0
 
@@ -542,6 +543,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "docs are removed")
     cu.add_argument("--decontaminate-mode", choices=["exact", "winnow"],
                     default="winnow")
+    cu.add_argument("--host-cap", type=int, default=None,
+                    help="keep at most N docs per url host "
+                         "(deterministic anti-spam cap)")
     cu.set_defaults(fn=cmd_curate)
 
     g = sub.add_parser("gen-pages", help="deterministic pages fixture")

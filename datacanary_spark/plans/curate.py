@@ -6,6 +6,8 @@ The full training-data pipeline composed from the engine's tiers:
           ─ keep==true, text := scrubbed_text
           ─ exact dedup (content hash, min-url survivor)
           ─ line-level corpus dedup (C4-style, optional)
+          ─ per-host document cap (anti-spam, optional)
+          ─ benchmark decontamination (optional)
           ─ deterministic stratified mix by predicted language (optional)
           ─ final corpus parquet + stage-count lineage JSON
 
@@ -51,6 +53,7 @@ def run_curation_job(
     extract_from_html: bool = False,
     decontaminate_path: str | None = None,
     decontaminate_mode: str = "winnow",
+    host_cap: int | None = None,
 ) -> dict:
     """Run the composed curation pipeline; returns stage-count summary.
 
@@ -59,6 +62,10 @@ def run_curation_job(
     it every surviving doc is kept. ``decontaminate_path`` points at a
     benchmark/test-set table with a ``text`` column; overlapping corpus
     docs are removed (``decontaminate_mode``: "exact" or "winnow").
+    ``host_cap`` keeps at most N docs per url host (deterministic hash
+    order — the C4/Gopher anti-spam step), applied after dedup so caps
+    count unique content, before mixing so fractions see the capped
+    corpus.
     """
     t0 = time.time()
     pages = read_table(spark, input_path)
@@ -93,6 +100,17 @@ def run_curation_job(
                  .where(F.length(F.trim("text")) > 0)
                  .persist(StorageLevel.MEMORY_AND_DISK))
         summary["after_line_dedup"] = stage.count()
+        pinned.append(stage)
+
+    if host_cap is not None:
+        from datacanary_spark.operators.corpus_stats import cap_per_group
+
+        capped = cap_per_group(
+            stage.withColumn("_host", F.parse_url(F.col("url"),
+                                                  F.lit("HOST"))),
+            "_host", host_cap, "url").drop("_host")
+        stage = capped.persist(StorageLevel.MEMORY_AND_DISK)
+        summary["after_host_cap"] = stage.count()
         pinned.append(stage)
 
     if decontaminate_path:

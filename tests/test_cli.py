@@ -548,3 +548,26 @@ def test_curate_with_decontamination(spark, tmp_path, capsys):
     leaked = {r["text"] for r in spark.read.parquet(bench).collect()}
     out = spark.read.parquet(os.path.join(str(tmp_path / "dec"), "corpus"))
     assert out.where(F2.col("text").isin(list(leaked))).count() == 0
+
+
+def test_curate_host_cap(spark, tmp_path, capsys):
+    """--host-cap keeps at most N unique docs per url host, applied
+    after dedup (caps count content) and reported in the lineage
+    summary; fixture hosts are Zipf-skewed so a small cap must bite."""
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "150",
+                 "--files", "3"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "capped")
+    assert main(["curate", "--input", pages, "--output", out,
+                 "--host-cap", "3"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["after_line_dedup"] >= s["after_host_cap"] == s["final_docs"] > 0
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    from pyspark.sql import functions as F
+
+    per_host = corpus.groupBy(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("h")) \
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per_host and all(r["n"] <= 3 for r in per_host)
+    assert any(r["n"] == 3 for r in per_host)  # the cap actually bit
