@@ -112,8 +112,14 @@ def _file_uri_conf(uri: str, cred_file: str) -> dict[str, str]:
         if not account and "@" in uri:
             account = uri.split("@", 1)[1].split(".", 1)[0]
         if account and parts.get("account_key"):
+            # wasb[s] connectors read the account key against the blob
+            # endpoint, abfs[s] against dfs — match the URI's scheme so
+            # the credential actually applies (ADVICE r03).
+            suffix = ("blob.core.windows.net" if scheme in ("wasb", "wasbs")
+                      else "dfs.core.windows.net")
             return object_store_conf("azure", {
-                "account": account, "account_key": parts["account_key"]})
+                "account": account, "account_key": parts["account_key"],
+                "endpoint_suffix": suffix})
         return {}
     if scheme == "gs":
         return load_credentials_file(cred_file, "gcs")

@@ -146,9 +146,19 @@ def mad_approx(df, value_col: str, group_cols: list[str],
     UDF, no per-group buffering, fully whole-stage-codegen eligible.
     """
     med = df.groupBy(*group_cols).agg(
-        F.percentile_approx(value_col, 0.5, accuracy).alias("_med"))
+        F.percentile_approx(value_col, 0.5, accuracy).alias("_med")) \
+        .select(*[F.col(g).alias(f"_g{i}") for i, g in enumerate(group_cols)],
+                "_med")
+    # null-SAFE join: groupBy emits a row for the NULL group, and the
+    # exact UDAF twin (make_mad_udaf) reports a MAD for it — an equality
+    # join here would silently drop every null-keyed row (same fix as
+    # cap_per_group / approx_quantile_buckets).
+    cond = None
+    for i, g in enumerate(group_cols):
+        c = F.col(g).eqNullSafe(F.col(f"_g{i}"))
+        cond = c if cond is None else (cond & c)
     dev = F.abs(F.col(value_col).cast("double") - F.col("_med").cast("double"))
-    return (df.join(med, group_cols)
+    return (df.join(med, cond)
               .groupBy(*group_cols)
               .agg(F.percentile_approx(dev, 0.5, accuracy).alias(out_col)))
 

@@ -91,7 +91,8 @@ def _hex_threshold(fraction: float) -> str:
 
 def cap_per_group(df: DataFrame, group_col: str, cap: int, key_col: str,
                   salt: str = "hostcap", prefilter: bool = False,
-                  oversample: float = 4.0) -> DataFrame:
+                  oversample: float = 4.0,
+                  exempt_null_group: bool = False) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen deterministically by
     hash order — the anti-spam HOST CAP of web pipelines (C4/Gopher cap
     documents per host so link farms can't dominate the corpus).
@@ -113,7 +114,20 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int, key_col: str,
     window **provided ≥ cap rows survive** — P(shortfall) < 10⁻⁹ at
     oversample=4, cap ≥ 50 (Chernoff); the exact window form is the
     oracle twin.
+
+    ``exempt_null_group=True`` passes NULL-keyed rows through uncapped:
+    a NULL group key usually means "key could not be derived" (e.g. an
+    unparseable URL yields a NULL host), and those rows are distinct
+    documents, not one spam host — capping them as a single pseudo-group
+    would silently delete them. Default stays False (cap every group,
+    NULL included) because the exact/oracle twin semantics treat NULL
+    as a real group.
     """
+    if exempt_null_group:
+        capped = cap_per_group(
+            df.where(F.col(group_col).isNotNull()), group_col, cap,
+            key_col, salt=salt, prefilter=prefilter, oversample=oversample)
+        return capped.unionByName(df.where(F.col(group_col).isNull()))
     bucket = _bucket_expr(F.col(key_col), salt)
     d = df
     if prefilter:

@@ -105,10 +105,14 @@ def run_curation_job(
     if host_cap is not None:
         from datacanary_spark.operators.corpus_stats import cap_per_group
 
+        # null-host exemption: docs whose url has no parseable host are
+        # distinct documents, not one spam host — lumping them into a
+        # single NULL pseudo-group and capping it to N would silently
+        # delete them (ADVICE r03; same rationale as canonical_url_expr)
         capped = cap_per_group(
             stage.withColumn("_host", F.parse_url(F.col("url"),
                                                   F.lit("HOST"))),
-            "_host", host_cap, "url").drop("_host")
+            "_host", host_cap, "url", exempt_null_group=True).drop("_host")
         stage = capped.persist(StorageLevel.MEMORY_AND_DISK)
         summary["after_host_cap"] = stage.count()
         pinned.append(stage)

@@ -47,8 +47,12 @@ def object_store_conf(provider: str, creds: dict[str, str]) -> dict[str, str]:
         }
     if p in ("azure", "abfs"):
         account = creds.get("account", "")
+        # abfs[s] connectors read the account key against the DFS
+        # endpoint; legacy wasb[s] reads it against the BLOB endpoint —
+        # emitting only one leaves the other scheme silently unauthed.
+        suffix = creds.get("endpoint_suffix", "dfs.core.windows.net")
         return {
-            f"spark.hadoop.fs.azure.account.key.{account}.dfs.core.windows.net":
+            f"spark.hadoop.fs.azure.account.key.{account}.{suffix}":
                 creds.get("account_key", ""),
         }
     if p in ("gcs", "gcp"):

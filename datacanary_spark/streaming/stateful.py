@@ -205,6 +205,14 @@ def _enriched_pages_stream(spark: SparkSession, input_dir: str,
         (F.size(words) >= min_words).alias("keep"))
 
 
+def _tws_time_mode(state_ttl_ms: int | None) -> str:
+    """Spark 4 rejects a state TTL under ``timeMode="None"``
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL): TTL is
+    evaluated against processing time, so requesting one requires
+    that time mode."""
+    return "ProcessingTime" if state_ttl_ms is not None else "None"
+
+
 def host_quota_stream_tws(
     spark: SparkSession,
     input_dir: str,
@@ -235,7 +243,7 @@ def host_quota_stream_tws(
         statefulProcessor=HostQuotaProcessor(state_ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode=_tws_time_mode(state_ttl_ms),
     )
     return (updated.writeStream
             .foreachBatch(_idempotent_sink(output_dir))

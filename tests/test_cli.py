@@ -165,6 +165,15 @@ def test_credentials_file_maps_to_conf(tmp_path):
          "--credentials-file", str(az3)]))
     assert conf[("spark.hadoop.fs.azure.account.key."
                  "uriacct.dfs.core.windows.net")] == "KK"
+    # wasb[s] URIs read the account key against the BLOB endpoint —
+    # a dfs-endpoint key would be silently ignored (ADVICE r03)
+    uri, conf = resolve_source(p.parse_args(
+        ["analyse", "--file",
+         "wasbs://c@uriacct.blob.core.windows.net/y.parquet",
+         "--credentials-file", str(az3)]))
+    assert conf[("spark.hadoop.fs.azure.account.key."
+                 "uriacct.blob.core.windows.net")] == "KK"
+    assert not any("dfs.core.windows.net" in k for k in conf)
     # local path: credentials file is a no-op, not an error
     uri, conf = resolve_source(p.parse_args(
         ["analyse", "--file", "/tmp/local.parquet",
@@ -557,6 +566,24 @@ def test_curate_host_cap(spark, tmp_path, capsys):
     pages = str(tmp_path / "pages")
     assert main(["gen-pages", "--output", pages, "--docs", "150",
                  "--files", "3"]) == 0
+    # add docs whose url has NO parseable host: they must survive the
+    # cap individually, not be lumped into one NULL pseudo-group and
+    # capped to 3 (ADVICE r03). Text comes from the fixture's own clean
+    # generator so the filter stage is guaranteed to keep them.
+    import numpy as np
+
+    from datacanary_spark.schema import PAGES_SCHEMA
+    from datacanary_spark.sources.fixtures import (
+        _insert_lines,
+        _sample_words,
+    )
+
+    rng = np.random.default_rng(99)
+    nohost = [(f"urn:doc:{i}", None, None,
+               _insert_lines(rng, _sample_words(rng, "en", 200)), "en")
+              for i in range(6)]
+    spark.createDataFrame(nohost, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(pages)
     capsys.readouterr()
     out = str(tmp_path / "capped")
     assert main(["curate", "--input", pages, "--output", out,
@@ -569,5 +596,8 @@ def test_curate_host_cap(spark, tmp_path, capsys):
     per_host = corpus.groupBy(
         F.parse_url(F.col("url"), F.lit("HOST")).alias("h")) \
         .agg(F.count(F.lit(1)).alias("n")).collect()
-    assert per_host and all(r["n"] <= 3 for r in per_host)
-    assert any(r["n"] == 3 for r in per_host)  # the cap actually bit
+    real = [r for r in per_host if r["h"] is not None]
+    assert real and all(r["n"] <= 3 for r in real)
+    assert any(r["n"] == 3 for r in real)  # the cap actually bit
+    # all 6 null-host docs survived (kept by the filter, exempt from cap)
+    assert corpus.where(F.col("url").startswith("urn:doc:")).count() == 6

@@ -178,6 +178,36 @@ def test_cap_per_group_prefilter_matches_exact(spark):
                          prefilter=True).count() == 2
 
 
+def test_cap_per_group_exempt_null_group(spark):
+    """NULL group keys (unparseable-URL hosts) are distinct documents,
+    not one spam host: with exempt_null_group=True they pass through
+    uncapped while real groups are still capped; default semantics
+    (NULL is a real group, the oracle twin) are unchanged."""
+    from datacanary_spark.operators.corpus_stats import cap_per_group
+
+    rows = [(i, "hot.example") for i in range(40)] + \
+           [(100 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, host: string")
+
+    exempt = cap_per_group(df, "host", 3, "doc_id",
+                           exempt_null_group=True)
+    by_host = {r["host"]: r["n"] for r in
+               exempt.groupBy("host")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_host == {"hot.example": 3, None: 10}
+    assert exempt.columns == df.columns
+
+    # default: NULL is a real group and gets capped (oracle twin form)
+    default = cap_per_group(df, "host", 3, "doc_id")
+    assert default.where(F.col("host").isNull()).count() == 3
+
+    # prefilter composes with the exemption and picks the same rows
+    fast = cap_per_group(df, "host", 3, "doc_id",
+                         exempt_null_group=True, prefilter=True)
+    assert ({tuple(r) for r in fast.collect()}
+            == {tuple(r) for r in exempt.collect()})
+
+
 def test_distributed_cumsum_matches_serial_and_handles_nulls(spark):
     """The bucketed two-pass prefix sum must equal the serial
     single-window form row-for-row, including null values (sum ignores

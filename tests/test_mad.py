@@ -60,6 +60,25 @@ def test_mad_approx_python_and_null_semantics(spark):
     assert approx["a"] == pytest.approx(exact["a"], rel=1e-9)
 
 
+def test_mad_approx_null_group_key_survives(spark):
+    """A NULL group key is a real group: the exact UDAF (groupBy) emits
+    a MAD row for it, so the approx path's medians join-back must be
+    null-safe — an equality join would silently drop every null-keyed
+    row (ADVICE r03)."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 10.0),
+         ("a", 4.0), ("a", 6.0), ("a", 5.0)],
+        "lang: string, v: double")
+    mad = make_mad_udaf()
+    exact = {r["lang"]: r["mad"] for r in
+             df.groupBy("lang").agg(mad("v").alias("mad")).collect()}
+    approx = {r["lang"]: r["mad"] for r in
+              mad_approx(df, "v", ["lang"]).collect()}
+    assert set(approx) == {None, "a"} == set(exact)
+    assert approx[None] == pytest.approx(exact[None], rel=1e-9)
+    assert approx["a"] == pytest.approx(exact["a"], rel=1e-9)
+
+
 def test_mad_approx_plan_is_bounded_state(spark):
     """The scale path must contain NO pandas aggregation (whole-group
     buffering) — only approx-percentile hash aggregates — and reuse the

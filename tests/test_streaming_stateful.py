@@ -145,3 +145,14 @@ def test_tws_processor_logic_with_fake_handle():
     assert out2[0].iloc[0].tolist() == ["h.example", 4, 3]
     assert handle.states["counts"].get() == (4, 3)
     proc.close()
+
+
+def test_tws_time_mode_matches_ttl():
+    """A state TTL under timeMode="None" fails at query start on Spark 4
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL) — pin that
+    the operator picks ProcessingTime iff a TTL is requested."""
+    from datacanary_spark.streaming.stateful import _tws_time_mode
+
+    assert _tws_time_mode(None) == "None"
+    assert _tws_time_mode(0) == "ProcessingTime"
+    assert _tws_time_mode(3_600_000) == "ProcessingTime"
