@@ -306,7 +306,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     slower end-to-end on a 5k-doc corpus.
     """
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
+
+    from datacanary_spark.plans.caching import maybe_persist
 
     b = lsh_bucket_rows(df, id_col, text_col, k_shingle, n_hashes, bands,
                         hash_fn)
@@ -319,12 +320,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # reuse is not guaranteed across the differently-projected sides).
     # At 10^12 docs this is ~bands·(8+key) bytes/doc spilled to local
     # disk — far cheaper than a second signature pass over the corpus
-    # text. Lifetime: the blocks live until the caller unpersists or
-    # clears the cache (the returned frame is lazy, so the operator has
-    # no safe unpersist point); pass persist=False for one-shot
-    # pipelines that manage their own caching.
-    if persist:
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    # text. Lifetime: with persist=True the blocks live until the caller
+    # unpersists or clears the cache (the returned frame is lazy, so the
+    # operator has no safe unpersist point); pass a
+    # plans.caching.CacheScope for a deterministic release point, or
+    # persist=False for pipelines that manage their own caching.
+    b = maybe_persist(b, persist)
     left = b.select(F.col("band_ix"), F.col("band_key"), F.col(id_col).alias("id_a"))
     right = b.select(F.col("band_ix"), F.col("band_key"), F.col(id_col).alias("id_b"))
     return (left.join(right, ["band_ix", "band_key"])
@@ -405,9 +406,9 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     persist-lifetime contract).
     """
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
     from datacanary_spark.operators.text_analysis import winnow_fingerprints
+    from datacanary_spark.plans.caching import maybe_persist
     from datacanary_spark.plans.partitioning import spread_to_parallelism
 
     # the O(chars·window) rolling-hash fingerprinting is the dominant
@@ -418,8 +419,7 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     w = Window.partitionBy("fp")
     fps = (fps.withColumn("_n", F.count(F.lit(1)).over(w))
               .where(F.col("_n") <= max_posting).drop("_n"))
-    if persist:
-        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    fps = maybe_persist(fps, persist)
     left = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
     right = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
     return (left.join(right, "fp")
@@ -482,10 +482,9 @@ def decontaminate(corpus: DataFrame, reference: DataFrame,
     if mode != "winnow":
         raise ValueError(f"unknown mode: {mode!r} (exact|winnow)")
 
-    if persist:
-        from pyspark.storagelevel import StorageLevel
+    from datacanary_spark.plans.caching import maybe_persist
 
-        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = maybe_persist(corpus, persist)
 
     from datacanary_spark.plans.partitioning import spread_to_parallelism
 
@@ -543,12 +542,11 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     computed ONCE and persisted (both join roles read the cache — a
     re-derivation per role would double the shingling cost).
     """
-    from pyspark.storagelevel import StorageLevel
+    from datacanary_spark.plans.caching import maybe_persist
 
     sh = df.select(F.col(id_col),
                    char_shingles(F.col(text_col), k_shingle).alias("sh"))
-    if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = maybe_persist(sh, persist)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     bb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

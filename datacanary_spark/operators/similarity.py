@@ -435,7 +435,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     self-join sides don't recompute the n_bits·n_tables hyperplane dot
     products — same persist-lifetime contract as lsh_candidate_pairs:
     the default leaks one MEMORY_AND_DISK frame per call into a
-    long-lived session; pass ``persist=False`` and manage caching
+    long-lived session; pass a ``plans.caching.CacheScope`` for a
+    deterministic release point, or ``persist=False`` to manage caching
     yourself if you invoke this repeatedly.
     """
     # Precompute each vector's norm BEFORE the pair join: the naive
@@ -445,15 +446,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     base = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
                      norm_expr(F.col(vec_col)).alias("_nrm"))
     if use_lsh:
-        from pyspark.storagelevel import StorageLevel
+        from datacanary_spark.plans.caching import maybe_persist
 
         assert dim is not None
         b = with_lsh_buckets(base, dim, "_v", n_bits, n_tables,
                              assignment=assignment)
         # both self-join sides read b; persist so the n_bits·n_tables
         # hyperplane dot products per vector run once, not per side
-        if persist:
-            b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        # (pass a plans.caching.CacheScope for a deterministic release)
+        b = maybe_persist(b, persist)
         left = b.select("table", "bucket", F.col(id_col).alias("id_a"),
                         F.col("_v").alias("va"), F.col("_nrm").alias("na"))
         right = b.select("table", "bucket", F.col(id_col).alias("id_b"),

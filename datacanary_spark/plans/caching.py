@@ -1,0 +1,80 @@
+"""Deterministic cache lifetimes for operators that persist internally.
+
+Several operators (``lsh_candidate_pairs``, ``jaccard_for_pairs``,
+``embedding_near_dup_pairs``, ``decontaminate``) persist an
+intermediate frame because BOTH sides of a self-join read it — without
+the cache the expensive upstream (MinHash signatures, hyperplane
+projections, shingle sets) is recomputed per side. The returned frame
+is lazy, so the operator itself has no safe unpersist point: with a
+plain ``persist=True`` the MEMORY_AND_DISK blocks live until the caller
+clears the cache, and a long-lived session invoking these repeatedly
+accumulates cached frames.
+
+``CacheScope`` closes that hole. It is accepted anywhere a ``persist``
+flag is (it is truthy, so ``if persist:`` call sites keep working): the
+operator routes its persist through the scope, and leaving the ``with``
+block unpersists everything the scope tracked — including on error.
+
+    with CacheScope() as scope:
+        pairs = lsh_candidate_pairs(docs, persist=scope)
+        pairs.write.parquet(out)          # materialize INSIDE the scope
+    # all blocks released here
+
+Scale note: unpersist is a driver-side metadata call (plus async block
+eviction); the pattern costs nothing at 10^12 rows and bounds executor
+storage memory to one pipeline stage's working set instead of the whole
+session's history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+class CacheScope:
+    """Tracks frames persisted through it; unpersists them on exit.
+
+    Truthy (so it can be passed wherever a boolean ``persist`` flag is
+    expected), reusable as a context manager, and idempotent:
+    ``unpersist_all`` clears its list, so a manual call followed by the
+    ``with``-exit is safe.
+    """
+
+    def __init__(self, storage_level: StorageLevel | None = None):
+        self._level = storage_level or StorageLevel.MEMORY_AND_DISK
+        self._frames: list[DataFrame] = []
+
+    def persist(self, df: DataFrame,
+                storage_level: StorageLevel | None = None) -> DataFrame:
+        df = df.persist(storage_level or self._level)
+        self._frames.append(df)
+        return df
+
+    def unpersist_all(self, blocking: bool = False) -> None:
+        while self._frames:
+            self._frames.pop().unpersist(blocking)
+
+    def __bool__(self) -> bool:
+        return True
+
+    def __enter__(self) -> "CacheScope":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.unpersist_all()
+
+
+def maybe_persist(df: DataFrame, persist,
+                  storage_level: StorageLevel | None = None) -> DataFrame:
+    """One call site for the tri-state persist contract:
+
+    - ``False``/``None`` → no-op (caller manages caching);
+    - ``True``           → plain ``df.persist`` (caller owns lifetime);
+    - a ``CacheScope``   → persist through the scope (scope owns lifetime).
+    """
+    if not persist:
+        return df
+    if isinstance(persist, CacheScope):
+        return persist.persist(df, storage_level)
+    return df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)

@@ -27,7 +27,6 @@ import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from datacanary_spark.functions.heuristics import FilterConfig
 from datacanary_spark.operators.corpus_stats import hash_stratified_sample
@@ -37,6 +36,7 @@ from datacanary_spark.operators.dedup import (
     dedup_lines,
 )
 from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+from datacanary_spark.plans.caching import CacheScope
 from datacanary_spark.sources.io import read_table, write_text
 
 
@@ -68,73 +68,71 @@ def run_curation_job(
     corpus.
     """
     t0 = time.time()
-    pages = read_table(spark, input_path)
-    verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
-                            extract_from_html=extract_from_html)
-    # carry exactly the columns downstream stages key on: url + scrubbed
-    # text always, plus any non-default strata/key column — validated up
-    # front so a typo fails before the filter stage runs
-    carry = ["url", "text"]
-    for c in dict.fromkeys([strata_col, key_col]):
-        if c in ("url", "text"):
-            continue
-        if c not in verdicts.columns:
-            raise ValueError(
-                f"column {c!r} not in the filter output "
-                f"(available: {sorted(verdicts.columns)})")
-        carry.append(c)
-    kept = (verdicts.where(F.col("keep"))
-            .select("url", F.col("scrubbed_text").alias("text"),
-                    *carry[2:])
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    summary = {"docs_in": pages.count(), "kept": kept.count()}
+    scope = CacheScope()
+    try:
+        pages = read_table(spark, input_path)
+        verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
+                                extract_from_html=extract_from_html)
+        # carry exactly the columns downstream stages key on: url + scrubbed
+        # text always, plus any non-default strata/key column — validated up
+        # front so a typo fails before the filter stage runs
+        carry = ["url", "text"]
+        for c in dict.fromkeys([strata_col, key_col]):
+            if c in ("url", "text"):
+                continue
+            if c not in verdicts.columns:
+                raise ValueError(
+                    f"column {c!r} not in the filter output "
+                    f"(available: {sorted(verdicts.columns)})")
+            carry.append(c)
+        kept = scope.persist(
+            verdicts.where(F.col("keep"))
+                    .select("url", F.col("scrubbed_text").alias("text"),
+                            *carry[2:]))
+        summary = {"docs_in": pages.count(), "kept": kept.count()}
 
-    stage = dedup_exact(kept, id_col="url", text_col="text") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    summary["after_exact_dedup"] = stage.count()
-    pinned = [kept, stage]
+        stage = scope.persist(dedup_exact(kept, id_col="url", text_col="text"))
+        summary["after_exact_dedup"] = stage.count()
 
-    if line_dedup:
-        ld = dedup_lines(stage, id_col="url", text_col="text")
-        stage = (stage.drop("text").join(ld, "url")
-                 .where(F.length(F.trim("text")) > 0)
-                 .persist(StorageLevel.MEMORY_AND_DISK))
-        summary["after_line_dedup"] = stage.count()
-        pinned.append(stage)
+        if line_dedup:
+            ld = dedup_lines(stage, id_col="url", text_col="text")
+            stage = scope.persist(stage.drop("text").join(ld, "url")
+                                  .where(F.length(F.trim("text")) > 0))
+            summary["after_line_dedup"] = stage.count()
 
-    if host_cap is not None:
-        from datacanary_spark.operators.corpus_stats import cap_per_group
+        if host_cap is not None:
+            from datacanary_spark.operators.corpus_stats import cap_per_group
 
-        # null-host exemption: docs whose url has no parseable host are
-        # distinct documents, not one spam host — lumping them into a
-        # single NULL pseudo-group and capping it to N would silently
-        # delete them (ADVICE r03; same rationale as canonical_url_expr)
-        capped = cap_per_group(
-            stage.withColumn("_host", F.parse_url(F.col("url"),
-                                                  F.lit("HOST"))),
-            "_host", host_cap, "url", exempt_null_group=True).drop("_host")
-        stage = capped.persist(StorageLevel.MEMORY_AND_DISK)
-        summary["after_host_cap"] = stage.count()
-        pinned.append(stage)
+            # null-host exemption: docs whose url has no parseable host are
+            # distinct documents, not one spam host — lumping them into a
+            # single NULL pseudo-group and capping it to N would silently
+            # delete them (ADVICE r03; same rationale as canonical_url_expr)
+            capped = cap_per_group(
+                stage.withColumn("_host", F.parse_url(F.col("url"),
+                                                      F.lit("HOST"))),
+                "_host", host_cap, "url", exempt_null_group=True).drop("_host")
+            stage = scope.persist(capped)
+            summary["after_host_cap"] = stage.count()
 
-    if decontaminate_path:
-        reference = read_table(spark, decontaminate_path)
-        stage = decontaminate(stage, reference, id_col="url",
-                              text_col="text", mode=decontaminate_mode) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        summary["after_decontamination"] = stage.count()
-        pinned.append(stage)
+        if decontaminate_path:
+            reference = read_table(spark, decontaminate_path)
+            stage = scope.persist(
+                decontaminate(stage, reference, id_col="url",
+                              text_col="text", mode=decontaminate_mode))
+            summary["after_decontamination"] = stage.count()
 
-    if fractions:
-        stage = hash_stratified_sample(stage, strata_col, fractions, key_col)
-        summary["sampled"] = stage.count()
+        if fractions:
+            stage = hash_stratified_sample(stage, strata_col, fractions, key_col)
+            summary["sampled"] = stage.count()
 
-    corpus_dir = os.path.join(output_path, "corpus")
-    # pin the output schema: the line-dedup join reorders columns, and
-    # positional consumers must see one layout regardless of flags
-    stage.select(*carry).write.mode("overwrite").parquet(corpus_dir)
-    for df in pinned:
-        df.unpersist()
+        corpus_dir = os.path.join(output_path, "corpus")
+        # pin the output schema: the line-dedup join reorders columns, and
+        # positional consumers must see one layout regardless of flags
+        stage.select(*carry).write.mode("overwrite").parquet(corpus_dir)
+    finally:
+        # release every pinned stage even when a stage throws — a
+        # long-lived session must not accumulate cached blocks
+        scope.unpersist_all()
 
     final = spark.read.parquet(corpus_dir)
     summary["final_docs"] = final.count()
