@@ -13,7 +13,12 @@ Round-over-round comparability (fixed warm-up protocol, r02+): before
 any timing, every input table is scanned once (``count()``) and the
 flagship query runs once unmeasured — this removes the first-query
 scan/JIT warm-up that polluted BENCH_r01 (its first profile query read
-6.0 s of cold-cache noise). Per-query timings are then written to
+6.0 s of cold-cache noise). As of r04 the HEADLINE (``value`` /
+``queries``) is the steady-state second run per query — first-run
+times carry Catalyst/JIT compile noise that flagged phantom
+regressions in r02/r03 — with first-run kept as
+``queries_first_run``/``first_run_total`` (the r01–r03 headline
+protocol). Per-query timings are then written to
 ``BENCH/bench_r{ROUND}.json`` (ROUND from ``--round`` /
 ``$SPARK_GRAFT_ROUND``, default "latest") in a stable format so the
 next round can diff query-level regressions.
@@ -113,7 +118,7 @@ def main() -> None:
 
     warmup(spark, args.sf_dir)
 
-    timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         best = float("inf")
@@ -121,28 +126,36 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, args.sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        first_run[name] = round(best, 4)
         # second pass: steady-state time with this query's codegen
         # compiled and its persisted intermediates warm — the number a
-        # long-running cluster job sees (the headline `queries` keeps
-        # the r01+ first-run protocol for round-over-round diffing)
+        # long-running cluster job sees. As of r04 this is the HEADLINE
+        # (first-run kept as the secondary column): r02/r03 showed
+        # first-run diffs are dominated by Catalyst/JIT compile noise
+        # (e.g. rule_engine_verdicts 5.7 s first vs 0.67 s warm with an
+        # unchanged plan), so warm is the signal a 100-TB job sees.
         t0 = time.perf_counter()
         fn(spark, args.sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 4)
 
     filt_sec, n_docs = bench_filter_pipeline(spark, args.sf_dir)
-    timings["filter_pipeline_full"] = round(filt_sec, 4)
     # the pipeline number is already steady-state (min-of-3 after its
-    # own warm-up) — mirror it into the warm set so warm_total covers
-    # the same key set as value/queries and the two are comparable
+    # own warm-up) — mirror it into both sets so the totals cover the
+    # same key set and stay comparable
+    first_run["filter_pipeline_full"] = round(filt_sec, 4)
     warm["filter_pipeline_full"] = round(filt_sec, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(warm.values()), 4)
     result = {
-        "metric": "quality_filter_suite_total",
+        "metric": "quality_filter_suite_warm_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": warm,
+        "queries_first_run": first_run,
+        "first_run_total": round(sum(first_run.values()), 4),
+        # r03 compatibility aliases: r03 keyed warm numbers as
+        # queries_warm/warm_total (with first-run as the headline) —
+        # keep the old names so cross-round tooling can diff either way
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 4),
         "sf": parse_sf(args.sf_dir),
@@ -150,7 +163,11 @@ def main() -> None:
         "docs_per_sec": round(n_docs / filt_sec, 2) if filt_sec > 0 else None,
         "cpus": str(args.cpus),
         "protocol": "warm (all tables scanned + flagship run before timing); "
-                    f"best of {args.repeat} per query",
+                    f"best of {args.repeat} per query; HEADLINE value/queries "
+                    "are steady-state (second run per query) as of r04 — "
+                    "compare to r03's warm_total/queries_warm; first-run "
+                    "times (r01-r03 headline protocol) are in "
+                    "queries_first_run/first_run_total",
         "notes": {
             "embedding_near_dup_pairs":
                 "exact all-pairs oracle twin, O(n^2) by design (corpus "
