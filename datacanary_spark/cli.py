@@ -386,8 +386,32 @@ def cmd_curate(args) -> int:
         extract_from_html=args.from_html,
         decontaminate_path=args.decontaminate_against,
         decontaminate_mode=args.decontaminate_mode,
-        host_cap=args.host_cap)
+        host_cap=args.host_cap,
+        classifier_model=args.classifier_model,
+        classifier_threshold=args.classifier_threshold)
     print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
+def cmd_train_classifier(args) -> int:
+    """Train the expression-inference quality classifier on a labeled
+    parquet table and save the coefficient JSON (plans/classifier)."""
+    from datacanary_spark.plans.classifier import (
+        save_classifier,
+        train_quality_classifier,
+    )
+    from datacanary_spark.sources.io import read_table
+
+    spark = _spark(args)
+    df = read_table(spark, args.input)
+    clf = train_quality_classifier(df, label_col=args.label_col,
+                                   text_col=args.text_col,
+                                   max_iter=args.max_iter,
+                                   reg_param=args.reg_param)
+    save_classifier(spark, clf, args.output)
+    print(json.dumps({"model": args.output,
+                      "features": list(clf.feature_names),
+                      "intercept": clf.intercept}))
     return 0
 
 
@@ -552,7 +576,24 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--host-cap", type=int, default=None,
                     help="keep at most N docs per url host "
                          "(deterministic anti-spam cap)")
+    cu.add_argument("--classifier-model", default=None,
+                    help="JSON coefficient bundle from train-classifier; "
+                         "docs scoring below the threshold are dropped")
+    cu.add_argument("--classifier-threshold", type=float, default=0.5)
     cu.set_defaults(fn=cmd_curate)
+
+    tc = sub.add_parser("train-classifier",
+                        help="train the learned quality filter on a "
+                             "labeled parquet table")
+    tc.add_argument("--input", required=True,
+                    help="parquet with text + 0/1 label columns")
+    tc.add_argument("--output", required=True,
+                    help="where to write the coefficient JSON")
+    tc.add_argument("--label-col", default="label")
+    tc.add_argument("--text-col", default="text")
+    tc.add_argument("--max-iter", type=int, default=50)
+    tc.add_argument("--reg-param", type=float, default=0.0)
+    tc.set_defaults(fn=cmd_train_classifier)
 
     g = sub.add_parser("gen-pages", help="deterministic pages fixture")
     g.add_argument("--output", required=True)

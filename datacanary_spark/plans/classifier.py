@@ -111,3 +111,24 @@ def classify(df: DataFrame, clf: QualityClassifier,
     prob = quality_prob_expr(clf)
     return (d.withColumn("quality_prob", prob)
              .withColumn("keep_pred", (prob >= F.lit(threshold))))
+
+
+def save_classifier(spark, clf: QualityClassifier, uri: str) -> None:
+    """Persist the coefficient bundle as JSON to any filesystem scheme
+    (local, s3a://, abfss://, gs://) — it is a few floats, so the model
+    artifact travels with the data, not the driver host."""
+    import json
+
+    from datacanary_spark.sources.io import write_text
+
+    write_text(spark, uri, json.dumps(clf.to_dict(), indent=2,
+                                      sort_keys=True))
+
+
+def load_classifier(spark, uri: str) -> QualityClassifier:
+    """Load a coefficient bundle written by :func:`save_classifier`."""
+    import json
+
+    from datacanary_spark.sources.io import read_text
+
+    return QualityClassifier.from_dict(json.loads(read_text(spark, uri)))

@@ -54,6 +54,8 @@ def run_curation_job(
     decontaminate_path: str | None = None,
     decontaminate_mode: str = "winnow",
     host_cap: int | None = None,
+    classifier_model: str | None = None,
+    classifier_threshold: float = 0.5,
 ) -> dict:
     """Run the composed curation pipeline; returns stage-count summary.
 
@@ -65,7 +67,12 @@ def run_curation_job(
     ``host_cap`` keeps at most N docs per url host (deterministic hash
     order — the C4/Gopher anti-spam step), applied after dedup so caps
     count unique content, before mixing so fractions see the capped
-    corpus.
+    corpus. ``classifier_model`` points at a JSON coefficient bundle
+    (``plans.classifier.save_classifier``); docs scoring below
+    ``classifier_threshold`` are dropped right after the heuristic
+    filter — the DCLM-style learned-quality stage. Scoring is a pure
+    Column projection (sigmoid of plan-literal weights): no UDF, no
+    shuffle, so it adds a narrow stage even at 10^12 docs.
     """
     t0 = time.time()
     scope = CacheScope()
@@ -90,6 +97,19 @@ def run_curation_job(
                     .select("url", F.col("scrubbed_text").alias("text"),
                             *carry[2:]))
         summary = {"docs_in": pages.count(), "kept": kept.count()}
+
+        if classifier_model:
+            from datacanary_spark.plans.classifier import (
+                classify,
+                load_classifier,
+            )
+
+            clf = load_classifier(spark, classifier_model)
+            kept = scope.persist(
+                classify(kept, clf, text_col="text",
+                         threshold=classifier_threshold)
+                .where(F.col("keep_pred")).select(*kept.columns))
+            summary["after_classifier"] = kept.count()
 
         stage = scope.persist(dedup_exact(kept, id_col="url", text_col="text"))
         summary["after_exact_dedup"] = stage.count()

@@ -208,6 +208,23 @@ def write_text(spark: SparkSession, uri: str, content: str) -> None:
         out.close()
 
 
+def read_text(spark: SparkSession, uri: str) -> str:
+    """Read a small text/JSON artifact from ANY filesystem scheme via
+    the Hadoop FS client — the counterpart of :func:`write_text` (model
+    coefficient files, rule configs and summaries may live on s3a://
+    next to the data, not on the driver's local disk)."""
+    fs, path, jvm = _fs_and_path(spark, uri)
+    stream = fs.open(path)
+    try:
+        # commons-io is on Spark's classpath; py4j COPIES byte arrays
+        # across the bridge, so a Python-side read-into-buffer loop
+        # would silently read nothing — drain the stream JVM-side.
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def _fs_and_path(spark: SparkSession, uri: str):
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -12,8 +12,7 @@ from datacanary_spark.operators.corpus_stats import hash_sample_predicate
 from datacanary_spark.plans import classifier as qc
 
 
-@pytest.fixture(scope="module")
-def labeled_pages(spark):
+def _labeled_pages(spark):
     """Fixture pages labeled by the golden filter pipeline's heuristic
     verdict — the 'seed labels' a classifier generalizes from."""
     from datacanary_spark.functions.heuristics import (
@@ -31,6 +30,11 @@ def labeled_pages(spark):
     for h in hits.values():
         label = F.when(h > 0, 0).otherwise(label)
     return d.select("url", "text", label.alias("label"))
+
+
+@pytest.fixture(scope="module")
+def labeled_pages(spark):
+    return _labeled_pages(spark)
 
 
 def test_classifier_generalizes_and_matches_mllib(spark, labeled_pages):
@@ -102,3 +106,45 @@ def test_classifier_roundtrip_and_null_text(spark):
 
     assert row["quality_prob"] == pytest.approx(
         1 / (1 + math.exp(-0.1)), abs=1e-12)
+
+
+def test_save_load_classifier_file_roundtrip(spark, tmp_path):
+    """save_classifier/load_classifier go through the Hadoop FS client
+    (cloud-scheme-capable) and reproduce the exact coefficients."""
+    clf = qc.QualityClassifier(
+        qc.FEATURE_NAMES,
+        tuple(0.125 * (i + 1) for i in range(len(qc.FEATURE_NAMES))),
+        -1.75)
+    uri = str(tmp_path / "model.json")
+    qc.save_classifier(spark, clf, uri)
+    assert qc.load_classifier(spark, uri) == clf
+
+
+def test_curate_with_classifier_stage(spark, tmp_path):
+    """curate --classifier-model end-to-end: the learned filter runs
+    after the heuristic keep stage, its count lands in the lineage
+    summary, and a strict threshold drops more docs than a permissive
+    one."""
+    from datacanary_spark.plans.curate import run_curation_job
+    from datacanary_spark.sources.fixtures import write_pages_parquet
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, n_docs=250, seed=31)
+
+    # train on golden-filter labels over a disjoint fixture sample
+    clf = qc.train_quality_classifier(_labeled_pages(spark), "label")
+    model_uri = str(tmp_path / "model.json")
+    qc.save_classifier(spark, clf, model_uri)
+
+    out_loose = str(tmp_path / "loose")
+    s_loose = run_curation_job(spark, pages, out_loose,
+                               classifier_model=model_uri,
+                               classifier_threshold=0.05)
+    out_strict = str(tmp_path / "strict")
+    s_strict = run_curation_job(spark, pages, out_strict,
+                                classifier_model=model_uri,
+                                classifier_threshold=0.95)
+    assert "after_classifier" in s_loose and "after_classifier" in s_strict
+    assert s_loose["kept"] >= s_loose["after_classifier"] > 0
+    assert s_strict["after_classifier"] <= s_loose["after_classifier"]
+    assert s_loose["final_docs"] > 0

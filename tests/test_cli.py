@@ -601,3 +601,48 @@ def test_curate_host_cap(spark, tmp_path, capsys):
     assert any(r["n"] == 3 for r in real)  # the cap actually bit
     # all 6 null-host docs survived (kept by the filter, exempt from cap)
     assert corpus.where(F.col("url").startswith("urn:doc:")).count() == 6
+
+
+def test_train_classifier_then_curate(spark, tmp_path, capsys):
+    """train-classifier writes a coefficient JSON that curate
+    --classifier-model consumes as a filter stage, with its count in
+    the lineage summary."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.functions.heuristics import (
+        FilterConfig,
+        heuristic_hit_exprs,
+        stat_cols,
+        with_text_stats,
+    )
+    from datacanary_spark.sources.fixtures import pages_spark_df
+
+    # labeled seed set: golden heuristic verdicts over fixture pages
+    labeled_path = str(tmp_path / "labeled")
+    d = with_text_stats(pages_spark_df(spark, 600, seed=5), text_col="text")
+    hits = heuristic_hit_exprs(FilterConfig(), stat_cols())
+    label = F.lit(1)
+    for h in hits.values():
+        label = F.when(h > 0, 0).otherwise(label)
+    d.select("url", "text", label.alias("label")) \
+        .write.mode("overwrite").parquet(labeled_path)
+
+    model = str(tmp_path / "model.json")
+    assert main(["train-classifier", "--input", labeled_path,
+                 "--output", model, "--label-col", "label"]) == 0
+    import json as _json
+
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["model"] == model and len(info["features"]) > 0
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "120",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--input", pages, "--output", out,
+                 "--classifier-model", model,
+                 "--classifier-threshold", "0.3"]) == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["kept"] >= s["after_classifier"] > 0
+    assert s["final_docs"] > 0
