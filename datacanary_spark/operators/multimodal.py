@@ -91,6 +91,65 @@ class FakeContainerCodec:
         return kind.decode(), w, h, f, payload[HEADER.size:]
 
 
+class NetpbmImageCodec:
+    """Real image decode for binary Netpbm files (P6 = RGB "PPM",
+    P5 = grayscale "PGM") in pure Python — no image library needed, so
+    the real-bytes path is exercisable end-to-end even where Pillow
+    isn't installed. Header per the Netpbm spec: magic, then
+    whitespace-separated width/height/maxval with ``#`` comments
+    allowed between tokens, one whitespace byte, then raw samples
+    (1 byte/sample for maxval < 256, big-endian 2 bytes otherwise).
+    """
+
+    _MAGICS = (b"P5", b"P6")
+
+    def decode(self, payload: bytes) -> tuple[str, int, int, int, bytes]:
+        if payload is None or len(payload) == 0:
+            raise ValueError("truncated payload")
+        buf = bytes(payload)
+        if buf[:2] not in self._MAGICS:
+            raise UnsupportedPayload("not a binary Netpbm image")
+        magic, pos = buf[:2], 2
+
+        def next_token(pos: int) -> tuple[int, int]:
+            # skip whitespace and '#…\n' comments, then read digits
+            while pos < len(buf):
+                c = buf[pos:pos + 1]
+                if c.isspace():
+                    pos += 1
+                elif c == b"#":
+                    nl = buf.find(b"\n", pos)
+                    if nl < 0:
+                        raise ValueError("unterminated netpbm comment")
+                    pos = nl + 1
+                else:
+                    break
+            start = pos
+            while pos < len(buf) and buf[pos:pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError("malformed netpbm header")
+            return int(buf[start:pos]), pos
+
+        w, pos = next_token(pos)
+        h, pos = next_token(pos)
+        maxval, pos = next_token(pos)
+        if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+            raise ValueError("malformed netpbm dimensions")
+        # exactly ONE whitespace byte separates header from raster
+        if pos >= len(buf) or not buf[pos:pos + 1].isspace():
+            raise ValueError("malformed netpbm header")
+        pos += 1
+        channels = 3 if magic == b"P6" else 1
+        bytes_per = 1 if maxval < 256 else 2
+        need = w * h * channels * bytes_per
+        body = buf[pos:pos + need]
+        if len(body) < need:
+            raise ValueError(
+                f"truncated netpbm raster: need {need}, have {len(body)}")
+        return "I", w, h, 1, body
+
+
 class PillowImageCodec:
     """Real image decode (JPEG/PNG/WebP/…) via Pillow.
 
@@ -141,7 +200,8 @@ class CodecChain:
         raise last if last is not None else ValueError("no codecs")
 
 
-DEFAULT_CODEC = CodecChain([FakeContainerCodec(), PillowImageCodec()])
+DEFAULT_CODEC = CodecChain([FakeContainerCodec(), NetpbmImageCodec(),
+                            PillowImageCodec()])
 
 
 def _decode_payload(payload: bytes) -> tuple[str, int, int, int, bytes]:

@@ -739,3 +739,40 @@ def test_lsh_bucket_stats_accounts_for_cap(spark):
     # and the candidate generator actually excludes those buckets
     cands = dd.lsh_candidate_pairs(corpus, max_bucket=10)
     assert cands.where(F.col("id_a") >= 1000).count() == 0
+
+
+def test_netpbm_codec_real_image_bytes_end_to_end(spark):
+    """Real image bytes (binary PPM/PGM, decoded in pure Python — no
+    Pillow) flow through the DEFAULT codec chain end-to-end: decode →
+    dimensions → features, alongside FAKEMM rows and with corrupt
+    netpbm payloads contained per row (VERDICT r03 item 4)."""
+    import numpy as np
+
+    # P6 RGB 4x2 gradient with a header comment; P5 gray 3x3; P6 with
+    # maxval 65535 (2-byte samples); truncated P6; FAKEMM row
+    rgb = bytes(range(4 * 2 * 3))
+    ppm = b"P6\n# comment\n4 2\n255\n" + rgb
+    gray = bytes(range(9))
+    pgm = b"P5 3 3 255 " + gray
+    wide = b"P6\n1 1\n65535\n" + bytes(6)
+    trunc = b"P6\n4 4\n255\n" + bytes(10)
+    fake = mm.encode_fake_media("image", 5, 5, 1, bytes(25))
+    rows = [(0, "image", bytearray(ppm), None),
+            (1, "image", bytearray(pgm), None),
+            (2, "image", bytearray(wide), None),
+            (3, "image", bytearray(trunc), None),
+            (4, "image", bytearray(fake), None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_media(df).collect()}
+
+    assert (got[0]["ok"], got[0]["width"], got[0]["height"]) == (True, 4, 2)
+    assert got[0]["n_bytes"] == len(rgb)
+    # features are the documented byte-histogram of the raster
+    exp = np.bincount(np.frombuffer(rgb, np.uint8) % mm.N_FEATURES,
+                      minlength=mm.N_FEATURES)
+    np.testing.assert_allclose(got[0]["features"],
+                               (exp / exp.sum()).astype(np.float32))
+    assert (got[1]["ok"], got[1]["width"], got[1]["height"]) == (True, 3, 3)
+    assert got[2]["ok"] and got[2]["n_bytes"] == 6  # 2-byte samples
+    assert not got[3]["ok"] and "truncated netpbm" in got[3]["error"]
+    assert got[4]["ok"] and got[4]["width"] == 5  # FAKEMM still first

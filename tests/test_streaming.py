@@ -43,10 +43,23 @@ def test_stream_equals_batch_and_resumes(spark, stream_dirs, tmp_path):
     v2 = spark.read.parquet(os.path.join(stream_dirs["out"], "verdicts"))
     assert v2.count() == 100  # no reprocessing of batch 1
 
-    # streaming output == batch pipeline over the same input
+    # streaming output == batch pipeline over the same input —
+    # byte-identical on EVERY verdict column (keep decision, scrubbed
+    # text, model scores, per-rule hits), not just a row count: both
+    # paths run the identical filter_pages plan, so any divergence is
+    # a bug, not float noise
+    from datacanary_spark.plans.pipeline import VERDICT_COLUMNS
+
     pages = spark.read.parquet(stream_dirs["input"])
     batch = filter_pages(pages, broadcast_models(spark))
-    assert _verdict_map(v2) == _verdict_map(batch)
+
+    def full_map(df):
+        rows = df.select(*VERDICT_COLUMNS).collect()
+        return {r["url"]: tuple(
+            sorted(r[c].items()) if isinstance(r[c], dict) else r[c]
+            for c in VERDICT_COLUMNS) for r in rows}
+
+    assert full_map(v2) == full_map(batch)
 
     # lineage/metrics rows landed per micro-batch
     metrics = spark.read.parquet(os.path.join(stream_dirs["out"], "metrics"))
