@@ -70,8 +70,14 @@ def main():
     spark = get_spark(app_name="oracle_check", master="local[8]",
                       shuffle_partitions=8)
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark writes parquet as a directory of part files; DuckDB
+        # needs a glob for those, a plain path for single-file tables.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
