@@ -258,3 +258,111 @@ def health_score_documents(spark, sf_dir):
           float(h["components"]["rule_compliance"]),
           float(h["components"]["completeness"]))],
         "health_score: double, rule_compliance: double, completeness: double")
+
+
+# ---------------------------------------------------------------------------
+# Classifier scoring-plan parity (plans/classifier.py). The trained model is
+# a coefficient bundle applied as a pure Column expression; an oracle can't
+# retrain LBFGS bit-identically, but it CAN verify the scoring plan: with
+# PINNED coefficients, the margin z = w·x + b is plain float64 arithmetic
+# (strictly left-associated on both sides, no exp) over the heuristic text
+# features, so Spark and DuckDB agree bit-for-bit. This gives the 10^12-doc
+# scoring pass (SCALE.md §4a) a driver-verified row.
+# ---------------------------------------------------------------------------
+
+_CLF_W = {
+    "n_chars": 1e-4,
+    "word_count": 5e-4,
+    "mean_word_length": 0.05,
+    "symbol_to_word_ratio": -6.0,
+    "stopword_fraction": 3.0,
+    "dup_line_fraction": -4.0,
+    "dup_trigram_fraction": -4.0,
+}
+_CLF_B = -0.6
+
+
+def _duck_clf_features() -> str:
+    """DuckDB twins of plans.classifier.featurized()'s feat_* columns
+    (null/empty text → 0.0, same division guards as try_divide)."""
+    from datacanary_spark.functions.heuristics import (
+        ALL_STOPWORDS,
+        SYMBOL_CLASS,
+    )
+    W = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+    L = "string_split(text, chr(10))"
+    T = (f"list_transform(generate_series(1, len({W}) - 2), "
+         f"i -> {W}[i] || ' ' || {W}[i+1] || ' ' || {W}[i+2])")
+    return f"""
+      SELECT lang,
+        COALESCE(CAST(length(text) AS DOUBLE), 0.0) AS f_n_chars,
+        COALESCE(CAST(len({W}) AS DOUBLE), 0.0) AS f_word_count,
+        CASE WHEN len({W}) > 0 THEN
+          CAST(list_aggregate(list_transform({W}, x -> length(x)), 'sum')
+               AS DOUBLE) / CAST(len({W}) AS DOUBLE)
+        ELSE 0.0 END AS f_mean_word_length,
+        CASE WHEN len({W}) > 0 THEN
+          CAST(length(text) - length(regexp_replace(text, '{SYMBOL_CLASS}',
+                                                    '', 'g')) AS DOUBLE)
+            / CAST(len({W}) AS DOUBLE)
+        ELSE 0.0 END AS f_symbol_to_word_ratio,
+        CASE WHEN len({W}) > 0 THEN
+          CAST(len(list_filter({W},
+                   x -> list_contains({sorted(ALL_STOPWORDS)!r}, x)))
+               AS DOUBLE) / CAST(len({W}) AS DOUBLE)
+        ELSE 0.0 END AS f_stopword_fraction,
+        CASE WHEN len({L}) > 0 THEN
+          1.0 - CAST(len(list_distinct({L})) AS DOUBLE)
+                  / CAST(len({L}) AS DOUBLE)
+        ELSE 0.0 END AS f_dup_line_fraction,
+        CASE WHEN len({W}) >= 3 THEN
+          1.0 - CAST(len(list_distinct({T})) AS DOUBLE)
+                  / CAST(len({W}) - 2 AS DOUBLE)
+        ELSE 0.0 END AS f_dup_trigram_fraction
+      FROM documents
+    """
+
+
+def _duck_clf_margin() -> str:
+    terms = " + ".join(f"{w!r} * f_{n}" for n, w in _CLF_W.items())
+    return f"""
+    WITH feats AS ({_duck_clf_features()}),
+    scored AS (SELECT lang, {_CLF_B!r} + {terms} AS z FROM feats)
+    """
+
+
+@register(
+    "classifier_margin_keep_by_lang",
+    _duck_clf_margin() + """
+    SELECT lang,
+           CAST(sum(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN z >= 0.0 THEN 0 ELSE 1 END) AS BIGINT) AS dropped,
+           round(min(z), 6) AS min_margin,
+           round(max(z), 6) AS max_margin
+    FROM scored GROUP BY lang
+    """,
+)
+def classifier_margin_keep_by_lang(spark, sf_dir):
+    """Classifier scoring pass with pinned coefficients: per-language
+    keep/drop counts at threshold P(keep) >= 0.5 (margin z >= 0) plus the
+    min/max margin. One scan, one codegen projection (featurized stats +
+    the left-associated w·x + b), one hash aggregate — the exact plan
+    shape of the production classifier filter stage in plans/curate.py,
+    driver-verified against a DuckDB float64 twin."""
+    from datacanary_spark.plans.classifier import (
+        QualityClassifier,
+        featurized,
+        quality_margin_expr,
+    )
+
+    clf = QualityClassifier(tuple(_CLF_W), tuple(_CLF_W.values()), _CLF_B)
+    d = featurized(_t(spark, sf_dir, "documents"))
+    z = quality_margin_expr(clf)
+    d = d.select("lang", z.alias("z"))
+    keep = F.col("z") >= F.lit(0.0)
+    return d.groupBy("lang").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).alias("dropped"),
+        F.bround(F.min("z"), 6).alias("min_margin"),
+        F.bround(F.max("z"), 6).alias("max_margin"),
+    )

@@ -92,13 +92,26 @@ def train_quality_classifier(df: DataFrame, label_col: str,
         float(model.intercept))
 
 
+def quality_margin_expr(clf: QualityClassifier,
+                        feature_prefix: str = "feat_") -> Column:
+    """The raw margin z = w·x + b as a Column expression (strictly
+    left-associated, so the float64 evaluation order is deterministic
+    and reproducible by any engine writing the same expression text).
+    Monotone in P(keep), so thresholding z against logit(t) is exactly
+    thresholding the probability against t — the margin is the
+    exactness-friendly twin of :func:`quality_prob_expr` (no ``exp``,
+    whose last-ulp behavior is libm-specific)."""
+    z = F.lit(clf.intercept)
+    for name, w in zip(clf.feature_names, clf.weights):
+        z = z + F.lit(w) * F.col(feature_prefix + name)
+    return z
+
+
 def quality_prob_expr(clf: QualityClassifier,
                       feature_prefix: str = "feat_") -> Column:
     """P(keep) = sigmoid(w·x + b) as a pure Column expression over the
     ``feat_*`` columns — the zero-dependency scoring path."""
-    z = F.lit(clf.intercept)
-    for name, w in zip(clf.feature_names, clf.weights):
-        z = z + F.lit(w) * F.col(feature_prefix + name)
+    z = quality_margin_expr(clf, feature_prefix)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
