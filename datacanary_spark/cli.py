@@ -329,6 +329,32 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Batch-incremental dedup ingest: dedup one new batch against a
+    persisted signature store (plans/incremental.py), write the
+    accepted rows, commit the batch's identities to the store."""
+    from datacanary_spark.plans.incremental import SignatureStore
+    from datacanary_spark.sources.io import path_exists, read_table
+
+    spark = _spark(args)
+    if path_exists(spark, f"{args.store.rstrip('/')}/meta.json"):
+        store = SignatureStore.open(spark, args.store)
+    else:
+        store = SignatureStore.create(
+            spark, args.store, threshold=args.threshold,
+            hash_fn=args.hash_fn)
+    docs = read_table(spark, args.input)
+    accepted = store.ingest(docs, args.batch_id, id_col=args.id_col,
+                            text_col=args.text_col)
+    accepted.write.mode("overwrite").parquet(args.output)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output).count()
+    print(json.dumps({"batch_id": args.batch_id, "rows_in": n_in,
+                      "accepted": n_out,
+                      "committed_batches": store.committed_batches()}))
+    return 0
+
+
 def parse_fractions(spec: str) -> dict[str, float]:
     """Parse ``stratum=frac,…`` mixing specs (single validation point
     for the sample/curate CLI and jobs/curate_job.py)."""
@@ -545,6 +571,26 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--hash-fn", choices=["md5", "xxhash64"], default="md5",
                    help="near mode: xxhash64 is the cluster-scale mode")
     d.set_defaults(fn=cmd_dedup)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="batch-incremental dedup against a persisted signature store")
+    ing.add_argument("--store", required=True,
+                     help="store root dir (created on first use)")
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--output", required=True,
+                     help="parquet dir for this batch's accepted rows")
+    ing.add_argument("--batch-id", type=int, required=True,
+                     help="monotonically increasing batch number")
+    ing.add_argument("--id-col", default="doc_id")
+    ing.add_argument("--text-col", default="text")
+    ing.add_argument("--threshold", type=float, default=0.7,
+                     help="signature-estimate Jaccard threshold "
+                          "(pinned at store creation)")
+    ing.add_argument("--hash-fn", choices=["md5", "xxhash64"], default="md5",
+                     help="pinned at store creation; xxhash64 is the "
+                          "cluster-scale mode")
+    ing.set_defaults(fn=cmd_ingest)
 
     s = sub.add_parser("sample", help="deterministic stratified sample")
     s.add_argument("--input", required=True)

@@ -272,16 +272,28 @@ def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
     d = d.where(F.size("_sh") > 0)
     d = d.select(F.col(id_col),
                  minhash_signature(F.col("_sh"), n_hashes, hash_fn).alias("sig"))
+    return band_rows_from_sig(d, id_col, "sig", n_hashes, bands)
+
+
+def band_rows_from_sig(df: DataFrame, id_col: str = "doc_id",
+                       sig_col: str = "sig", n_hashes: int = 16,
+                       bands: int = 4) -> DataFrame:
+    """Explode precomputed MinHash signatures into LSH band rows
+    (band_ix, band_key, id) — the text-free half of ``lsh_bucket_rows``,
+    usable over a persisted signature table (plans/incremental.py) where
+    the document text is long gone."""
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    rows = n_hashes // bands
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_ix"),
-            F.concat_ws("|", *[F.element_at(F.col("sig"), b * rows + r + 1)
+            F.concat_ws("|", *[F.element_at(F.col(sig_col), b * rows + r + 1)
                                .cast("string")
                                for r in range(rows)]).alias("band_key"),
         )
         for b in range(bands)
     ])
-    return (d.select(F.col(id_col), F.explode(band_structs).alias("band"))
+    return (df.select(F.col(id_col), F.explode(band_structs).alias("band"))
               .select(id_col, "band.band_ix", "band.band_key"))
 
 

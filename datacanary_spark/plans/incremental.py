@@ -1,0 +1,271 @@
+"""Batch-incremental deduplication against a persisted signature store.
+
+The continuous-crawl ingestion pattern: each new crawl batch must be
+deduplicated against EVERYTHING already seen — without recomputing or
+even re-reading the historical corpus text. The store keeps only the
+content identities (128-bit content hashes and MinHash signatures), so
+per-batch cost is one signature pass over the NEW batch plus equi-joins
+against the stored identities; historical text is never touched.
+
+Semantics (chosen to be batch-split invariant, so incremental ingestion
+equals a single full-batch run EXACTLY — pinned by test):
+
+* precedence order = (batch_id asc, doc id asc); earlier always wins.
+* exact tier: a doc is dropped iff its content hash was produced by any
+  preceding doc (earlier batch, or lower id in the same batch). NULL
+  text is unknown content and exempt (same rule as
+  operators/dedup.exact_dup_groups).
+* near-dup tier (over exact survivors): a doc is dropped iff some
+  preceding exact-survivor doc shares an LSH band with it AND their
+  signature-estimated Jaccard (fraction of equal MinHash components)
+  >= threshold. The estimate is a deterministic function of the two
+  signatures, so the store never needs document text. Crucially the
+  store keeps signatures of ALL exact-survivor banded docs — accepted
+  AND near-dup-dropped — because "matches a preceding doc" must keep
+  firing for docs whose match was itself dropped; storing only accepted
+  signatures would make the result depend on the batch split.
+  Docs with no shingles (null/empty text) have no similarity identity
+  and pass the near-dup tier unconditionally (same rule as
+  operators/dedup.lsh_bucket_rows).
+
+Store layout under a root URI (any Hadoop scheme):
+
+    meta.json                    parameters + committed batch list
+    exact/batch_id=N/            parquet: text_md5 new in batch N
+    sigs/batch_id=N/             parquet: (doc id, sig) for batch N's
+                                 banded exact survivors
+    accepted/batch_id=N/         parquet: ids accepted from batch N
+
+Writes are idempotent: each batch overwrites its OWN subdirectories,
+and ``meta.json`` is updated (batch appended to ``committed``) only
+after all three writes succeed. A crash mid-ingest leaves orphan
+``batch_id=N`` dirs that readers ignore (not committed) and a retry
+overwrites. Re-ingesting an already-committed batch returns the stored
+accepted ids without recomputation (resume).
+
+At 10^12-doc scale: the store's band join is the familiar one-shuffle
+LSH equi-join, but the STORE side (cumulative) dwarfs every new batch;
+the documented optimization is to maintain the store's band rows as a
+bucketed table on band_key (sources/io.write_bucketed) so each ingest
+shuffles only the new batch's band rows. Store size is
+O(total_docs · n_hashes · hash_width) — with hash_fn="xxhash64",
+128 B/doc of signature, i.e. ~128 TB of store per 10^12 docs, scanned
+(two narrow columns) but never reshuffled per batch in bucketed form.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacanary_spark.operators.dedup import (
+    band_rows_from_sig,
+    char_shingles,
+    minhash_signature,
+)
+from datacanary_spark.plans.caching import CacheScope
+from datacanary_spark.plans.partitioning import spread_to_parallelism
+from datacanary_spark.sources.io import path_exists, read_text, write_text
+
+
+def sig_jaccard_estimate(sig_a: Column, sig_b: Column,
+                         n_hashes: int) -> Column:
+    """MinHash Jaccard estimate: fraction of equal signature components.
+
+    Unbiased estimator of the true shingle-set Jaccard with standard
+    error ~ 1/sqrt(n_hashes); deterministic given the two signatures.
+    """
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return (F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+            .cast("double") / F.lit(float(n_hashes)))
+
+
+class SignatureStore:
+    """Persisted dedup identities for batch-incremental ingestion."""
+
+    def __init__(self, spark: SparkSession, root: str, meta: dict):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.meta = meta
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, *, k_shingle: int = 5,
+               n_hashes: int = 16, bands: int = 4, hash_fn: str = "md5",
+               threshold: float = 0.7) -> "SignatureStore":
+        """Initialise an empty store. The LSH parameters are pinned in
+        meta.json at creation: signatures computed with different
+        parameters are not comparable, so every ingest re-uses these.
+        The doc-id column type is pinned at first ingest (precedence
+        comparisons must use one consistent ordering)."""
+        if n_hashes % bands:
+            raise ValueError("bands must divide n_hashes")
+        if path_exists(spark, f"{root.rstrip('/')}/meta.json"):
+            raise ValueError(f"store already exists at {root}")
+        meta = {"k_shingle": k_shingle, "n_hashes": n_hashes,
+                "bands": bands, "hash_fn": hash_fn,
+                "threshold": threshold, "id_type": None, "committed": []}
+        store = cls(spark, root, meta)
+        store._write_meta()
+        return store
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "SignatureStore":
+        meta = json.loads(read_text(spark, f"{root.rstrip('/')}/meta.json"))
+        return cls(spark, root, meta)
+
+    def _write_meta(self) -> None:
+        write_text(self.spark, f"{self.root}/meta.json",
+                   json.dumps(self.meta, indent=2, sort_keys=True))
+
+    def committed_batches(self) -> list[int]:
+        return sorted(self.meta["committed"])
+
+    # -- committed-state readers ------------------------------------------
+
+    def _read_committed(self, sub: str, schema: str) -> DataFrame:
+        batches = self.committed_batches()
+        if not batches:
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.root}/{sub}/batch_id={b}" for b in batches]
+        return self.spark.read.parquet(*paths)
+
+    def exact_hashes(self) -> DataFrame:
+        """(text_md5) — every distinct content hash ever seen."""
+        return self._read_committed("exact", "text_md5 string")
+
+    def signatures(self, id_col: str = "doc_id") -> DataFrame:
+        """(id, sig) for every banded exact-survivor doc ever seen."""
+        sig_t = ("array<bigint>" if self.meta["hash_fn"] == "xxhash64"
+                 else "array<string>")
+        id_t = self.meta["id_type"] or "string"
+        return self._read_committed("sigs", f"{id_col} {id_t}, sig {sig_t}")
+
+    def accepted_ids(self, id_col: str = "doc_id") -> DataFrame:
+        id_t = self.meta["id_type"] or "string"
+        return self._read_committed(
+            "accepted", f"{id_col} {id_t}, _batch int")
+
+    # -- ingestion ---------------------------------------------------------
+
+    def ingest(self, docs: DataFrame, batch_id: int,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+        """Dedup a new batch against the store + itself; returns the
+        accepted rows of ``docs`` and commits the batch's identities.
+
+        Idempotent: an already-committed ``batch_id`` recomputes
+        nothing and returns ``docs`` semi-joined to the stored accepted
+        ids. ``batch_id`` must be strictly greater than every committed
+        batch (precedence is batch order). Doc ids must be unique
+        across the store's lifetime (they are the precedence
+        tie-breaker and the survivor identity).
+        """
+        m = self.meta
+        id_type = docs.schema[id_col].dataType.simpleString()
+        if m["id_type"] is None:
+            m["id_type"] = id_type
+        elif m["id_type"] != id_type:
+            raise ValueError(
+                f"id column type {id_type!r} != store's pinned "
+                f"{m['id_type']!r} (precedence order must be consistent)")
+        if batch_id in m["committed"]:
+            prev = self.accepted_ids(id_col) \
+                .where(F.col("_batch") == batch_id).select(id_col)
+            return docs.join(prev, on=id_col, how="left_semi")
+        if m["committed"] and batch_id <= max(m["committed"]):
+            raise ValueError(
+                f"batch_id {batch_id} <= committed max "
+                f"{max(m['committed'])}: precedence is batch order")
+
+        scope = CacheScope()
+        try:
+            accepted = self._ingest_uncached(docs, batch_id, id_col,
+                                             text_col, scope)
+            m["committed"].append(batch_id)
+            self._write_meta()  # commit point: all data dirs are written
+            return accepted
+        finally:
+            scope.unpersist_all()
+
+    def _ingest_uncached(self, docs: DataFrame, batch_id: int, id_col: str,
+                         text_col: str, scope: CacheScope) -> DataFrame:
+        m = self.meta
+
+        # ---- exact tier --------------------------------------------------
+        # content hash; NULL text exempt via per-row sentinel (can never
+        # match another row's hash, and is never persisted to the store)
+        hashed = scope.persist(docs.withColumn(
+            "_h",
+            F.when(F.col(text_col).isNull(),
+                   F.concat(F.lit("<NULL>#"), F.col(id_col).cast("string")))
+             .otherwise(F.md5(F.col(text_col)))))
+        canon = (hashed.groupBy("_h")
+                 .agg(F.min(id_col).alias("_canon_id")))
+        store_hashes = self.exact_hashes().select(
+            F.col("text_md5").alias("_h"))
+        new_hashes = canon.join(store_hashes, "_h", "left_anti")
+        exact_surv = scope.persist(
+            hashed.join(new_hashes.select(F.col("_canon_id").alias(id_col)),
+                        id_col, "left_semi").drop("_h"))
+
+        # ---- near-dup tier (over exact survivors) ------------------------
+        sh = spread_to_parallelism(exact_surv).select(
+            F.col(id_col),
+            char_shingles(F.col(text_col), m["k_shingle"]).alias("_sh"))
+        banded = sh.where(F.size("_sh") > 0)
+        sigs = scope.persist(banded.select(
+            F.col(id_col),
+            minhash_signature(F.col("_sh"), m["n_hashes"],
+                              m["hash_fn"]).alias("sig")))
+
+        batch_bands = band_rows_from_sig(sigs, id_col, "sig",
+                                         m["n_hashes"], m["bands"])
+        store_sigs = self.signatures(id_col)
+        store_bands = band_rows_from_sig(store_sigs, id_col, "sig",
+                                         m["n_hashes"], m["bands"])
+
+        # candidates vs the store (every stored doc precedes the batch)
+        # and within the batch (lower id precedes); both are one band
+        # equi-join. distinct() BEFORE the estimate so band collisions
+        # don't repeat a signature compare.
+        cross = (batch_bands.alias("n")
+                 .join(store_bands.alias("o"), ["band_ix", "band_key"])
+                 .select(F.col(f"n.{id_col}").alias("_id"),
+                         F.col(f"o.{id_col}").alias("_prev")))
+        within = (batch_bands.alias("a")
+                  .join(batch_bands.alias("b"), ["band_ix", "band_key"])
+                  .where(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+                  .select(F.col(f"a.{id_col}").alias("_id"),
+                          F.col(f"b.{id_col}").alias("_prev")))
+        cand = cross.unionByName(within).distinct()
+        all_sigs = sigs.unionByName(store_sigs)
+        est = (cand
+               .join(sigs.select(F.col(id_col).alias("_id"),
+                                 F.col("sig").alias("_sig_n")), "_id")
+               .join(all_sigs.select(F.col(id_col).alias("_prev"),
+                                     F.col("sig").alias("_sig_o")), "_prev")
+               .select("_id", sig_jaccard_estimate(
+                   F.col("_sig_n"), F.col("_sig_o"),
+                   m["n_hashes"]).alias("_est")))
+        dropped = est.where(F.col("_est") >= m["threshold"]) \
+                     .select(F.col("_id").alias(id_col)).distinct()
+        accepted = scope.persist(
+            exact_surv.join(dropped, on=id_col, how="left_anti")
+                      .select(*docs.columns))
+
+        # ---- persist batch identities (idempotent overwrites) ------------
+        new_hashes.where(~F.col("_h").startswith("<NULL>#")) \
+            .select(F.col("_h").alias("text_md5")) \
+            .write.mode("overwrite") \
+            .parquet(f"{self.root}/exact/batch_id={batch_id}")
+        sigs.write.mode("overwrite") \
+            .parquet(f"{self.root}/sigs/batch_id={batch_id}")
+        accepted.select(F.col(id_col),
+                        F.lit(batch_id).cast("int").alias("_batch")) \
+            .write.mode("overwrite") \
+            .parquet(f"{self.root}/accepted/batch_id={batch_id}")
+        return accepted

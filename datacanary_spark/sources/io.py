@@ -225,6 +225,12 @@ def read_text(spark: SparkSession, uri: str) -> str:
         stream.close()
 
 
+def path_exists(spark: SparkSession, uri: str) -> bool:
+    """True iff the path exists, any filesystem scheme (Hadoop FS)."""
+    fs, path, _ = _fs_and_path(spark, uri)
+    return bool(fs.exists(path))
+
+
 def _fs_and_path(spark: SparkSession, uri: str):
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -646,3 +646,41 @@ def test_train_classifier_then_curate(spark, tmp_path, capsys):
     s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["kept"] >= s["after_classifier"] > 0
     assert s["final_docs"] > 0
+
+
+def test_ingest_subcommand(spark, tmp_path, capsys):
+    """Incremental ingest: batch 0 creates the store; batch 1 containing
+    a clone of a batch-0 doc is deduped against the store; batch order
+    is enforced."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    d = spark.read.parquet(docs).select("doc_id", "text", "lang")
+    b0 = str(tmp_path / "b0")
+    b1 = str(tmp_path / "b1")
+    d.where(F.col("doc_id") < 250).write.parquet(b0)
+    later = d.where(F.col("doc_id") >= 250)
+    clone = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    later.unionByName(clone).write.parquet(b1)
+
+    store = str(tmp_path / "store")
+    out0, out1 = str(tmp_path / "acc0"), str(tmp_path / "acc1")
+    assert main(["ingest", "--store", store, "--input", b0, "--output",
+                 out0, "--batch-id", "0"]) == 0
+    res0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res0["committed_batches"] == [0]
+
+    assert main(["ingest", "--store", store, "--input", b1, "--output",
+                 out1, "--batch-id", "1"]) == 0
+    res1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res1["committed_batches"] == [0, 1]
+    # the 5 clones of batch-0 docs were dropped against the store
+    acc1 = spark.read.parquet(out1)
+    assert acc1.where(F.col("doc_id") >= 100000).count() == 0
+    assert res1["accepted"] <= res1["rows_in"] - 5
+
+    # batch 0 is COMMITTED, so re-running it is the idempotent-resume
+    # path, not an error: accepted rows are replayed from the store
+    assert main(["ingest", "--store", store, "--input", b0, "--output",
+                 str(tmp_path / "acc2"), "--batch-id", "0"]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["accepted"] == res0["accepted"]

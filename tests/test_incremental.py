@@ -1,0 +1,197 @@
+"""Batch-incremental dedup store (plans/incremental.py).
+
+The two load-bearing properties:
+
+1. SPLIT INVARIANCE — ingesting the corpus in K id-ordered batches
+   produces exactly the accepted set of a single full-batch ingest.
+2. RULE FIDELITY — the accepted set equals an independent pure-Python
+   simulation of the documented precedence rule computed from the same
+   signatures (so the Spark joins implement the rule, not something
+   that merely agrees on this corpus by luck).
+
+Plus the operational contract: idempotent re-ingest, crash resume
+(data dirs written but meta not committed), parameter/ordering guards,
+and the null/empty-text exemptions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacanary_spark.plans.incremental import SignatureStore
+
+N_HASHES = 16
+BANDS = 4
+THRESHOLD = 0.5
+K_SHINGLE = 5
+
+
+def _words(seed: str, n: int) -> str:
+    out = []
+    h = seed
+    for _ in range(n):
+        h = hashlib.md5(h.encode()).hexdigest()
+        out.append(h[:6])
+    return " ".join(out)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 docs: near-dup families (shared prefix + small suffixes),
+    exact dups, unrelated docs, one null and two empty texts."""
+    rows = []
+    doc_id = 0
+    for fam in range(6):
+        base = _words(f"fam{fam}", 60)
+        for v in range(4):  # 4 variants per family: high mutual overlap
+            suffix = _words(f"fam{fam}v{v}", 4)
+            rows.append((doc_id, base + " " + suffix))
+            doc_id += 1
+    for u in range(24):  # unrelated singletons
+        rows.append((doc_id, _words(f"solo{u}", 50)))
+        doc_id += 1
+    rows.append((doc_id, rows[3][1])); doc_id += 1      # exact dup
+    rows.append((doc_id, rows[30][1])); doc_id += 1     # exact dup
+    rows.append((doc_id, None)); doc_id += 1            # null text
+    rows.append((doc_id, "")); doc_id += 1              # empty text
+    rows.append((doc_id, "")); doc_id += 1              # empty dup
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _ingest_split(spark, corpus, root, splits):
+    store = SignatureStore.create(
+        spark, root, k_shingle=K_SHINGLE, n_hashes=N_HASHES,
+        bands=BANDS, threshold=THRESHOLD)
+    accepted = []
+    for b, (lo, hi) in enumerate(splits):
+        batch = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        acc = store.ingest(batch, b)
+        accepted += [r.doc_id for r in acc.select("doc_id").collect()]
+    return store, sorted(accepted)
+
+
+def test_incremental_equals_full_batch(spark, corpus, tmp_path):
+    n = corpus.count()
+    _, acc_full = _ingest_split(spark, corpus, str(tmp_path / "full"),
+                                [(0, n)])
+    _, acc_inc = _ingest_split(spark, corpus, str(tmp_path / "inc"),
+                               [(0, 10), (10, 37), (37, n)])
+    assert acc_inc == acc_full
+    # dedup really happened: exact dups + near-dup family variants gone
+    assert len(acc_full) < n - 4
+
+
+def test_accepted_matches_python_rule_simulation(spark, corpus, tmp_path):
+    store, acc = _ingest_split(spark, corpus, str(tmp_path / "sim"),
+                               [(0, 20), (20, 65)])
+    # independent simulation from the STORED signatures (all exact
+    # survivors, accepted or not) applying the documented rule in id
+    # order: drop on seen content hash; else drop if any PRECEDING
+    # banded doc shares a band and est >= threshold.
+    sigs = {r.doc_id: list(r.sig)
+            for r in store.signatures().collect()}
+    docs = {r.doc_id: r.text for r in corpus.collect()}
+    rows_per_band = N_HASHES // BANDS
+
+    def bands_of(sig):
+        return {(b, "|".join(sig[b * rows_per_band:(b + 1) * rows_per_band]))
+                for b in range(BANDS)}
+
+    seen_hashes: set[str] = set()
+    prev_banded: list[int] = []
+    expected = []
+    for did in sorted(docs):
+        text = docs[did]
+        if text is not None:
+            h = hashlib.md5(text.encode()).hexdigest()
+            if h in seen_hashes:
+                continue
+            seen_hashes.add(h)
+        if did not in sigs:          # null/empty: no similarity identity
+            expected.append(did)
+            continue
+        sig, bset = sigs[did], bands_of(sigs[did])
+        hit = False
+        for p in prev_banded:
+            if bset & bands_of(sigs[p]):
+                est = sum(a == b for a, b in zip(sig, sigs[p])) / N_HASHES
+                if est >= THRESHOLD:
+                    hit = True
+                    break
+        prev_banded.append(did)      # dropped docs still block later ones
+        if not hit:
+            expected.append(did)
+    assert acc == sorted(expected)
+
+
+def test_null_and_empty_text_rules(spark, corpus, tmp_path):
+    n = corpus.count()
+    _, acc = _ingest_split(spark, corpus, str(tmp_path / "nulls"), [(0, n)])
+    null_id, first_empty, second_empty = n - 3, n - 2, n - 1
+    assert null_id in acc            # null text: exempt from both tiers
+    assert first_empty in acc        # empty: no shingles -> near-dup exempt
+    assert second_empty not in acc   # but exact-duplicate of first empty
+
+
+def test_reingest_committed_batch_is_idempotent(spark, corpus, tmp_path):
+    root = str(tmp_path / "idem")
+    store, _ = _ingest_split(spark, corpus, root, [(0, 30), (30, 65)])
+    batch0 = corpus.where(F.col("doc_id") < 30)
+    again = store.ingest(batch0, 0)
+    reopened = SignatureStore.open(spark, root)
+    assert sorted(r.doc_id for r in again.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in reopened.accepted_ids()
+               .where(F.col("_batch") == 0).select("doc_id").collect())
+    assert reopened.committed_batches() == [0, 1]
+
+
+def test_crash_before_commit_then_retry(spark, corpus, tmp_path):
+    root = str(tmp_path / "crash")
+    n = corpus.count()
+    store = SignatureStore.create(
+        spark, root, k_shingle=K_SHINGLE, n_hashes=N_HASHES,
+        bands=BANDS, threshold=THRESHOLD)
+    batch0 = corpus.where(F.col("doc_id") < 40)
+    store.ingest(batch0, 0)
+
+    # simulate a crash DURING batch 1: data dirs written, meta not updated
+    from datacanary_spark.plans.caching import CacheScope
+
+    batch1 = corpus.where(F.col("doc_id") >= 40)
+    scope = CacheScope()
+    try:
+        crashed = store._ingest_uncached(batch1, 1, "doc_id", "text", scope)
+        crashed_ids = sorted(r.doc_id
+                             for r in crashed.select("doc_id").collect())
+    finally:
+        scope.unpersist_all()
+    meta = json.loads((tmp_path / "crash" / "meta.json").read_text())
+    assert meta["committed"] == [0]  # batch 1 really is uncommitted
+
+    # retry through a fresh handle: overwrites orphans, commits, and the
+    # result matches what the crashed attempt would have produced
+    retried = SignatureStore.open(spark, root).ingest(batch1, 1)
+    assert sorted(r.doc_id for r in retried.select("doc_id").collect()) \
+        == crashed_ids
+    assert SignatureStore.open(spark, root).committed_batches() == [0, 1]
+
+
+def test_guards(spark, corpus, tmp_path):
+    root = str(tmp_path / "guards")
+    store = SignatureStore.create(spark, root, threshold=THRESHOLD)
+    store.ingest(corpus.where(F.col("doc_id") < 10), 5)
+    with pytest.raises(ValueError, match="precedence is batch order"):
+        store.ingest(corpus.where(F.col("doc_id") >= 10), 3)
+    with pytest.raises(ValueError, match="pinned"):
+        store.ingest(
+            corpus.select(F.col("doc_id").cast("string").alias("doc_id"),
+                          "text"), 6)
+    with pytest.raises(ValueError, match="already exists"):
+        SignatureStore.create(spark, root)
+    with pytest.raises(ValueError, match="bands must divide"):
+        SignatureStore.create(spark, str(tmp_path / "g2"), n_hashes=16,
+                              bands=5)
