@@ -528,3 +528,94 @@ def decontaminate_winnow_survivors(spark, sf_dir):
     out = dd.decontaminate(corpus, reference, mode="winnow")
     return out.agg(F.count(F.lit(1)).alias("n_survivors"),
                    F.sum("doc_id").alias("sum_ids"))
+
+
+# ---------------------------------------------------------------------------
+# Batch-incremental ingest (plans/incremental.py). The store's semantics
+# are batch-split invariant, which is precisely what makes an oracle
+# possible: the accepted set is definable WITHOUT batches — a doc is
+# dropped iff its content hash was seen by a lower-precedence doc, or a
+# preceding banded exact-survivor shares an LSH band with estimated
+# Jaccard >= threshold. The Spark side ingests in TWO batches through a
+# real on-disk store (create → ingest → ingest → reopen), the oracle
+# computes the batch-free formulation; equality proves both the rule
+# and its split invariance on driver data.
+# ---------------------------------------------------------------------------
+
+def _duck_sig_est(n_hashes: int) -> str:
+    return (f"len(list_filter(generate_series(1, {n_hashes}), "
+            f"i -> sa.sig[i] = sb.sig[i])) / {float(n_hashes)}")
+
+
+_INCREMENTAL_SQL = f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || '{_TRAILER}' AS text, lang
+      FROM documents WHERE doc_id < 150 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text, lang
+      FROM documents WHERE doc_id < 150 AND doc_id % 7 = 0
+    ),
+    surv AS (
+      SELECT c.* FROM corpus c WHERE c.doc_id IN (
+        SELECT min(doc_id) FROM corpus
+        GROUP BY CASE WHEN text IS NULL THEN '<NULL>#' || doc_id
+                 ELSE md5(text) END)
+    ),
+    norm AS (SELECT doc_id, {_NORM.format(col='text')} AS nt FROM surv),
+    sh AS (SELECT doc_id, {_SHINGLES.format(n='nt')} AS sh FROM norm
+           WHERE nt IS NOT NULL),
+    banded AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, {_duck_minhash_list(16)} AS sig FROM banded),
+    bandrows AS ({_duck_band_rows(4, 4)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandrows a JOIN bandrows b USING (band_ix, band_key)
+      WHERE a.doc_id > b.doc_id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_a FROM cand
+      JOIN sig sa ON sa.doc_id = cand.id_a
+      JOIN sig sb ON sb.doc_id = cand.id_b
+      WHERE {_duck_sig_est(16)} >= 0.5
+    )
+    SELECT doc_id, lang FROM surv
+    WHERE doc_id NOT IN (SELECT id_a FROM dropped)
+"""
+
+
+@register("incremental_ingest_accepted", _INCREMENTAL_SQL)
+def incremental_ingest_accepted(spark, sf_dir):
+    """Two-batch incremental ingest through a real on-disk SignatureStore
+    vs the batch-free formulation of the same precedence rule. The
+    result is materialized before the temp store is deleted (the driver
+    collects lazily, after this function returns)."""
+    import shutil
+    import tempfile
+
+    from datacanary_spark.plans.incremental import SignatureStore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang") \
+        .where(F.col("doc_id") < 150)
+    near = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"), "lang")
+    exact = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang")
+    corpus = d.unionByName(near).unionByName(exact)
+
+    root = tempfile.mkdtemp(prefix="incstore_")
+    try:
+        store = SignatureStore.create(spark, root, threshold=0.5)
+        acc0 = store.ingest(corpus.where(F.col("doc_id") < 150), 0)
+        # reopen from disk: batch 1 must see batch 0 purely through the
+        # persisted identities, not driver state
+        store = SignatureStore.open(spark, root)
+        acc1 = store.ingest(corpus.where(F.col("doc_id") >= 150), 1)
+        rows = [(r.doc_id, r.lang)
+                for r in acc0.unionByName(acc1)
+                               .select("doc_id", "lang").collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")

@@ -95,19 +95,29 @@ class SignatureStore:
     @classmethod
     def create(cls, spark: SparkSession, root: str, *, k_shingle: int = 5,
                n_hashes: int = 16, bands: int = 4, hash_fn: str = "md5",
-               threshold: float = 0.7) -> "SignatureStore":
+               threshold: float = 0.7,
+               bucket_bands: int | None = None) -> "SignatureStore":
         """Initialise an empty store. The LSH parameters are pinned in
         meta.json at creation: signatures computed with different
         parameters are not comparable, so every ingest re-uses these.
         The doc-id column type is pinned at first ingest (precedence
-        comparisons must use one consistent ordering)."""
+        comparisons must use one consistent ordering).
+
+        ``bucket_bands``: if set, the store ALSO maintains its band rows
+        as a parquet table BUCKETED on the (band_ix, band_key) join key
+        into that many buckets — the 10^12-doc layout: the cumulative
+        store side of every ingest's candidate join arrives
+        pre-distributed, so only the (small) new batch is shuffled.
+        Without it the store's band rows are re-derived from the stored
+        signatures and reshuffled each ingest."""
         if n_hashes % bands:
             raise ValueError("bands must divide n_hashes")
         if path_exists(spark, f"{root.rstrip('/')}/meta.json"):
             raise ValueError(f"store already exists at {root}")
         meta = {"k_shingle": k_shingle, "n_hashes": n_hashes,
                 "bands": bands, "hash_fn": hash_fn,
-                "threshold": threshold, "id_type": None, "committed": []}
+                "threshold": threshold, "id_type": None,
+                "bucket_bands": bucket_bands, "committed": []}
         store = cls(spark, root, meta)
         store._write_meta()
         return store
@@ -148,6 +158,54 @@ class SignatureStore:
         id_t = self.meta["id_type"] or "string"
         return self._read_committed(
             "accepted", f"{id_col} {id_t}, _batch int")
+
+    # -- bucketed band-row table (the 10^12-doc candidate-join layout) -----
+
+    def _bands_table(self) -> str:
+        """Session-catalog name for the bucketed band table (stable per
+        store root, so reopening a store finds the same table)."""
+        import hashlib
+
+        return "sigstore_bands_" + hashlib.md5(
+            self.root.encode()).hexdigest()[:12]
+
+    def _ensure_bands_table(self, id_col: str) -> str:
+        """Register the external bucketed table in THIS session's catalog
+        if missing (catalog metadata is per-metastore; the files under
+        ``<root>/bands`` are the durable artifact)."""
+        name = self._bands_table()
+        if not self.spark.catalog.tableExists(name):
+            id_t = self.meta["id_type"]
+            self.spark.sql(
+                f"CREATE TABLE {name} "
+                f"(band_ix INT, band_key STRING, {id_col} {id_t}, "
+                f"_batch INT) USING PARQUET "
+                f"CLUSTERED BY (band_ix, band_key) "
+                f"SORTED BY (band_ix, band_key) "
+                f"INTO {self.meta['bucket_bands']} BUCKETS "
+                f"LOCATION '{self.root}/bands'")
+        return name
+
+    def store_band_rows(self, id_col: str = "doc_id") -> DataFrame:
+        """Band rows of every committed doc. Bucketed mode reads the
+        pre-distributed table (no exchange on this side of the candidate
+        join — plan-locked in tests); otherwise derives them from the
+        stored signatures. The ``_batch`` filter keeps an UNCOMMITTED
+        crashed attempt's appended rows invisible; after a retry commits
+        the batch, both that attempt's rows and the retry's become
+        visible — results stay exact because candidate pairs are
+        distinct()-ed, at the cost of duplicate band rows in storage
+        until a compaction rewrite (documented trade of the append-only
+        bucketed layout)."""
+        if self.meta.get("bucket_bands"):
+            name = self._ensure_bands_table(id_col)
+            committed = self.committed_batches()
+            return (self.spark.table(name)
+                    .where(F.col("_batch").isin(committed)
+                           if committed else F.lit(False))
+                    .drop("_batch"))
+        return band_rows_from_sig(self.signatures(id_col), id_col, "sig",
+                                  self.meta["n_hashes"], self.meta["bands"])
 
     # -- ingestion ---------------------------------------------------------
 
@@ -225,8 +283,7 @@ class SignatureStore:
         batch_bands = band_rows_from_sig(sigs, id_col, "sig",
                                          m["n_hashes"], m["bands"])
         store_sigs = self.signatures(id_col)
-        store_bands = band_rows_from_sig(store_sigs, id_col, "sig",
-                                         m["n_hashes"], m["bands"])
+        store_bands = self.store_band_rows(id_col)
 
         # candidates vs the store (every stored doc precedes the batch)
         # and within the batch (lower id precedes); both are one band
@@ -264,6 +321,14 @@ class SignatureStore:
             .parquet(f"{self.root}/exact/batch_id={batch_id}")
         sigs.write.mode("overwrite") \
             .parquet(f"{self.root}/sigs/batch_id={batch_id}")
+        if m.get("bucket_bands"):
+            name = self._ensure_bands_table(id_col)
+            batch_bands.select("band_ix", "band_key", F.col(id_col),
+                               F.lit(batch_id).cast("int").alias("_batch")) \
+                .write.format("parquet").mode("append") \
+                .bucketBy(m["bucket_bands"], "band_ix", "band_key") \
+                .sortBy("band_ix", "band_key") \
+                .saveAsTable(name)
         accepted.select(F.col(id_col),
                         F.lit(batch_id).cast("int").alias("_batch")) \
             .write.mode("overwrite") \

@@ -195,3 +195,64 @@ def test_guards(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="bands must divide"):
         SignatureStore.create(spark, str(tmp_path / "g2"), n_hashes=16,
                               bands=5)
+
+
+def test_bucketed_band_table_same_result_and_no_store_exchange(
+        spark, corpus, tmp_path):
+    """bucket_bands mode: identical accepted sets, and the store side of
+    the candidate join is read pre-distributed (one fewer Exchange than
+    the derive-from-sigs path on the same join)."""
+    n = corpus.count()
+    _, acc_plain = _ingest_split(spark, corpus, str(tmp_path / "plain"),
+                                 [(0, 30), (30, n)])
+    root = str(tmp_path / "bucketed")
+    store = SignatureStore.create(
+        spark, root, k_shingle=K_SHINGLE, n_hashes=N_HASHES,
+        bands=BANDS, threshold=THRESHOLD, bucket_bands=4)
+    try:
+        accepted = []
+        for b, (lo, hi) in enumerate([(0, 30), (30, n)]):
+            batch = corpus.where((F.col("doc_id") >= lo)
+                                 & (F.col("doc_id") < hi))
+            acc = store.ingest(batch, b)
+            accepted += [r.doc_id for r in acc.select("doc_id").collect()]
+        assert sorted(accepted) == acc_plain
+
+        # reopen from disk in the same session: table rediscovered
+        reopened = SignatureStore.open(spark, root)
+        bands_bucketed = reopened.store_band_rows()
+        assert bands_bucketed.count() > 0
+
+        # plan lock: joining fresh (non-bucketed) rows against the store
+        # bands shuffles ONLY the fresh side in bucketed mode
+        from datacanary_spark.operators.dedup import band_rows_from_sig
+
+        def n_exchanges(df):
+            return df._jdf.queryExecution().executedPlan() \
+                .toString().count("Exchange hashpartitioning")
+
+        # force SMJ: a broadcast join would shuffle NEITHER side and the
+        # bucketed distribution would be invisible to the plan compare
+        # (DataFrames must be BUILT under the conf — queryExecution is
+        # cached per frame)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = band_rows_from_sig(reopened.signatures().limit(5),
+                                       "doc_id", "sig", N_HASHES, BANDS) \
+                .withColumnRenamed("doc_id", "probe_id")
+            joined_bucketed = probe.join(reopened.store_band_rows(),
+                                         ["band_ix", "band_key"])
+            derived = band_rows_from_sig(reopened.signatures(), "doc_id",
+                                         "sig", N_HASHES, BANDS)
+            joined_derived = probe.join(derived, ["band_ix", "band_key"])
+            assert joined_bucketed.count() > 0
+            assert n_exchanges(joined_bucketed) == \
+                n_exchanges(joined_derived) - 1
+            plan = joined_bucketed._jdf.queryExecution().executedPlan() \
+                .toString()
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store._bands_table()}")
