@@ -381,14 +381,26 @@ def parse_fractions(spec: str) -> dict[str, float]:
 def cmd_sample(args) -> int:
     """Deterministic stratified sample (corpus mixing).
 
-    --fractions is ``stratum=frac`` pairs, e.g. ``en=0.5,de=0.1``.
+    --fractions is ``stratum=frac`` pairs, e.g. ``en=0.5,de=0.1``;
+    --temperature ALPHA derives the fractions from the observed stratum
+    counts instead (effective counts ∝ n^alpha, smallest stratum
+    keeps 100%).
     """
-    from datacanary_spark.operators.corpus_stats import hash_stratified_sample
+    from datacanary_spark.operators.corpus_stats import (
+        hash_stratified_sample,
+        temperature_fractions,
+    )
     from datacanary_spark.sources.io import read_table
 
-    fractions = parse_fractions(args.fractions)
+    if (args.fractions is None) == (args.temperature is None):
+        raise SystemExit("pass exactly one of --fractions / --temperature")
     spark = _spark(args)
     df = read_table(spark, args.input)
+    if args.temperature is not None:
+        fractions = temperature_fractions(df, args.strata_col,
+                                          args.temperature)
+    else:
+        fractions = parse_fractions(args.fractions)
     out = hash_stratified_sample(df, args.strata_col, fractions,
                                  args.key_col, salt=args.salt,
                                  default_fraction=args.default_fraction)
@@ -596,8 +608,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--input", required=True)
     s.add_argument("--output", required=True)
     s.add_argument("--strata-col", required=True)
-    s.add_argument("--fractions", required=True,
+    s.add_argument("--fractions", default=None,
                    help="stratum=fraction pairs, e.g. en=0.5,de=0.1")
+    s.add_argument("--temperature", type=float, default=None,
+                   help="derive fractions from stratum counts: "
+                        "effective counts ∝ n^alpha (alpha in [0,1])")
     s.add_argument("--key-col", required=True,
                    help="column whose hash decides membership")
     s.add_argument("--salt", default="sample")

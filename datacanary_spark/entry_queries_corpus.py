@@ -273,3 +273,45 @@ def docs_pivot_source_lang(spark, sf_dir):
         "source",
         *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(lg)
           for lg in _PIVOT_LANGS])
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based corpus mixing (corpus_stats.temperature_fractions).
+# alpha is pinned at 0.5 so the rebalancing math is sqrt — IEEE-754
+# correctly rounded in BOTH engines (generic pow is libm-specific and
+# not oracle-safe). fraction = sqrt(n_min/n): the smallest language
+# keeps 100%, effective counts become proportional to sqrt(n).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temperature_mix_by_lang",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    m AS (SELECT min(n) AS n_min FROM c)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           round(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS keep_fraction,
+           CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) * n)
+                AS BIGINT) AS expected_docs
+    FROM c, m
+    """,
+)
+def temperature_mix_by_lang(spark, sf_dir):
+    """Temperature rebalancing at alpha=0.5 computed IN Spark (count
+    aggregate + broadcast global-min join + sqrt projection): per-lang
+    keep fraction and expected post-mix doc count. The membership rule
+    the fractions feed is oracle-covered by stratified_sample_by_lang;
+    this query pins the rebalancing math itself."""
+    d = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("n_min"))
+    frac = F.sqrt(F.col("n_min").cast("double") / F.col("n").cast("double"))
+    return (c.crossJoin(F.broadcast(m))
+             .select("lang", F.col("n").alias("n_docs"),
+                     F.bround(frac, 6).alias("keep_fraction"),
+                     F.floor(frac * F.col("n")).cast("bigint")
+                      .alias("expected_docs")))

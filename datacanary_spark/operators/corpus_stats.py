@@ -307,3 +307,43 @@ def hash_stratified_sample(df: DataFrame, strata_col: str,
     for stratum, t in thresholds.items():
         thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
     return df.where(bucket < thr)
+
+
+def temperature_fractions(df: DataFrame, strata_col: str,
+                          alpha: float = 0.5) -> dict[str, float]:
+    """Per-stratum keep fractions for temperature-based corpus mixing
+    (mT5/XLM-R style): effective counts become proportional to
+    ``n^alpha``, flattening the head of a skewed language/source
+    distribution without upsampling.
+
+    fraction_s = (n_s / n_min) ** (alpha - 1) — normalized so the
+    SMALLEST stratum keeps 100% (subsampling can only remove docs);
+    alpha=1 keeps everything, alpha=0 equalizes effective counts.
+    NULL strata are excluded (they take ``hash_stratified_sample``'s
+    ``default_fraction``). Driver-side math over one tiny aggregate
+    (#strata rows) — the heavy filtering stays in
+    :func:`hash_stratified_sample`'s narrow plan-literal predicate.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    counts = {r[strata_col]: r["n"]
+              for r in df.where(F.col(strata_col).isNotNull())
+                         .groupBy(strata_col)
+                         .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    return {s: float((n / n_min) ** (alpha - 1.0))
+            for s, n in counts.items()}
+
+
+def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
+                       alpha: float = 0.5,
+                       salt: str = "sample") -> DataFrame:
+    """Temperature-rebalanced deterministic sample: compose
+    :func:`temperature_fractions` with :func:`hash_stratified_sample`.
+    Membership stays a pure function of (salt, key), so the identical
+    rebalanced corpus falls out on any cluster size or engine."""
+    fractions = temperature_fractions(df, strata_col, alpha)
+    return hash_stratified_sample(df, strata_col, fractions, key_col,
+                                  salt=salt)

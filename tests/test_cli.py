@@ -684,3 +684,21 @@ def test_ingest_subcommand(spark, tmp_path, capsys):
                  str(tmp_path / "acc2"), "--batch-id", "0"]) == 0
     res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res2["accepted"] == res0["accepted"]
+
+
+def test_sample_temperature_flag(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "tsample")
+    assert main(["sample", "--input", docs, "--output", out,
+                 "--strata-col", "lang", "--key-col", "doc_id",
+                 "--temperature", "0.5"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # smallest lang keeps 100%; every derived fraction in (0, 1]
+    assert max(res["fractions"].values()) == 1.0
+    assert all(0 < f <= 1.0 for f in res["fractions"].values())
+    assert 0 < res["rows_out"] < res["rows_in"]
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="exactly one"):
+        main(["sample", "--input", docs, "--output", out,
+              "--strata-col", "lang", "--key-col", "doc_id"])

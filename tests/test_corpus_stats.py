@@ -331,3 +331,46 @@ def test_cap_and_buckets_keep_null_groups(spark):
     null_rows = [r for r in out.collect() if r["host"] is None]
     assert len(null_rows) == 5 and all(r["bucket"] in (1, 2)
                                        for r in null_rows)
+
+
+def test_temperature_fractions_math(spark):
+    import math
+
+    from datacanary_spark.operators.corpus_stats import temperature_fractions
+
+    rows = ([("a", i) for i in range(100)] + [("b", i) for i in range(400)]
+            + [("c", i) for i in range(2500)] + [(None, 0)])
+    df = spark.createDataFrame(rows, "lang string, k int")
+
+    fr = temperature_fractions(df, "lang", alpha=0.5)
+    assert fr == {"a": 1.0, "b": 0.5, "c": 0.2}   # sqrt(n_min/n)
+    assert None not in fr                          # null stratum exempt
+
+    assert temperature_fractions(df, "lang", alpha=1.0) == \
+        {"a": 1.0, "b": 1.0, "c": 1.0}             # alpha=1: no resampling
+    fr0 = temperature_fractions(df, "lang", alpha=0.0)
+    assert fr0["a"] == 1.0 and math.isclose(fr0["b"], 0.25) \
+        and math.isclose(fr0["c"], 0.04)           # alpha=0: equal effective
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_fractions(df, "lang", alpha=1.5)
+
+
+def test_temperature_sample_deterministic_and_rebalanced(spark):
+    from datacanary_spark.operators.corpus_stats import temperature_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = temperature_sample(d, "lang", "doc_id", alpha=0.5)
+    s2 = temperature_sample(d, "lang", "doc_id", alpha=0.5)
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    assert ids1 == sorted(r.doc_id for r in s2.select("doc_id").collect())
+
+    before = {r.lang: r.n for r in
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r.lang: r.n for r in
+             s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_min = min(before.values())
+    for lang, n in before.items():
+        expected = (n_min / n) ** 0.5 * n
+        assert abs(after.get(lang, 0) - expected) <= max(10, 0.25 * expected)
