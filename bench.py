@@ -101,7 +101,8 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     p.add_argument("--repeat", type=int, default=1,
-                   help="repetitions per query; best (min) time reported")
+                   help="steady-state repetitions per query AFTER the "
+                        "first run; best (min) becomes the warm time")
     p.add_argument("--round", default=os.environ.get("SPARK_GRAFT_ROUND",
                                                      "latest"),
                    help="round tag for the BENCH/bench_r{N}.json artifact")
@@ -121,22 +122,25 @@ def main() -> None:
     first_run: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
+        # the FIRST execution is always the first-run sample — folding
+        # repeats into it via min() would silently record a warm time
+        # under the first-run label whenever --repeat > 1
+        t0 = time.perf_counter()
+        fn(spark, args.sf_dir).collect()
+        first_run[name] = round(time.perf_counter() - t0, 4)
+        # steady-state passes: this query's codegen compiled and its
+        # persisted intermediates warm — the number a long-running
+        # cluster job sees. As of r04 this is the HEADLINE (first-run
+        # kept as the secondary column): r02/r03 showed first-run diffs
+        # are dominated by Catalyst/JIT compile noise (e.g.
+        # rule_engine_verdicts 5.7 s first vs 0.67 s warm with an
+        # unchanged plan), so warm is the signal a 100-TB job sees.
         best = float("inf")
-        for _ in range(args.repeat):
+        for _ in range(max(1, args.repeat)):
             t0 = time.perf_counter()
             fn(spark, args.sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-        first_run[name] = round(best, 4)
-        # second pass: steady-state time with this query's codegen
-        # compiled and its persisted intermediates warm — the number a
-        # long-running cluster job sees. As of r04 this is the HEADLINE
-        # (first-run kept as the secondary column): r02/r03 showed
-        # first-run diffs are dominated by Catalyst/JIT compile noise
-        # (e.g. rule_engine_verdicts 5.7 s first vs 0.67 s warm with an
-        # unchanged plan), so warm is the signal a 100-TB job sees.
-        t0 = time.perf_counter()
-        fn(spark, args.sf_dir).collect()
-        warm[name] = round(time.perf_counter() - t0, 4)
+        warm[name] = round(best, 4)
 
     filt_sec, n_docs = bench_filter_pipeline(spark, args.sf_dir)
     # the pipeline number is already steady-state (min-of-3 after its
@@ -163,10 +167,11 @@ def main() -> None:
         "docs_per_sec": round(n_docs / filt_sec, 2) if filt_sec > 0 else None,
         "cpus": str(args.cpus),
         "protocol": "warm (all tables scanned + flagship run before timing); "
-                    f"best of {args.repeat} per query; HEADLINE value/queries "
-                    "are steady-state (second run per query) as of r04 — "
-                    "compare to r03's warm_total/queries_warm; first-run "
-                    "times (r01-r03 headline protocol) are in "
+                    "HEADLINE value/queries are steady-state (best of "
+                    f"{max(1, args.repeat)} post-first runs per query) as of "
+                    "r04 — compare to r03's warm_total/queries_warm; "
+                    "first-run times (r01-r03 headline protocol; always the "
+                    "literal first execution) are in "
                     "queries_first_run/first_run_total",
         "notes": {
             "embedding_near_dup_pairs":

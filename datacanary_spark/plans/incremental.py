@@ -67,7 +67,12 @@ from datacanary_spark.operators.dedup import (
 )
 from datacanary_spark.plans.caching import CacheScope
 from datacanary_spark.plans.partitioning import spread_to_parallelism
-from datacanary_spark.sources.io import path_exists, read_text, write_text
+from datacanary_spark.sources.io import (
+    path_exists,
+    read_text,
+    write_bucketed,
+    write_text_atomic,
+)
 
 
 def sig_jaccard_estimate(sig_a: Column, sig_b: Column,
@@ -128,8 +133,10 @@ class SignatureStore:
         return cls(spark, root, meta)
 
     def _write_meta(self) -> None:
-        write_text(self.spark, f"{self.root}/meta.json",
-                   json.dumps(self.meta, indent=2, sort_keys=True))
+        # atomic: meta.json is THE commit record — a truncate-in-place
+        # write crashing mid-flush would orphan every committed batch
+        write_text_atomic(self.spark, f"{self.root}/meta.json",
+                          json.dumps(self.meta, indent=2, sort_keys=True))
 
     def committed_batches(self) -> list[int]:
         return sorted(self.meta["committed"])
@@ -226,13 +233,22 @@ class SignatureStore:
         id_type = docs.schema[id_col].dataType.simpleString()
         if m["id_type"] is None:
             m["id_type"] = id_type
+            m["id_col"] = id_col
         elif m["id_type"] != id_type:
             raise ValueError(
                 f"id column type {id_type!r} != store's pinned "
                 f"{m['id_type']!r} (precedence order must be consistent)")
+        elif m.get("id_col", id_col) != id_col:
+            raise ValueError(
+                f"id column {id_col!r} != store's pinned "
+                f"{m['id_col']!r} (the stored identity tables carry "
+                f"the first ingest's column name)")
         if batch_id in m["committed"]:
-            prev = self.accepted_ids(id_col) \
-                .where(F.col("_batch") == batch_id).select(id_col)
+            # O(1) resume: read only THIS batch's accepted dir — going
+            # through accepted_ids() would list and scan every
+            # committed batch to extract one
+            prev = self.spark.read.parquet(
+                f"{self.root}/accepted/batch_id={batch_id}").select(id_col)
             return docs.join(prev, on=id_col, how="left_semi")
         if m["committed"] and batch_id <= max(m["committed"]):
             raise ValueError(
@@ -323,14 +339,20 @@ class SignatureStore:
             .parquet(f"{self.root}/sigs/batch_id={batch_id}")
         if m.get("bucket_bands"):
             name = self._ensure_bands_table(id_col)
-            batch_bands.select("band_ix", "band_key", F.col(id_col),
-                               F.lit(batch_id).cast("int").alias("_batch")) \
-                .write.format("parquet").mode("append") \
-                .bucketBy(m["bucket_bands"], "band_ix", "band_key") \
-                .sortBy("band_ix", "band_key") \
-                .saveAsTable(name)
+            write_bucketed(
+                batch_bands.select("band_ix", "band_key", F.col(id_col),
+                                   F.lit(batch_id).cast("int")
+                                    .alias("_batch")),
+                name, ["band_ix", "band_key"], m["bucket_bands"],
+                mode="append")
         accepted.select(F.col(id_col),
                         F.lit(batch_id).cast("int").alias("_batch")) \
             .write.mode("overwrite") \
             .parquet(f"{self.root}/accepted/batch_id={batch_id}")
-        return accepted
+        # Return a frame whose lineage is docs ⋉ the accepted-ids
+        # parquet just written — NOT the in-flight `accepted` frame:
+        # its cache is released when ingest() returns, so any caller
+        # action on it would silently recompute the whole dedup.
+        acc_ids = self.spark.read.parquet(
+            f"{self.root}/accepted/batch_id={batch_id}").select(id_col)
+        return docs.join(acc_ids, on=id_col, how="left_semi")

@@ -24,6 +24,7 @@ the same FileSystem client executors use.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -223,6 +224,24 @@ def read_text(spark: SparkSession, uri: str) -> str:
             stream, "UTF-8")
     finally:
         stream.close()
+
+
+def write_text_atomic(spark: SparkSession, uri: str, content: str) -> None:
+    """Commit-safe variant of :func:`write_text`: write to a temp sibling
+    then rename over the target. ``write_text``'s ``fs.create(path,
+    True)`` truncates in place, so a crash between truncate and close
+    leaves an empty/partial file — fatal for commit markers (a store's
+    meta.json) whose loss orphans all prior state. Rename is atomic on
+    HDFS/local posix; on object stores it is copy+delete but still
+    never exposes a partially-written object."""
+    tmp = f"{uri}.tmp.{os.getpid()}"
+    write_text(spark, tmp, content)
+    fs, target, jvm = _fs_and_path(spark, uri)
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(target):
+        fs.delete(target, False)
+    if not fs.rename(tmp_path, target):
+        raise IOError(f"atomic rename failed: {tmp} -> {uri}")
 
 
 def path_exists(spark: SparkSession, uri: str) -> bool:

@@ -84,7 +84,8 @@ def build_corpus(spark):
     return spark.read.parquet(CORPUS_PATH)
 
 
-def run_leg(cpus: int, hash_fn: str = "xxhash64") -> dict:
+def run_leg(cpus: int, hash_fn: str = "xxhash64",
+            stage: str = "candidates") -> dict:
     from datacanary_spark.operators.dedup import lsh_candidate_pairs
     from datacanary_spark.session import get_spark
 
@@ -114,11 +115,51 @@ def run_leg(cpus: int, hash_fn: str = "xxhash64") -> dict:
     corpus = build_corpus(spark)
     n_docs = corpus.count()
 
-    def one_run() -> tuple[float, int]:
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n_pairs = lsh_candidate_pairs(corpus, hash_fn=hash_fn).count()
-        return time.perf_counter() - t0, n_pairs
+    if stage == "ingest":
+        # Batch-incremental store (plans/incremental.py), steady-state
+        # unit of work: a new batch ingested AGAINST a populated store
+        # (signature pass over the batch + cross-batch band join +
+        # identity writes). Per run: fresh store, batch 0 = the 5000
+        # BASE docs populates it (untimed), batch 1 = the 15000 planted
+        # copies is timed — a re-crawl of old content, so EVERY timed
+        # doc has a true cross-batch match in the store (plus 2
+        # within-batch near-dups); the cross-batch band join is
+        # maximally exercised. docs/sec is batch-1 docs over the timed
+        # ingest. (An id-modulus split does NOT work here: the copy
+        # offset 10 000 000 is divisible by every small power of two,
+        # so `doc_id % 2^k` puts whole clusters in one batch.)
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from datacanary_spark.plans.incremental import SignatureStore
+
+        half = F.col("doc_id") < 10_000_000
+        b0, b1 = corpus.where(half), corpus.where(~half)
+        n_timed = b1.count()
+
+        def one_run() -> tuple[float, int]:
+            spark.catalog.clearCache()
+            root = tempfile.mkdtemp(prefix=f"ingest_leg_{cpus}_")
+            try:
+                store = SignatureStore.create(
+                    spark, root, hash_fn=hash_fn, threshold=0.5)
+                store.ingest(b0, 0)
+                t0 = time.perf_counter()
+                acc = store.ingest(b1, 1)
+                n_acc = acc.count()
+                return time.perf_counter() - t0, n_acc
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    else:
+        n_timed = n_docs
+
+        def one_run() -> tuple[float, int]:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_pairs = lsh_candidate_pairs(corpus, hash_fn=hash_fn).count()
+            return time.perf_counter() - t0, n_pairs
 
     one_run()  # warm-up: JIT + codegen + page cache
     times, n_pairs = [], 0
@@ -126,11 +167,12 @@ def run_leg(cpus: int, hash_fn: str = "xxhash64") -> dict:
         dt, n_pairs = one_run()
         times.append(dt)
     best = min(times)
-    out = {"cpus": cpus, "hash_fn": hash_fn, "n_docs": n_docs,
-           "n_pairs": n_pairs,
+    out = {"cpus": cpus, "hash_fn": hash_fn, "stage": stage,
+           "n_docs": n_docs, "n_timed_docs": n_timed,
+           "result_count": n_pairs,
            "best_sec": round(best, 3),
            "all_sec": [round(t, 3) for t in times],
-           "docs_per_sec": round(n_docs / best, 1)}
+           "docs_per_sec": round(n_timed / best, 1)}
     spark.stop()
     return out
 
@@ -172,13 +214,18 @@ def main() -> None:
                    help="comma-separated core counts for orchestrator mode")
     p.add_argument("--control", action="store_true",
                    help="run only the no-Spark hardware md5 control")
+    p.add_argument("--stage", default="candidates",
+                   choices=["candidates", "ingest"],
+                   help="candidates = LSH candidate stage; ingest = "
+                        "batch-incremental store, timed new-batch-vs-"
+                        "populated-store ingest")
     args = p.parse_args()
 
     if args.control:
         print(json.dumps({"hardware_md5_control": hardware_control()}))
         return
     if args.cpus is not None:
-        print(json.dumps(run_leg(args.cpus, args.hash_fn)))
+        print(json.dumps(run_leg(args.cpus, args.hash_fn, args.stage)))
         return
 
     # ascending order: the efficiency formula reads (lo, hi) from the
@@ -188,7 +235,7 @@ def main() -> None:
     for n in legs:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(n),
-             "--hash-fn", args.hash_fn],
+             "--hash-fn", args.hash_fn, "--stage", args.stage],
             capture_output=True, text=True, check=True)
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
         results.append(json.loads(line))
@@ -197,7 +244,7 @@ def main() -> None:
     ratio = hi["cpus"] / lo["cpus"]
     eff = lo["best_sec"] / (ratio * hi["best_sec"])
     print(json.dumps({
-        "metric": "lsh_candidate_stage_strong_scaling",
+        "metric": f"{args.stage}_stage_strong_scaling",
         "legs": results,
         "core_ratio": ratio,
         "scaling_efficiency": round(eff, 3),

@@ -256,3 +256,13 @@ def test_bucketed_band_table_same_result_and_no_store_exchange(
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {store._bands_table()}")
+
+
+def test_id_col_name_pinned(spark, corpus, tmp_path):
+    store = SignatureStore.create(spark, str(tmp_path / "idcol"),
+                                  threshold=THRESHOLD)
+    store.ingest(corpus.where(F.col("doc_id") < 10), 0)
+    renamed = corpus.where(F.col("doc_id") >= 10) \
+        .withColumnRenamed("doc_id", "url")
+    with pytest.raises(ValueError, match="pinned"):
+        store.ingest(renamed, 1, id_col="url")

@@ -117,3 +117,17 @@ def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_pages")
         spark.sql("DROP TABLE IF EXISTS bt_metrics")
+
+
+def test_write_text_atomic_roundtrip_and_overwrite(spark, tmp_path):
+    from datacanary_spark.sources.io import read_text, write_text_atomic
+
+    uri = str(tmp_path / "meta.json")
+    write_text_atomic(spark, uri, '{"v": 1}')
+    assert read_text(spark, uri) == '{"v": 1}'
+    write_text_atomic(spark, uri, '{"v": 2}')
+    assert read_text(spark, uri) == '{"v": 2}'
+    # no temp sibling left behind
+    leftovers = [p.name for p in tmp_path.iterdir()
+                 if p.name.startswith("meta.json.tmp")]
+    assert leftovers == []
