@@ -143,11 +143,25 @@ class SignatureStore:
 
     # -- committed-state readers ------------------------------------------
 
+    def _data_dirs(self) -> list[str]:
+        """Physical dir names holding exact/sigs identity data. One
+        ``batch_id=N`` per ingest normally; :meth:`compact` swaps them
+        for a single ``compacted=G`` dir. ``committed`` stays the
+        LOGICAL batch list driving precedence and resume. Stores
+        written before compaction existed default to one dir per
+        committed batch."""
+        return self.meta.get(
+            "data_dirs",
+            [f"batch_id={b}" for b in self.committed_batches()])
+
     def _read_committed(self, sub: str, schema: str) -> DataFrame:
-        batches = self.committed_batches()
-        if not batches:
+        if sub in ("exact", "sigs"):
+            names = self._data_dirs()
+        else:
+            names = [f"batch_id={b}" for b in self.committed_batches()]
+        if not names:
             return self.spark.createDataFrame([], schema)
-        paths = [f"{self.root}/{sub}/batch_id={b}" for b in batches]
+        paths = [f"{self.root}/{sub}/{n}" for n in names]
         return self.spark.read.parquet(*paths)
 
     def exact_hashes(self) -> DataFrame:
@@ -214,6 +228,69 @@ class SignatureStore:
         return band_rows_from_sig(self.signatures(id_col), id_col, "sig",
                                   self.meta["n_hashes"], self.meta["bands"])
 
+    # -- compaction --------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Consolidate the per-batch identity dirs into one.
+
+        A long-lived store accumulates one small ``exact``/``sigs`` dir
+        per ingested batch (the object-store small-files problem: every
+        read lists and opens O(batches) files) and, in ``bucket_bands``
+        mode, possibly duplicate band rows from crash-retried ingests.
+        Compaction rewrites both identity tables into a single
+        ``compacted=G`` dir, rebuilds the bucketed band table from the
+        consolidated signatures (which also sheds retry duplicates and
+        uncommitted orphan rows), then atomically commits the new dir
+        list to meta.json and best-effort deletes the old dirs. The
+        LOGICAL committed-batch list, per-batch accepted dirs (resume),
+        and every future ingest result are unchanged — pinned by test.
+        """
+        m = self.meta
+        old = self._data_dirs()
+        if len(old) <= 1:
+            return {"compacted": False, "dirs_before": len(old)}
+        gen = int(m.get("compact_gen", 0)) + 1
+        new = f"compacted={gen}"
+
+        self.exact_hashes().write.mode("overwrite") \
+            .parquet(f"{self.root}/exact/{new}")
+        self.signatures().write.mode("overwrite") \
+            .parquet(f"{self.root}/sigs/{new}")
+        n_hashes = self.spark.read.parquet(
+            f"{self.root}/exact/{new}").count()
+        n_sigs = self.spark.read.parquet(
+            f"{self.root}/sigs/{new}").count()
+        if m.get("bucket_bands"):
+            id_col = m.get("id_col", "doc_id")
+            name = self._ensure_bands_table(id_col)
+            consolidated = self.spark.read.parquet(
+                f"{self.root}/sigs/{new}")
+            write_bucketed(
+                band_rows_from_sig(consolidated, id_col, "sig",
+                                   m["n_hashes"], m["bands"])
+                .select("band_ix", "band_key", F.col(id_col),
+                        F.lit(max(m["committed"])).cast("int")
+                         .alias("_batch")),
+                name, ["band_ix", "band_key"], m["bucket_bands"],
+                mode="overwrite")
+
+        m["data_dirs"] = [new]
+        m["compact_gen"] = gen
+        self._write_meta()  # commit point
+        # post-commit cleanup; a crash here only leaves ignored orphans
+        from datacanary_spark.sources.io import _fs_and_path
+
+        for d in old:
+            for sub in ("exact", "sigs"):
+                fs, path, _ = _fs_and_path(self.spark,
+                                           f"{self.root}/{sub}/{d}")
+                try:
+                    fs.delete(path, True)
+                except Exception:
+                    pass
+        return {"compacted": True, "dirs_before": len(old),
+                "n_hashes": n_hashes, "n_sigs": n_sigs}
+
     # -- ingestion ---------------------------------------------------------
 
     def ingest(self, docs: DataFrame, batch_id: int,
@@ -259,6 +336,9 @@ class SignatureStore:
         try:
             accepted = self._ingest_uncached(docs, batch_id, id_col,
                                              text_col, scope)
+            # data_dirs BEFORE appending to committed: the no-key
+            # default derives from the committed list
+            m["data_dirs"] = self._data_dirs() + [f"batch_id={batch_id}"]
             m["committed"].append(batch_id)
             self._write_meta()  # commit point: all data dirs are written
             return accepted

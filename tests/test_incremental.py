@@ -254,6 +254,17 @@ def test_bucketed_band_table_same_result_and_no_store_exchange(
             assert "Bucketed: true" in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # compaction rebuilds the bucketed table from consolidated sigs:
+        # same row count (no retry duplicates here), still bucketed
+        n_before = reopened.store_band_rows().count()
+        stats = reopened.compact()
+        assert stats["compacted"]
+        after = SignatureStore.open(spark, root)
+        assert after.store_band_rows().count() == n_before
+        assert sorted(accepted) == sorted(
+            r.doc_id for r in after.accepted_ids()
+            .select("doc_id").collect())
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {store._bands_table()}")
 
@@ -266,3 +277,47 @@ def test_id_col_name_pinned(spark, corpus, tmp_path):
         .withColumnRenamed("doc_id", "url")
     with pytest.raises(ValueError, match="pinned"):
         store.ingest(renamed, 1, id_col="url")
+
+
+def test_compact_preserves_results_and_consolidates(spark, corpus, tmp_path):
+    """compact() shrinks the identity dirs to one and changes NOTHING
+    observable: a post-compaction ingest matches the same ingest into an
+    uncompacted twin, and old-batch resume still replays."""
+    import os
+
+    n = corpus.count()
+    splits = [(0, 15), (15, 30), (30, 50)]
+    root_a = str(tmp_path / "compacted")
+    root_b = str(tmp_path / "plain")
+    store_a, _ = _ingest_split(spark, corpus, root_a, splits)
+    store_b, _ = _ingest_split(spark, corpus, root_b, splits)
+
+    stats = store_a.compact()
+    assert stats["compacted"] and stats["dirs_before"] == 3
+    assert sorted(os.listdir(tmp_path / "compacted" / "sigs")) == \
+        ["compacted=1"]
+    # identity content survives consolidation exactly
+    assert stats["n_hashes"] == store_b.exact_hashes().count()
+    assert stats["n_sigs"] == store_b.signatures().count()
+
+    # a fourth batch dedups identically against both stores
+    batch3 = corpus.where(F.col("doc_id") >= 50)
+    acc_a = sorted(r.doc_id for r in
+                   SignatureStore.open(spark, root_a)
+                   .ingest(batch3, 3).select("doc_id").collect())
+    acc_b = sorted(r.doc_id for r in store_b.ingest(batch3, 3)
+                   .select("doc_id").collect())
+    assert acc_a == acc_b
+
+    # resume of a pre-compaction batch still replays from accepted/
+    replay = SignatureStore.open(spark, root_a).ingest(
+        corpus.where((F.col("doc_id") >= 15) & (F.col("doc_id") < 30)), 1)
+    assert replay.count() > 0
+
+    # compacting the compacted store is a no-op... after batch 3 there
+    # are two dirs again; a second compact consolidates to compacted=2
+    stats2 = SignatureStore.open(spark, root_a).compact()
+    assert stats2["compacted"] and stats2["dirs_before"] == 2
+    s = SignatureStore.open(spark, root_a)
+    assert s._data_dirs() == ["compacted=2"]
+    assert s.compact() == {"compacted": False, "dirs_before": 1}
