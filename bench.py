@@ -181,6 +181,13 @@ def main() -> None:
             "knn_bruteforce_top5":
                 "exact scan baseline; scale paths are ann_lsh_top5 / "
                 "ann_ivf_top5",
+            "incremental_ingest_accepted":
+                "end-to-end store demo: builds a fresh on-disk "
+                "SignatureStore and runs TWO full ingest commits per "
+                "invocation (~16 Spark jobs of writes/reads on a "
+                "150-doc corpus) — time is job-scheduling fixed cost, "
+                "not data; per-doc throughput evidence is "
+                "BENCH/BASELINE.md's ingest N->4N run",
         },
         "round": str(args.round),
     }

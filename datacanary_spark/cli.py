@@ -332,11 +332,19 @@ def cmd_dedup(args) -> int:
 def cmd_ingest(args) -> int:
     """Batch-incremental dedup ingest: dedup one new batch against a
     persisted signature store (plans/incremental.py), write the
-    accepted rows, commit the batch's identities to the store."""
+    accepted rows, commit the batch's identities to the store.
+    ``--compact`` instead consolidates the store's identity dirs."""
     from datacanary_spark.plans.incremental import SignatureStore
     from datacanary_spark.sources.io import path_exists, read_table
 
     spark = _spark(args)
+    if args.compact:
+        stats = SignatureStore.open(spark, args.store).compact()
+        print(json.dumps(stats, sort_keys=True))
+        return 0
+    if args.input is None or args.output is None or args.batch_id is None:
+        raise SystemExit("ingest requires --input/--output/--batch-id "
+                         "(or --compact)")
     if path_exists(spark, f"{args.store.rstrip('/')}/meta.json"):
         store = SignatureStore.open(spark, args.store)
     else:
@@ -352,6 +360,23 @@ def cmd_ingest(args) -> int:
     print(json.dumps({"batch_id": args.batch_id, "rows_in": n_in,
                       "accepted": n_out,
                       "committed_batches": store.committed_batches()}))
+    return 0
+
+
+def cmd_ingest_stream(args) -> int:
+    """Streaming incremental ingest: drain available input files, one
+    micro-batch = one store batch (streaming/ingest_stream.py)."""
+    from datacanary_spark.plans.incremental import SignatureStore
+    from datacanary_spark.streaming.ingest_stream import run_ingest_stream
+
+    spark = _spark(args)
+    run_ingest_stream(spark, args.input, args.store, args.output,
+                      args.checkpoint, id_col=args.id_col,
+                      text_col=args.text_col, threshold=args.threshold,
+                      hash_fn=args.hash_fn,
+                      max_files_per_trigger=args.max_files_per_trigger)
+    store = SignatureStore.open(spark, args.store)
+    print(json.dumps({"committed_batches": store.committed_batches()}))
     return 0
 
 
@@ -589,11 +614,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="batch-incremental dedup against a persisted signature store")
     ing.add_argument("--store", required=True,
                      help="store root dir (created on first use)")
-    ing.add_argument("--input", required=True)
-    ing.add_argument("--output", required=True,
+    ing.add_argument("--input", default=None)
+    ing.add_argument("--output", default=None,
                      help="parquet dir for this batch's accepted rows")
-    ing.add_argument("--batch-id", type=int, required=True,
+    ing.add_argument("--batch-id", type=int, default=None,
                      help="monotonically increasing batch number")
+    ing.add_argument("--compact", action="store_true",
+                     help="consolidate the store's per-batch identity "
+                          "dirs instead of ingesting")
     ing.add_argument("--id-col", default="doc_id")
     ing.add_argument("--text-col", default="text")
     ing.add_argument("--threshold", type=float, default=0.7,
@@ -603,6 +631,24 @@ def build_parser() -> argparse.ArgumentParser:
                      help="pinned at store creation; xxhash64 is the "
                           "cluster-scale mode")
     ing.set_defaults(fn=cmd_ingest)
+
+    ist = sub.add_parser(
+        "ingest-stream",
+        help="streaming incremental ingest (AvailableNow drain; each "
+             "micro-batch becomes one store batch)")
+    ist.add_argument("--store", required=True)
+    ist.add_argument("--input", required=True)
+    ist.add_argument("--output", required=True)
+    ist.add_argument("--checkpoint", required=True,
+                     help="Spark streaming checkpoint dir (tracks which "
+                          "input files each batch consumed)")
+    ist.add_argument("--id-col", default="doc_id")
+    ist.add_argument("--text-col", default="text")
+    ist.add_argument("--threshold", type=float, default=0.7)
+    ist.add_argument("--hash-fn", choices=["md5", "xxhash64"],
+                     default="md5")
+    ist.add_argument("--max-files-per-trigger", type=int, default=None)
+    ist.set_defaults(fn=cmd_ingest_stream)
 
     s = sub.add_parser("sample", help="deterministic stratified sample")
     s.add_argument("--input", required=True)

@@ -702,3 +702,28 @@ def test_sample_temperature_flag(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="exactly one"):
         main(["sample", "--input", docs, "--output", out,
               "--strata-col", "lang", "--key-col", "doc_id"])
+
+
+def test_ingest_stream_and_compact_subcommands(spark, tmp_path, capsys):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    inp = str(tmp_path / "sin")
+    d.where(F.col("doc_id") < 100).coalesce(1).write.parquet(f"{inp}/a.parquet")
+    d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)) \
+        .coalesce(1).write.parquet(f"{inp}/b.parquet")
+
+    store = str(tmp_path / "sstore")
+    assert main(["ingest-stream", "--store", store, "--input", inp,
+                 "--output", str(tmp_path / "sout"),
+                 "--checkpoint", str(tmp_path / "sckpt"),
+                 "--max-files-per-trigger", "1"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res["committed_batches"]) >= 2
+
+    assert main(["ingest", "--store", store, "--compact"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["compacted"] is True
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="requires"):
+        main(["ingest", "--store", store])
