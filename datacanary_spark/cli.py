@@ -339,6 +339,9 @@ def cmd_ingest(args) -> int:
 
     spark = _spark(args)
     if args.compact:
+        if not path_exists(spark, f"{args.store.rstrip('/')}/meta.json"):
+            raise SystemExit(f"no store at {args.store!r} (meta.json "
+                             f"not found)")
         stats = SignatureStore.open(spark, args.store).compact()
         print(json.dumps(stats, sort_keys=True))
         return 0

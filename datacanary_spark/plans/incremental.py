@@ -182,19 +182,31 @@ class SignatureStore:
 
     # -- bucketed band-row table (the 10^12-doc candidate-join layout) -----
 
-    def _bands_table(self) -> str:
+    def _bands_gen(self) -> int:
+        """Current band-table GENERATION. The physical table name and
+        location are generation-suffixed (``bands_g<G>``): compaction
+        builds generation G+1 COMPLETELY before the meta commit starts
+        referencing it, so a crash on either side of the commit leaves
+        one fully-consistent generation (the old or the new) — never a
+        dropped/partial table of committed band rows."""
+        return int(self.meta.get("bands_gen", 0))
+
+    def _bands_table(self, gen: int | None = None) -> str:
         """Session-catalog name for the bucketed band table (stable per
-        store root, so reopening a store finds the same table)."""
+        store root + generation, so reopening a store finds it)."""
         import hashlib
 
+        g = self._bands_gen() if gen is None else gen
         return "sigstore_bands_" + hashlib.md5(
-            self.root.encode()).hexdigest()[:12]
+            self.root.encode()).hexdigest()[:12] + f"_g{g}"
 
-    def _ensure_bands_table(self, id_col: str) -> str:
+    def _ensure_bands_table(self, id_col: str,
+                            gen: int | None = None) -> str:
         """Register the external bucketed table in THIS session's catalog
         if missing (catalog metadata is per-metastore; the files under
-        ``<root>/bands`` are the durable artifact)."""
-        name = self._bands_table()
+        ``<root>/bands_g<G>`` are the durable artifact)."""
+        g = self._bands_gen() if gen is None else gen
+        name = self._bands_table(g)
         if not self.spark.catalog.tableExists(name):
             id_t = self.meta["id_type"]
             self.spark.sql(
@@ -204,7 +216,7 @@ class SignatureStore:
                 f"CLUSTERED BY (band_ix, band_key) "
                 f"SORTED BY (band_ix, band_key) "
                 f"INTO {self.meta['bucket_bands']} BUCKETS "
-                f"LOCATION '{self.root}/bands'")
+                f"LOCATION '{self.root}/bands_g{g}'")
         return name
 
     def store_band_rows(self, id_col: str = "doc_id") -> DataFrame:
@@ -238,19 +250,28 @@ class SignatureStore:
         read lists and opens O(batches) files) and, in ``bucket_bands``
         mode, possibly duplicate band rows from crash-retried ingests.
         Compaction rewrites both identity tables into a single
-        ``compacted=G`` dir, rebuilds the bucketed band table from the
-        consolidated signatures (which also sheds retry duplicates and
-        uncommitted orphan rows), then atomically commits the new dir
-        list to meta.json and best-effort deletes the old dirs. The
-        LOGICAL committed-batch list, per-batch accepted dirs (resume),
-        and every future ingest result are unchanged — pinned by test.
+        ``compacted=G`` dir and, in bucketed mode, builds a NEW
+        generation of the band table (``bands_g<G+1>``, external at the
+        store root) from the consolidated signatures — which also sheds
+        retry duplicates and uncommitted orphan rows. Only after every
+        new artifact is fully written does the meta.json commit switch
+        the store over; old dirs and the old band generation are then
+        best-effort deleted. A crash BEFORE the commit leaves the old
+        generation fully intact and referenced; a crash AFTER leaves
+        ignored orphans — at no point can committed identity or band
+        data be partial. The LOGICAL committed-batch list, per-batch
+        accepted dirs (resume), and every future ingest result are
+        unchanged — pinned by test.
         """
+        from datacanary_spark.sources.io import _fs_and_path
+
         m = self.meta
         old = self._data_dirs()
         if len(old) <= 1:
             return {"compacted": False, "dirs_before": len(old)}
         gen = int(m.get("compact_gen", 0)) + 1
         new = f"compacted={gen}"
+        old_bands_gen = self._bands_gen()
 
         self.exact_hashes().write.mode("overwrite") \
             .parquet(f"{self.root}/exact/{new}")
@@ -258,36 +279,52 @@ class SignatureStore:
             .parquet(f"{self.root}/sigs/{new}")
         n_hashes = self.spark.read.parquet(
             f"{self.root}/exact/{new}").count()
-        n_sigs = self.spark.read.parquet(
-            f"{self.root}/sigs/{new}").count()
-        if m.get("bucket_bands"):
-            id_col = m.get("id_col", "doc_id")
-            name = self._ensure_bands_table(id_col)
-            consolidated = self.spark.read.parquet(
-                f"{self.root}/sigs/{new}")
-            write_bucketed(
-                band_rows_from_sig(consolidated, id_col, "sig",
-                                   m["n_hashes"], m["bands"])
-                .select("band_ix", "band_key", F.col(id_col),
-                        F.lit(max(m["committed"])).cast("int")
-                         .alias("_batch")),
-                name, ["band_ix", "band_key"], m["bucket_bands"],
-                mode="overwrite")
+        scope = CacheScope()
+        try:
+            consolidated = scope.persist(self.spark.read.parquet(
+                f"{self.root}/sigs/{new}"))
+            n_sigs = consolidated.count()
+            if m.get("bucket_bands"):
+                id_col = m.get("id_col", "doc_id")
+                # a PREVIOUS crashed compaction may have left a partial
+                # unreferenced gen+1 — clear it so the build starts clean
+                self.spark.sql("DROP TABLE IF EXISTS "
+                               f"{self._bands_table(old_bands_gen + 1)}")
+                fs, stale, _ = _fs_and_path(
+                    self.spark, f"{self.root}/bands_g{old_bands_gen + 1}")
+                if fs.exists(stale):
+                    fs.delete(stale, True)
+                name = self._ensure_bands_table(id_col,
+                                                gen=old_bands_gen + 1)
+                write_bucketed(
+                    band_rows_from_sig(consolidated, id_col, "sig",
+                                       m["n_hashes"], m["bands"])
+                    .select("band_ix", "band_key", F.col(id_col),
+                            F.lit(max(m["committed"])).cast("int")
+                             .alias("_batch")),
+                    name, ["band_ix", "band_key"], m["bucket_bands"],
+                    path=f"{self.root}/bands_g{old_bands_gen + 1}",
+                    mode="append")
+        finally:
+            scope.unpersist_all()
 
         m["data_dirs"] = [new]
         m["compact_gen"] = gen
+        if m.get("bucket_bands"):
+            m["bands_gen"] = old_bands_gen + 1
         self._write_meta()  # commit point
         # post-commit cleanup; a crash here only leaves ignored orphans
-        from datacanary_spark.sources.io import _fs_and_path
-
-        for d in old:
-            for sub in ("exact", "sigs"):
-                fs, path, _ = _fs_and_path(self.spark,
-                                           f"{self.root}/{sub}/{d}")
-                try:
-                    fs.delete(path, True)
-                except Exception:
-                    pass
+        for d in [f"{sub}/{d}" for d in old for sub in ("exact", "sigs")] \
+                + ([f"bands_g{old_bands_gen}"]
+                   if m.get("bucket_bands") else []):
+            fs, path, _ = _fs_and_path(self.spark, f"{self.root}/{d}")
+            try:
+                fs.delete(path, True)
+            except Exception:
+                pass
+        if m.get("bucket_bands"):
+            self.spark.sql("DROP TABLE IF EXISTS "
+                           f"{self._bands_table(old_bands_gen)}")
         return {"compacted": True, "dirs_before": len(old),
                 "n_hashes": n_hashes, "n_sigs": n_sigs}
 
@@ -301,7 +338,12 @@ class SignatureStore:
 
         Idempotent: an already-committed ``batch_id`` recomputes
         nothing and returns ``docs`` semi-joined to the stored accepted
-        ids. ``batch_id`` must be strictly greater than every committed
+        ids — after verifying a composition FINGERPRINT (row count +
+        order-independent id-hash sum, recorded at commit): a replayed
+        batch id carrying DIFFERENT documents (lost streaming
+        checkpoint, a manual ingest colliding with a stream's counter)
+        would otherwise silently discard the new docs; it now raises.
+        ``batch_id`` must be strictly greater than every committed
         batch (precedence is batch order). Doc ids must be unique
         across the store's lifetime (they are the precedence
         tie-breaker and the survivor identity).
@@ -321,6 +363,15 @@ class SignatureStore:
                 f"{m['id_col']!r} (the stored identity tables carry "
                 f"the first ingest's column name)")
         if batch_id in m["committed"]:
+            recorded = m.get("batch_fp", {}).get(str(batch_id))
+            if recorded is not None and \
+                    self._fingerprint(docs, id_col) != recorded:
+                raise ValueError(
+                    f"batch_id {batch_id} is committed but this input "
+                    f"has a DIFFERENT composition than the one recorded "
+                    f"at commit — refusing the silent-discard resume "
+                    f"(lost streaming checkpoint, or a manual ingest "
+                    f"collided with a stream's batch counter?)")
             # O(1) resume: read only THIS batch's accepted dir — going
             # through accepted_ids() would list and scan every
             # committed batch to extract one
@@ -339,11 +390,26 @@ class SignatureStore:
             # data_dirs BEFORE appending to committed: the no-key
             # default derives from the committed list
             m["data_dirs"] = self._data_dirs() + [f"batch_id={batch_id}"]
+            m.setdefault("batch_fp", {})[str(batch_id)] = \
+                self._fingerprint(docs, id_col)
             m["committed"].append(batch_id)
             self._write_meta()  # commit point: all data dirs are written
             return accepted
         finally:
             scope.unpersist_all()
+
+    def _fingerprint(self, docs: DataFrame, id_col: str) -> list:
+        """Order-independent batch-composition fingerprint: [row count,
+        sum of xxhash64 over the ids]. One cheap id-column aggregate;
+        the sum runs in decimal(38,0) — a long sum of 64-bit hashes
+        overflows under ANSI — and is stored as a string (JSON-safe)."""
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.concat(
+                F.lit("fp:"), F.col(id_col).cast("string")))
+                .cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return [int(row["n"]), str(row["h"]) if row["h"] is not None else "0"]
 
     def _ingest_uncached(self, docs: DataFrame, batch_id: int, id_col: str,
                          text_col: str, scope: CacheScope) -> DataFrame:

@@ -50,17 +50,31 @@ def run_ingest_stream(
     re-run after new files land ingests ONLY the new files as the next
     batch. Accepted rows land under ``output_dir/batch_id=N/``.
     """
-    if path_exists(spark, f"{store_root.rstrip('/')}/meta.json"):
+    # Schema inference FIRST — before any store mutation: an empty or
+    # not-yet-populated input dir must not pin store parameters as a
+    # side effect of a crashed setup run. recursiveFileLookup: input
+    # "files" are commonly Spark-written directories themselves (a
+    # crawler drop = one parquet dir); flat schema, no partition
+    # inference.
+    store_exists = path_exists(spark, f"{store_root.rstrip('/')}/meta.json")
+    try:
+        schema = spark.read.option("recursiveFileLookup", "true") \
+            .parquet(input_dir).schema
+    except Exception as e:
+        if store_exists:
+            # normal streaming hygiene: consumed files archived, or no
+            # new drop yet — nothing to drain
+            return
+        raise ValueError(
+            f"no readable parquet under {input_dir!r} and the store "
+            f"does not exist yet — not creating a store from an empty "
+            f"setup run ({e.__class__.__name__})") from e
+    if store_exists:
         store = SignatureStore.open(spark, store_root)
     else:
         store = SignatureStore.create(spark, store_root,
                                       threshold=threshold, hash_fn=hash_fn)
 
-    # recursiveFileLookup: input "files" are commonly Spark-written
-    # directories themselves (a crawler drop = one parquet dir); flat
-    # schema, no partition inference
-    schema = spark.read.option("recursiveFileLookup", "true") \
-        .parquet(input_dir).schema
     reader = spark.readStream.schema(schema) \
         .option("recursiveFileLookup", "true")
     if max_files_per_trigger:

@@ -255,18 +255,28 @@ def test_bucketed_band_table_same_result_and_no_store_exchange(
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
-        # compaction rebuilds the bucketed table from consolidated sigs:
-        # same row count (no retry duplicates here), still bucketed
+        # compaction rebuilds the bucketed table from consolidated sigs
+        # as a NEW generation: same row count (no retry duplicates
+        # here), still EXTERNAL at the store root (an overwrite-in-place
+        # rebuild silently relocated it into the session warehouse —
+        # caught in review), old generation dropped
         n_before = reopened.store_band_rows().count()
         stats = reopened.compact()
         assert stats["compacted"]
         after = SignatureStore.open(spark, root)
+        assert after._bands_gen() == 1
         assert after.store_band_rows().count() == n_before
+        desc = {r.col_name: r.data_type for r in spark.sql(
+            f"DESCRIBE FORMATTED {after._bands_table()}").collect()}
+        assert desc.get("Type") == "EXTERNAL"
+        assert desc.get("Location", "").rstrip("/").endswith("bands_g1")
+        assert not spark.catalog.tableExists(after._bands_table(0))
         assert sorted(accepted) == sorted(
             r.doc_id for r in after.accepted_ids()
             .select("doc_id").collect())
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {store._bands_table()}")
+        for g in (0, 1):
+            spark.sql(f"DROP TABLE IF EXISTS {store._bands_table(g)}")
 
 
 def test_id_col_name_pinned(spark, corpus, tmp_path):
@@ -321,3 +331,37 @@ def test_compact_preserves_results_and_consolidates(spark, corpus, tmp_path):
     s = SignatureStore.open(spark, root_a)
     assert s._data_dirs() == ["compacted=2"]
     assert s.compact() == {"compacted": False, "dirs_before": 1}
+
+
+def test_committed_batch_replay_with_different_docs_raises(
+        spark, corpus, tmp_path):
+    """A committed batch id replayed with DIFFERENT documents must fail
+    loudly — the silent path would discard the new docs (lost streaming
+    checkpoint / manual-vs-stream batch-counter collision)."""
+    store = SignatureStore.create(spark, str(tmp_path / "fp"),
+                                  threshold=THRESHOLD)
+    b0 = corpus.where(F.col("doc_id") < 20)
+    store.ingest(b0, 0)
+    # identical composition: fine (the idempotent-resume contract)
+    assert store.ingest(b0, 0).count() > 0
+    with pytest.raises(ValueError, match="DIFFERENT composition"):
+        store.ingest(corpus.where(F.col("doc_id") >= 20), 0)
+
+
+def test_stream_setup_on_empty_input(spark, tmp_path):
+    import os
+
+    from datacanary_spark.streaming.ingest_stream import run_ingest_stream
+
+    empty = str(tmp_path / "empty_in")
+    os.makedirs(empty)
+    store_root = str(tmp_path / "estore")
+    # no store yet: must NOT create one from an empty setup run
+    with pytest.raises(ValueError, match="not creating a store"):
+        run_ingest_stream(spark, empty, store_root,
+                          str(tmp_path / "eout"), str(tmp_path / "eckpt"))
+    assert not os.path.exists(f"{store_root}/meta.json")
+    # store exists (e.g. consumed files archived): quietly nothing to do
+    SignatureStore.create(spark, store_root, threshold=0.5)
+    run_ingest_stream(spark, empty, store_root,
+                      str(tmp_path / "eout"), str(tmp_path / "eckpt"))
