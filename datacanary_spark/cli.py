@@ -338,12 +338,13 @@ def cmd_ingest(args) -> int:
     from datacanary_spark.sources.io import path_exists, read_table
 
     spark = _spark(args)
-    if args.compact:
+    if args.compact or args.describe:
         if not path_exists(spark, f"{args.store.rstrip('/')}/meta.json"):
             raise SystemExit(f"no store at {args.store!r} (meta.json "
                              f"not found)")
-        stats = SignatureStore.open(spark, args.store).compact()
-        print(json.dumps(stats, sort_keys=True))
+        store = SignatureStore.open(spark, args.store)
+        out = store.compact() if args.compact else store.describe()
+        print(json.dumps(out, sort_keys=True))
         return 0
     if args.input is None or args.output is None or args.batch_id is None:
         raise SystemExit("ingest requires --input/--output/--batch-id "
@@ -625,6 +626,9 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--compact", action="store_true",
                      help="consolidate the store's per-batch identity "
                           "dirs instead of ingesting")
+    ing.add_argument("--describe", action="store_true",
+                     help="print the store's parameters, batch ledger "
+                          "and identity counts instead of ingesting")
     ing.add_argument("--id-col", default="doc_id")
     ing.add_argument("--text-col", default="text")
     ing.add_argument("--threshold", type=float, default=0.7,

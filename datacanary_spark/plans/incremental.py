@@ -240,6 +240,25 @@ class SignatureStore:
         return band_rows_from_sig(self.signatures(id_col), id_col, "sig",
                                   self.meta["n_hashes"], self.meta["bands"])
 
+    def describe(self) -> dict:
+        """Operational snapshot: parameters, batch ledger, identity
+        counts, physical layout. Two small scans (count-only)."""
+        m = self.meta
+        return {
+            "root": self.root,
+            "params": {k: m[k] for k in ("k_shingle", "n_hashes", "bands",
+                                         "hash_fn", "threshold")},
+            "id_col": m.get("id_col"),
+            "id_type": m.get("id_type"),
+            "committed_batches": self.committed_batches(),
+            "data_dirs": self._data_dirs(),
+            "bucket_bands": m.get("bucket_bands"),
+            "bands_gen": self._bands_gen() if m.get("bucket_bands") else None,
+            "n_content_hashes": self.exact_hashes().count(),
+            "n_signatures": self.signatures().count(),
+            "n_accepted": self.accepted_ids().count(),
+        }
+
     # -- compaction --------------------------------------------------------
 
     def compact(self) -> dict:

@@ -724,6 +724,12 @@ def test_ingest_stream_and_compact_subcommands(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["compacted"] is True
 
+    assert main(["ingest", "--store", store, "--describe"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["data_dirs"] == ["compacted=1"]
+    assert res["n_content_hashes"] > 0
+    assert len(res["committed_batches"]) >= 2
+
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="requires"):
         main(["ingest", "--store", store])
