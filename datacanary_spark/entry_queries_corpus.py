@@ -315,3 +315,45 @@ def temperature_mix_by_lang(spark, sf_dir):
                      F.bround(frac, 6).alias("keep_fraction"),
                      F.floor(frac * F.col("n")).cast("bigint")
                       .alias("expected_docs")))
+
+
+@register(
+    "temperature_mix_tokens_by_lang",
+    r"""
+    WITH c AS (
+      SELECT lang,
+             CAST(sum(COALESCE(len(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> '')), 0))
+               AS BIGINT) AS toks
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    m AS (SELECT min(toks) AS t_min FROM c)
+    SELECT lang, toks AS n_tokens,
+           round(sqrt(CAST(t_min AS DOUBLE) / CAST(toks AS DOUBLE)), 6)
+             AS keep_fraction,
+           CAST(floor(sqrt(CAST(t_min AS DOUBLE) / CAST(toks AS DOUBLE))
+                      * toks) AS BIGINT) AS expected_tokens
+    FROM c, m
+    """,
+)
+def temperature_mix_tokens_by_lang(spark, sf_dir):
+    """TOKEN-weighted temperature rebalancing at alpha=0.5 (real mixing
+    recipes weight by token mass, not documents): per-lang whitespace
+    token totals, keep fraction sqrt(t_min/t), expected post-mix token
+    count — the weight_col mode of corpus_stats.temperature_fractions,
+    computed in-plan. Same sqrt-only exactness discipline as
+    temperature_mix_by_lang."""
+    from datacanary_spark.functions.heuristics import words_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    toks = F.coalesce(F.size(words_expr(F.col("text"))), F.lit(0)) \
+        .cast("long")
+    c = d.groupBy("lang").agg(F.sum(toks).alias("toks"))
+    m = c.agg(F.min("toks").alias("t_min"))
+    frac = F.sqrt(F.col("t_min").cast("double")
+                  / F.col("toks").cast("double"))
+    return (c.crossJoin(F.broadcast(m))
+             .select("lang", F.col("toks").alias("n_tokens"),
+                     F.bround(frac, 6).alias("keep_fraction"),
+                     F.floor(frac * F.col("toks")).cast("bigint")
+                      .alias("expected_tokens")))

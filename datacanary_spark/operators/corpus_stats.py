@@ -310,26 +310,34 @@ def hash_stratified_sample(df: DataFrame, strata_col: str,
 
 
 def temperature_fractions(df: DataFrame, strata_col: str,
-                          alpha: float = 0.5) -> dict[str, float]:
+                          alpha: float = 0.5,
+                          weight_col: str | None = None) -> dict[str, float]:
     """Per-stratum keep fractions for temperature-based corpus mixing
-    (mT5/XLM-R style): effective counts become proportional to
+    (mT5/XLM-R style): effective mass becomes proportional to
     ``n^alpha``, flattening the head of a skewed language/source
     distribution without upsampling.
 
     fraction_s = (n_s / n_min) ** (alpha - 1) — normalized so the
     SMALLEST stratum keeps 100% (subsampling can only remove docs);
-    alpha=1 keeps everything, alpha=0 equalizes effective counts.
-    NULL strata are excluded (they take ``hash_stratified_sample``'s
+    alpha=1 keeps everything, alpha=0 equalizes effective mass.
+    ``weight_col`` switches the mass from document count to a column
+    sum (e.g. token counts — real mixing recipes usually rebalance by
+    token mass, not documents; null weights count as 0). NULL strata
+    are excluded (they take ``hash_stratified_sample``'s
     ``default_fraction``). Driver-side math over one tiny aggregate
     (#strata rows) — the heavy filtering stays in
     :func:`hash_stratified_sample`'s narrow plan-literal predicate.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    mass = (F.count(F.lit(1)) if weight_col is None
+            else F.sum(F.coalesce(F.col(weight_col).cast("double"),
+                                  F.lit(0.0))))
     counts = {r[strata_col]: r["n"]
               for r in df.where(F.col(strata_col).isNotNull())
                          .groupBy(strata_col)
-                         .agg(F.count(F.lit(1)).alias("n")).collect()}
+                         .agg(mass.alias("n")).collect()}
+    counts = {s: n for s, n in counts.items() if n and n > 0}
     if not counts:
         return {}
     n_min = min(counts.values())
@@ -338,12 +346,12 @@ def temperature_fractions(df: DataFrame, strata_col: str,
 
 
 def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
-                       alpha: float = 0.5,
-                       salt: str = "sample") -> DataFrame:
+                       alpha: float = 0.5, salt: str = "sample",
+                       weight_col: str | None = None) -> DataFrame:
     """Temperature-rebalanced deterministic sample: compose
     :func:`temperature_fractions` with :func:`hash_stratified_sample`.
     Membership stays a pure function of (salt, key), so the identical
     rebalanced corpus falls out on any cluster size or engine."""
-    fractions = temperature_fractions(df, strata_col, alpha)
+    fractions = temperature_fractions(df, strata_col, alpha, weight_col)
     return hash_stratified_sample(df, strata_col, fractions, key_col,
                                   salt=salt)

@@ -374,3 +374,15 @@ def test_temperature_sample_deterministic_and_rebalanced(spark):
     for lang, n in before.items():
         expected = (n_min / n) ** 0.5 * n
         assert abs(after.get(lang, 0) - expected) <= max(10, 0.25 * expected)
+
+
+def test_temperature_fractions_token_weighted(spark):
+    from datacanary_spark.operators.corpus_stats import temperature_fractions
+
+    rows = ([("a", 10) for _ in range(10)]        # 100 tokens
+            + [("b", 40) for _ in range(10)]      # 400 tokens
+            + [("c", 250) for _ in range(10)]     # 2500 tokens
+            + [("a", None)])                      # null weight -> 0
+    df = spark.createDataFrame(rows, "lang string, tokens int")
+    fr = temperature_fractions(df, "lang", alpha=0.5, weight_col="tokens")
+    assert fr == {"a": 1.0, "b": 0.5, "c": 0.2}   # sqrt(mass_min/mass)
