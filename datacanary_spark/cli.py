@@ -455,7 +455,9 @@ def cmd_curate(args) -> int:
         decontaminate_mode=args.decontaminate_mode,
         host_cap=args.host_cap,
         classifier_model=args.classifier_model,
-        classifier_threshold=args.classifier_threshold)
+        classifier_threshold=args.classifier_threshold,
+        temperature=args.temperature,
+        temperature_weight_col=args.temperature_weight_col)
     print(json.dumps(summary, sort_keys=True))
     return 0
 
@@ -694,6 +696,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JSON coefficient bundle from train-classifier; "
                          "docs scoring below the threshold are dropped")
     cu.add_argument("--classifier-threshold", type=float, default=0.5)
+    cu.add_argument("--temperature", type=float, default=None,
+                    help="derive mixing fractions from the curated "
+                         "corpus's stratum masses (n^alpha; mutually "
+                         "exclusive with --fractions)")
+    cu.add_argument("--temperature-weight-col", default=None,
+                    help="weight the temperature mass by this column's "
+                         "sum instead of doc count")
     cu.set_defaults(fn=cmd_curate)
 
     tc = sub.add_parser("train-classifier",

