@@ -427,7 +427,8 @@ def cmd_sample(args) -> int:
     df = read_table(spark, args.input)
     if args.temperature is not None:
         fractions = temperature_fractions(df, args.strata_col,
-                                          args.temperature)
+                                          args.temperature,
+                                          weight_col=args.weight_col)
     else:
         fractions = parse_fractions(args.fractions)
     out = hash_stratified_sample(df, args.strata_col, fractions,
@@ -668,6 +669,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--temperature", type=float, default=None,
                    help="derive fractions from stratum counts: "
                         "effective counts ∝ n^alpha (alpha in [0,1])")
+    s.add_argument("--weight-col", default=None,
+                   help="temperature mode: weight the stratum mass by "
+                        "this column's sum instead of doc count")
     s.add_argument("--key-col", required=True,
                    help="column whose hash decides membership")
     s.add_argument("--salt", default="sample")

@@ -695,6 +695,13 @@ def test_sample_temperature_flag(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # smallest lang keeps 100%; every derived fraction in (0, 1]
     assert max(res["fractions"].values()) == 1.0
+    # token-weighted mass gives (generally) different fractions
+    assert main(["sample", "--input", docs, "--output",
+                 out + "w", "--strata-col", "lang", "--key-col",
+                 "doc_id", "--temperature", "0.5",
+                 "--weight-col", "n_chars"]) == 0
+    resw = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert max(resw["fractions"].values()) == 1.0
     assert all(0 < f <= 1.0 for f in res["fractions"].values())
     assert 0 < res["rows_out"] < res["rows_in"]
 
