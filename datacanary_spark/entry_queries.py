@@ -522,6 +522,7 @@ from datacanary_spark import entry_queries_corpus  # noqa: E402,F401
 # coverage; tail queries stay in scripts/check_oracle.py's full sweep.
 # Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
 _TAIL_ROTATION = [
+    "top3_orders_per_customer",  # r04: makes room for near_dup_components
     "profile_numeric_nchars",
     "profile_string_text",
     "profile_timestamp_events",

@@ -619,3 +619,94 @@ def incremental_ingest_accepted(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
+# ---------------------------------------------------------------------------
+# Transitive near-dup clusters (operators/graph.py connected components).
+# The corpus plants CHAINS: c1 = base + trailer, c2 = base + trailer +
+# long second trailer — c2 stays similar to c1 but can fall below the
+# threshold vs base, so the cluster {base, c1, c2} only forms through
+# the transitive closure, which is exactly what the large-star /
+# small-star iteration must deliver. The oracle computes the closure
+# with a recursive CTE over the SAME pair set.
+# ---------------------------------------------------------------------------
+
+_TRAILER2 = (" and a considerably longer second perturbation trailer whose"
+             " extra shingles push this copy further from the original"
+             " while staying close to the first near duplicate copy")
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || '{_TRAILER}' AS text
+      FROM documents WHERE doc_id < 150 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             text || '{_TRAILER}' || '{_TRAILER2}' AS text
+      FROM documents WHERE doc_id < 150 AND doc_id % 6 = 0
+    ),
+    norm AS (SELECT doc_id, {_NORM.format(col='text')} AS nt FROM corpus),
+    sh AS (SELECT doc_id, {_SHINGLES.format(n='nt')} AS sh FROM norm),
+    sig AS (SELECT doc_id, {_duck_minhash_list(16)} AS sig FROM sh),
+    bandrows AS ({_duck_band_rows(4, 4)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandrows a JOIN bandrows b USING (band_ix, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+      WHERE s.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ),
+    assigned AS (
+      SELECT c.doc_id, coalesce(k.component, c.doc_id) AS component
+      FROM corpus c LEFT JOIN comp k USING (doc_id)
+    )
+    SELECT component, count(*) AS cluster_size,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM assigned GROUP BY component HAVING count(*) > 1
+"""
+
+
+@register("near_dup_components", _COMPONENTS_SQL)
+def near_dup_components(spark, sf_dir):
+    """Transitive near-dup clusters: MinHash-LSH pairs → large-star /
+    small-star connected components → per-cluster aggregate (only the
+    non-trivial clusters; singletons are pinned by the survivor count
+    in the pytest suite)."""
+    from datacanary_spark.operators.graph import components_of_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 150)
+    c1 = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"))
+    c2 = d.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TRAILER + _TRAILER2)).alias("text"))
+    corpus = d.unionByName(c1).unionByName(c2)
+    pairs = dd.near_dup_pairs(corpus, threshold=0.5)
+    assigned = components_of_pairs(corpus, pairs.select("id_a", "id_b"))
+    return (assigned.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.sum("doc_id").alias("sum_ids"))
+            .where(F.col("cluster_size") > 1))
