@@ -451,6 +451,9 @@ def cmd_curate(args) -> int:
         spark, args.input, args.output, fractions=fractions,
         strata_col=args.strata_col, key_col=args.key_col,
         line_dedup=not args.no_line_dedup,
+        near_dup_threshold=args.near_dup_threshold,
+        span_dedup_k=args.span_dedup_k,
+        span_min_count=args.span_min_count,
         extract_from_html=args.from_html,
         decontaminate_path=args.decontaminate_against,
         decontaminate_mode=args.decontaminate_mode,
@@ -687,6 +690,17 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--strata-col", default="lang_pred")
     cu.add_argument("--key-col", default="url")
     cu.add_argument("--no-line-dedup", action="store_true")
+    cu.add_argument("--near-dup-threshold", type=float, default=None,
+                    help="enable transitive near-dup dedup: MinHash-LSH "
+                         "pairs at this Jaccard threshold, clustered by "
+                         "connected components, one survivor per cluster")
+    cu.add_argument("--span-dedup-k", type=int, default=None,
+                    help="enable repeated-span removal: every k-token "
+                         "window repeated corpus-wide is removed except "
+                         "its first occurrence")
+    cu.add_argument("--span-min-count", type=int, default=2,
+                    help="occurrences needed before a window counts as "
+                         "repeated (default 2)")
     cu.add_argument("--from-html", action="store_true")
     cu.add_argument("--decontaminate-against", default=None,
                     help="benchmark table (text column); overlapping "

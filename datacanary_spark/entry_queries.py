@@ -523,6 +523,7 @@ from datacanary_spark import entry_queries_corpus  # noqa: E402,F401
 # Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
 _TAIL_ROTATION = [
     "top3_orders_per_customer",  # r04: makes room for near_dup_components
+    "setop_long_docs_except_sources",  # r04: room for repeated_ngram_removal_stats
     "profile_numeric_nchars",
     "profile_string_text",
     "profile_timestamp_events",

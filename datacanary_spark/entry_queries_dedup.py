@@ -710,3 +710,105 @@ def near_dup_components(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.sum("doc_id").alias("sum_ids"))
             .where(F.col("cluster_size") > 1))
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span removal (ExactSubstr-style, token-n-gram granularity).
+# The corpus plants a fixed 12-token boilerplate sentence at the end of
+# every %4 doc (twice for %8 docs — same-doc repeats must be removed
+# too). Only the pure-boilerplate window repeats corpus-wide; windows
+# spanning the doc/boilerplate junction are unique per doc. The oracle
+# replicates window hashing, first-occurrence choice, and the
+# interval-union of covered token positions.
+# ---------------------------------------------------------------------------
+
+_BOILER = ("this site uses cookies by continuing you accept our "
+           "cookie policy terms")  # 12 tokens
+
+_NGRAM_K = 12
+
+_REPEATED_SQL = f"""
+    WITH corpus AS (
+      SELECT doc_id, lang,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN doc_id % 8 = 0
+                    THEN text || ' {_BOILER}' || ' {_BOILER}'
+                  WHEN doc_id % 4 = 0 THEN text || ' {_BOILER}'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 200
+    ),
+    toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS w
+      FROM corpus WHERE text IS NOT NULL
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(list_slice(w, i, i + {_NGRAM_K} - 1),
+                                 ' ')) AS key
+      FROM toks, unnest(generate_series(1, len(w) - {_NGRAM_K} + 1))
+                 AS t(i)
+      WHERE len(w) >= {_NGRAM_K}
+    ),
+    firsts AS (
+      SELECT key, doc_id, start FROM (
+        SELECT key, doc_id, start,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY doc_id, start) AS rn
+        FROM occ) WHERE rn = 1
+    ),
+    rep AS (SELECT key FROM occ GROUP BY key HAVING count(*) >= 2),
+    rem AS (
+      SELECT o.doc_id, o.start FROM occ o
+      JOIN rep USING (key)
+      LEFT JOIN firsts f
+        ON f.key = o.key AND f.doc_id = o.doc_id AND f.start = o.start
+      WHERE f.key IS NULL
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, start + u.p AS pos
+      FROM rem, unnest(generate_series(0, {_NGRAM_K} - 1)) AS u(p)
+    ),
+    removed AS (
+      SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(w)) AS BIGINT) AS tokens_before,
+           CAST(sum(len(w) - coalesce(n_removed, 0)) AS BIGINT)
+             AS tokens_after
+    FROM toks LEFT JOIN removed USING (doc_id)
+    GROUP BY lang
+"""
+
+
+@register("repeated_ngram_removal_stats", _REPEATED_SQL)
+def repeated_ngram_removal_stats(spark, sf_dir):
+    """ExactSubstr-style repeated-window removal over planted
+    boilerplate: per-language token counts before and after
+    ``remove_repeated_ngrams`` (byte-level removal semantics are
+    pinned in tests/test_dedup_similarity.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text") \
+        .where(F.col("doc_id") < 200)
+    planted = F.when(F.col("text").isNull(), F.lit(None).cast("string")) \
+        .when(F.col("doc_id") % 8 == 0,
+              F.concat(F.col("text"), F.lit(f" {_BOILER} {_BOILER}"))) \
+        .when(F.col("doc_id") % 4 == 0,
+              F.concat(F.col("text"), F.lit(f" {_BOILER}"))) \
+        .otherwise(F.col("text"))
+    corpus = d.select("doc_id", "lang", planted.alias("text"))
+
+    def n_tokens(col):
+        return F.size(F.filter(F.split(col, r"\s+"),
+                               lambda x: x != F.lit("")))
+
+    out = dd.remove_repeated_ngrams(corpus.select("doc_id", "text"),
+                                    k=_NGRAM_K, min_count=2)
+    before = corpus.where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", n_tokens(F.col("text")).alias("_tb"))
+    after = out.select("doc_id", n_tokens(F.col("text")).alias("_ta"))
+    return (before.join(after, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_tb").alias("tokens_before"),
+                 F.sum("_ta").alias("tokens_after")))

@@ -586,3 +586,89 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     j = jaccard_for_pairs(df, cands, id_col, text_col, k_shingle,
                           persist=persist)
     return j.where(F.col("jaccard") >= threshold)
+
+
+def remove_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 10,
+                           min_count: int = 2,
+                           hash_fn: str = "md5") -> DataFrame:
+    """Corpus-wide repeated-span removal at token-n-gram granularity —
+    the Spark-expressible form of ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    every repeated span, keeping its first occurrence). Where the paper
+    builds a suffix array (inherently sequential over the concatenated
+    corpus), this detects repeats as k-token sliding windows — the same
+    granularity trade C4/CCNet make for boilerplate — which turns the
+    problem into one count-shuffle over window hashes.
+
+    Semantics:
+
+    * unit = whitespace token; documents are whitespace-NORMALIZED on
+      output (tokens rejoined with single spaces) — the tokenization is
+      the identity, exactly as ``dedup_lines`` treats lines.
+    * a k-token window is REPEATED iff it occurs ``min_count``+ times
+      corpus-wide (all occurrences counted, same-doc repeats included).
+    * its canonical occurrence — minimum (id, start) — keeps its
+      tokens; every other occurrence is removed. Overlapping removal
+      intervals union, so a token survives only if NO removed window
+      covers it (a canonical window's tokens can still fall to an
+      overlapping removed one).
+    * docs with < k tokens carry no windows and pass through
+      (normalized); null-text docs pass through with text null; a doc
+      whose every token is covered becomes the empty string.
+
+    Scale shape: the occurrence list is one row per token (the same
+    cardinality a tokenizer pass already produces); repeats are found
+    with a ``min(struct)`` AGGREGATE on the window hash — never a
+    window function, so a boilerplate span occurring in 10^9 docs is
+    absorbed by map-side partials and AQE's skew join on the way back.
+    Reconstruction is pure Column expressions (``zip_with`` positions,
+    ``exists`` over the doc's removal starts — bounded by the doc's
+    own token count). ``hash_fn="xxhash64"`` is the documented
+    10^12-doc swap; md5 keeps DuckDB-oracle parity.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != F.lit(""))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+
+    def _key(gram: Column) -> Column:
+        return F.md5(gram) if hash_fn == "md5" else \
+            F.xxhash64(gram).cast("string")
+
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+              .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts,
+                        lambda s: _key(F.concat_ws(
+                            " ", F.slice(F.col("_toks"), s + 1, k))))
+    occ = base.select(F.col(id_col),
+                      F.posexplode(grams).alias("start", "_key"))
+
+    firsts = occ.groupBy("_key").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("_first"))
+    rem = (occ.join(firsts.where(F.col("_cnt") >= min_count), "_key")
+           .where(~((F.col(id_col) == F.col(f"_first.{id_col}"))
+                    & (F.col("start") == F.col("_first.start"))))
+           .select(id_col, "start"))
+    rem_by_doc = rem.groupBy(id_col).agg(
+        F.collect_list("start").alias("_rm"))
+
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    pairs = F.zip_with(F.col("_toks"), idx,
+                       lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(
+        pairs,
+        lambda p: ~F.exists(F.col("_rm"),
+                            lambda s: (p["i"] >= s) & (p["i"] < s + k)))
+    rebuilt = (base.join(rem_by_doc, id_col, "left")
+               .withColumn("_rm", F.coalesce(
+                   F.col("_rm"), F.array().cast("array<int>")))
+               .select(F.col(id_col),
+                       F.array_join(F.transform(kept, lambda p: p["t"]),
+                                    " ").alias(text_col)))
+    null_docs = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col), F.col(text_col).cast("string").alias(text_col))
+    return rebuilt.unionByName(null_docs)

@@ -5,7 +5,11 @@ The full training-data pipeline composed from the engine's tiers:
     pages ─ filter_pages (heuristics + langid + perplexity + scrub)
           ─ keep==true, text := scrubbed_text
           ─ exact dedup (content hash, min-url survivor)
+          ─ transitive near-dup cluster dedup (MinHash-LSH pairs →
+            connected components, one survivor per cluster; optional)
           ─ line-level corpus dedup (C4-style, optional)
+          ─ repeated-span removal (ExactSubstr-style k-token windows,
+            optional)
           ─ per-host document cap (anti-spam, optional)
           ─ benchmark decontamination (optional)
           ─ deterministic stratified mix by predicted language (optional)
@@ -50,6 +54,9 @@ def run_curation_job(
     strata_col: str = "lang_pred",
     key_col: str = "url",
     line_dedup: bool = True,
+    near_dup_threshold: float | None = None,
+    span_dedup_k: int | None = None,
+    span_min_count: int = 2,
     extract_from_html: bool = False,
     decontaminate_path: str | None = None,
     decontaminate_mode: str = "winnow",
@@ -75,6 +82,16 @@ def run_curation_job(
     filter — the DCLM-style learned-quality stage. Scoring is a pure
     Column projection (sigmoid of plan-literal weights): no UDF, no
     shuffle, so it adds a narrow stage even at 10^12 docs.
+    ``near_dup_threshold`` enables transitive near-dup dedup right
+    after the exact stage: MinHash-LSH pairs at that Jaccard threshold,
+    clustered by connected components, one survivor per cluster
+    (minimum url — deterministic on any cluster size; note this is
+    MORE aggressive than pairwise survival: two docs that are each
+    similar only to a shared third are still collapsed).
+    ``span_dedup_k`` enables ExactSubstr-style repeated-span removal
+    after line dedup: every k-token window occurring ``span_min_count``+
+    times corpus-wide is removed except its first occurrence (output
+    text is whitespace-normalized by that stage's tokenization).
     ``temperature`` (mutually exclusive with ``fractions``) derives the
     mixing fractions from the CURATED corpus's own stratum masses
     (``n^alpha`` rebalancing; ``temperature_weight_col`` switches the
@@ -124,11 +141,36 @@ def run_curation_job(
         stage = scope.persist(dedup_exact(kept, id_col="url", text_col="text"))
         summary["after_exact_dedup"] = stage.count()
 
+        if near_dup_threshold is not None:
+            from datacanary_spark.operators.dedup import near_dup_pairs
+            from datacanary_spark.operators.graph import components_of_pairs
+
+            pairs = near_dup_pairs(stage, id_col="url", text_col="text",
+                                   threshold=near_dup_threshold,
+                                   hash_fn="xxhash64", persist=scope)
+            assigned = components_of_pairs(stage, pairs.select("id_a", "id_b"),
+                                           id_col="url")
+            stage = scope.persist(
+                assigned.where(F.col("component") == F.col("url"))
+                        .drop("component"))
+            summary["after_near_dup_clusters"] = stage.count()
+
         if line_dedup:
             ld = dedup_lines(stage, id_col="url", text_col="text")
             stage = scope.persist(stage.drop("text").join(ld, "url")
                                   .where(F.length(F.trim("text")) > 0))
             summary["after_line_dedup"] = stage.count()
+
+        if span_dedup_k is not None:
+            from datacanary_spark.operators.dedup import remove_repeated_ngrams
+
+            sd = remove_repeated_ngrams(stage, id_col="url",
+                                        text_col="text", k=span_dedup_k,
+                                        min_count=span_min_count,
+                                        hash_fn="xxhash64")
+            stage = scope.persist(stage.drop("text").join(sd, "url")
+                                  .where(F.length(F.trim("text")) > 0))
+            summary["after_span_dedup"] = stage.count()
 
         if host_cap is not None:
             from datacanary_spark.operators.corpus_stats import cap_per_group

@@ -764,3 +764,89 @@ def test_curate_temperature_mixing(spark, tmp_path, capsys):
     with _pytest.raises(ValueError, match="at most one"):
         main(["curate", "--input", pages, "--output", out,
               "--temperature", "0.5", "--fractions", "en=1.0"])
+
+
+def test_curate_near_dup_cluster_stage(spark, tmp_path, capsys):
+    """--near-dup-threshold collapses transitive near-dup clusters to
+    one survivor (min url). Near-dup copies are planted as page rows
+    whose text is a surviving doc's text plus a short trailer."""
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    survivors = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    victims = [r.url for r in survivors.orderBy("url").limit(8).collect()]
+
+    src = spark.read.parquet(pages)
+    copies = (src.where(F.col("url").isin(victims))
+              .withColumn("url", F.concat(F.col("url"), F.lit("~copy")))
+              .withColumn("text", F.concat(
+                  F.col("text"), F.lit(" and a tiny trailing remark"))))
+    pages2 = str(tmp_path / "pages2")
+    src.unionByName(copies).write.parquet(pages2)
+
+    plain = run_curation_job(spark, pages2, str(tmp_path / "plain"))
+    nd = run_curation_job(spark, pages2, str(tmp_path / "nd"),
+                          near_dup_threshold=0.5)
+    plain_corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "plain"), "corpus"))
+    n_copies_survived = plain_corpus.where(
+        F.col("url").endswith("~copy")).count()
+    assert n_copies_survived >= 2  # the planted dups made it to dedup
+
+    nd_corpus = spark.read.parquet(os.path.join(str(tmp_path / "nd"),
+                                                "corpus"))
+    # every copy whose base is present clusters with it; base url sorts
+    # first, so NO planted copy survives the cluster stage
+    base_urls = {r.url for r in nd_corpus.collect()}
+    assert not any(u.endswith("~copy") and u[:-5] in base_urls
+                   for u in base_urls)
+    assert nd["after_near_dup_clusters"] <= nd["after_exact_dedup"]
+    # determinism: re-running reproduces the identical corpus
+    nd2 = run_curation_job(spark, pages2, str(tmp_path / "nd2"),
+                           near_dup_threshold=0.5)
+    assert nd2["final_docs"] == nd["final_docs"]
+    assert nd2["by_lang"] == nd["by_lang"]
+
+
+def test_curate_span_dedup_stage(spark, tmp_path, capsys):
+    """--span-dedup-k removes a boilerplate window planted on several
+    surviving docs everywhere except its first occurrence."""
+    from datacanary_spark.plans.curate import run_curation_job
+
+    boiler = "subscribe to our newsletter for weekly updates and offers"
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    survivors = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    victims = [r.url for r in survivors.orderBy("url").limit(6).collect()]
+
+    src = spark.read.parquet(pages)
+    planted = src.withColumn(
+        "text",
+        F.when(F.col("url").isin(victims),
+               F.concat(F.col("text"), F.lit(f" {boiler}")))
+         .otherwise(F.col("text")))
+    pages2 = str(tmp_path / "pages2")
+    planted.write.parquet(pages2)
+
+    s = run_curation_job(spark, pages2, str(tmp_path / "sd"),
+                         span_dedup_k=9)
+    assert "after_span_dedup" in s
+    out = spark.read.parquet(os.path.join(str(tmp_path / "sd"), "corpus"))
+    with_boiler = [r.url for r in
+                   out.where(F.col("text").contains(boiler)).collect()]
+    n_planted_kept = out.where(F.col("url").isin(victims)).count()
+    assert n_planted_kept >= 2      # the planted docs made it through
+    assert len(with_boiler) == 1    # exactly the canonical occurrence
+    assert with_boiler[0] == min(
+        r.url for r in out.where(F.col("url").isin(victims)).collect())

@@ -776,3 +776,99 @@ def test_netpbm_codec_real_image_bytes_end_to_end(spark):
     assert got[2]["ok"] and got[2]["n_bytes"] == 6  # 2-byte samples
     assert not got[3]["ok"] and "truncated netpbm" in got[3]["error"]
     assert got[4]["ok"] and got[4]["width"] == 5  # FAKEMM still first
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_ngrams (ExactSubstr-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+_BOILER = "this site uses cookies accept our policy to continue reading now"
+
+
+def _rrn(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dd.remove_repeated_ngrams(df, **kw)
+    return {r.doc_id: r.text for r in out.collect()}
+
+
+def test_repeated_ngram_keeps_canonical_removes_rest(spark):
+    rows = [
+        (1, "alpha beta gamma delta " + _BOILER + " tail words here"),
+        (2, "entirely different opening words " + _BOILER + " more unique"),
+        (3, "no boilerplate in this document at all just original text"),
+    ]
+    got = _rrn(spark, rows, k=11, min_count=2)
+    # canonical = min (doc_id, start): doc 1 keeps the span byte-for-byte
+    assert got[1] == rows[0][1]
+    assert got[2] == "entirely different opening words more unique"
+    assert got[3] == rows[2][1]
+
+
+def test_repeated_ngram_same_doc_repeats_removed(spark):
+    rows = [(1, _BOILER + " middle filler words " + _BOILER)]
+    got = _rrn(spark, rows, k=11, min_count=2)
+    # first occurrence canonical, second removed even within one doc
+    assert got[1] == _BOILER + " middle filler words"
+
+
+def test_repeated_ngram_short_null_and_whitespace_docs(spark):
+    rows = [(1, "short doc"), (2, None), (3, "  spaced   out   words  ")]
+    got = _rrn(spark, rows, k=11, min_count=2)
+    assert got[1] == "short doc"        # < k tokens: no windows
+    assert got[2] is None               # null text passes through
+    assert got[3] == "spaced out words"  # whitespace-normalized identity
+
+
+def test_repeated_ngram_full_doc_coverage_empties_text(spark):
+    rows = [(1, _BOILER), (2, _BOILER), (3, _BOILER)]
+    got = _rrn(spark, rows, k=11, min_count=2)
+    assert got[1] == _BOILER            # canonical survives
+    assert got[2] == "" and got[3] == ""
+
+
+def test_repeated_ngram_min_count_threshold(spark):
+    rows = [
+        (1, "prefix one " + _BOILER),
+        (2, "prefix two " + _BOILER),
+    ]
+    # min_count=3: two occurrences are NOT repeated enough
+    got = _rrn(spark, rows, k=11, min_count=3)
+    assert got[2] == rows[1][1]
+
+
+def test_repeated_ngram_overlap_union_covers_canonical_tokens(spark):
+    # two distinct repeated 3-grams overlap in doc 3 ("c d e" and
+    # "d e f" share d,e); the union of removal intervals must not
+    # double-remove or resurrect shared tokens.
+    rows = [
+        (1, "a b c d e x1 y1 z1"),       # canonical for "c d e"
+        (2, "q r d e f x2 y2 z2"),       # canonical for "d e f"
+        (3, "m n c d e f o p"),          # contains BOTH, loses c..f
+    ]
+    got = _rrn(spark, rows, k=3, min_count=2)
+    assert got[1] == rows[0][1]
+    assert got[2] == rows[1][1]
+    assert got[3] == "m n o p"
+
+
+def test_repeated_ngram_xxhash_mode_agrees_with_md5(spark):
+    rows = [
+        (1, "alpha beta gamma delta " + _BOILER + " tail words here"),
+        (2, "entirely different opening words " + _BOILER + " more unique"),
+        (5, "no boilerplate in this document at all just original text"),
+    ]
+    a = _rrn(spark, rows, k=11, min_count=2, hash_fn="md5")
+    b = _rrn(spark, rows, k=11, min_count=2, hash_fn="xxhash64")
+    assert a == b
+
+
+def test_repeated_ngram_partition_invariance(spark):
+    rows = [(i, f"doc {i} words " + (_BOILER if i % 2 == 0 else "unique"))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {r.doc_id: r.text
+         for r in dd.remove_repeated_ngrams(df.repartition(1), k=12).collect()}
+    b = {r.doc_id: r.text
+         for r in dd.remove_repeated_ngrams(
+             df.repartition(7, "text"), k=12).collect()}
+    assert a == b
