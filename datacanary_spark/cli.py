@@ -460,6 +460,7 @@ def cmd_curate(args) -> int:
         host_cap=args.host_cap,
         classifier_model=args.classifier_model,
         classifier_threshold=args.classifier_threshold,
+        gopher_repetition=args.gopher_repetition,
         temperature=args.temperature,
         temperature_weight_col=args.temperature_weight_col)
     print(json.dumps(summary, sort_keys=True))
@@ -714,6 +715,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JSON coefficient bundle from train-classifier; "
                          "docs scoring below the threshold are dropped")
     cu.add_argument("--classifier-threshold", type=float, default=0.5)
+    cu.add_argument("--gopher-repetition", action="store_true",
+                    help="drop docs violating the Gopher char-weighted "
+                         "repetition thresholds (top-2/3/4-gram, "
+                         "dup-5..10-gram char fractions)")
     cu.add_argument("--temperature", type=float, default=None,
                     help="derive mixing fractions from the curated "
                          "corpus's stratum masses (n^alpha; mutually "

@@ -524,6 +524,8 @@ from datacanary_spark import entry_queries_corpus  # noqa: E402,F401
 _TAIL_ROTATION = [
     "top3_orders_per_customer",  # r04: makes room for near_dup_components
     "setop_long_docs_except_sources",  # r04: room for repeated_ngram_removal_stats
+    "insight_outliers",  # r04: room for gopher_repetition_by_lang
+    "user_sessions",  # r04: room for semdedup_cell_stats
     "profile_numeric_nchars",
     "profile_string_text",
     "profile_timestamp_events",

@@ -366,3 +366,103 @@ def classifier_margin_keep_by_lang(spark, sf_dir):
         F.bround(F.min("z"), 6).alias("min_margin"),
         F.bround(F.max("z"), 6).alias("max_margin"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher char-weighted repetition signals (functions/repetition.py).
+# --------------------------------------------------------------------------
+
+_DUCK_WORDS_R = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _duck_ngram_cte(n: int) -> str:
+    """Explode-and-count twin of the Spark run-length fold for one n."""
+    return f"""
+    g{n} AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(words) - {n - 1}),
+                    i -> array_to_string(words[i:i + {n - 1}], ' '))) AS g
+      FROM rbase WHERE len(words) >= {n}
+    ),
+    c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g)"""
+
+
+_DUCK_REPETITION = f"""
+    WITH rbase AS (
+      SELECT doc_id, lang, length(text) AS n_chars, {_DUCK_WORDS_R} AS words
+      FROM documents
+    ),
+    {_duck_ngram_cte(2)},
+    t2 AS (
+      SELECT doc_id, c AS topc, g AS topg FROM (
+        SELECT doc_id, c, g,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        FROM c2) WHERE rn = 1
+    ),
+    {_duck_ngram_cte(5)},
+    d5 AS (SELECT doc_id, sum((c - 1) * length(g)) AS dup_chars
+           FROM c5 WHERE c > 1 GROUP BY doc_id),
+    {_duck_ngram_cte(10)},
+    d10 AS (SELECT doc_id, sum((c - 1) * length(g)) AS dup_chars
+            FROM c10 WHERE c > 1 GROUP BY doc_id),
+    fr AS (
+      SELECT b.lang,
+             least(1.0, coalesce(
+               (CASE WHEN t2.topc >= 2 THEN t2.topc * length(t2.topg) END)
+                 / CAST(nullif(b.n_chars, 0) AS DOUBLE), 0.0)) AS top2,
+             least(1.0, coalesce(
+               d5.dup_chars / CAST(nullif(b.n_chars, 0) AS DOUBLE), 0.0)) AS dup5,
+             least(1.0, coalesce(
+               d10.dup_chars / CAST(nullif(b.n_chars, 0) AS DOUBLE), 0.0)) AS dup10
+      FROM rbase b
+      LEFT JOIN t2 ON b.doc_id = t2.doc_id
+      LEFT JOIN d5 ON b.doc_id = d5.doc_id
+      LEFT JOIN d10 ON b.doc_id = d10.doc_id
+    )
+"""
+
+
+@register(
+    "gopher_repetition_by_lang",
+    _DUCK_REPETITION + """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(top2), 6) AS avg_top2_chars,
+           round(avg(dup5), 6) AS avg_dup5_chars,
+           round(avg(dup10), 6) AS avg_dup10_chars,
+           CAST(sum(CASE WHEN top2 > 0.20 OR dup5 > 0.15 OR dup10 > 0.10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_hits
+    FROM fr GROUP BY lang
+    """,
+)
+def gopher_repetition_by_lang(spark, sf_dir):
+    """Gopher table-A1 char-weighted repetition signals per language:
+    mean top-2-gram / dup-5-gram / dup-10-gram character fractions and
+    the count of docs violating any threshold (0.20/0.15/0.10).
+
+    Spark side is one narrow projection (sort + linear run-length fold
+    per n, no shuffle, no Python) + one hash aggregate; the oracle is
+    the explode+GROUP BY formulation — same numbers, different shape,
+    which is exactly what makes it a real check of the fold."""
+    from datacanary_spark.functions.repetition import (
+        RepetitionConfig,
+        with_repetition_stats,
+    )
+
+    cfg = RepetitionConfig()
+    d = with_repetition_stats(
+        _t(spark, sf_dir, "documents"), top_ns=(2,), dup_ns=(5, 10))
+    top2 = F.col("rep_top_2gram_char_fraction")
+    dup5 = F.col("rep_dup_5gram_char_fraction")
+    dup10 = F.col("rep_dup_10gram_char_fraction")
+    hit = (
+        (top2 > cfg.max_top_ngram_char_fraction[0])
+        | (dup5 > cfg.max_dup_ngram_char_fraction[0])
+        | (dup10 > cfg.max_dup_ngram_char_fraction[5]))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bround(F.avg(top2), 6).alias("avg_top2_chars"),
+        F.bround(F.avg(dup5), 6).alias("avg_dup5_chars"),
+        F.bround(F.avg(dup10), 6).alias("avg_dup10_chars"),
+        F.sum(hit.cast("int")).cast("long").alias("n_repetition_hits"),
+    )

@@ -247,3 +247,60 @@ def embedding_near_dup_lsh_pairs(spark, sf_dir):
     corpus = _planted_corpus(spark, sf_dir)
     return sim.embedding_near_dup_pairs(
         corpus, threshold=0.9, dim=DIM, use_lsh=True, n_bits=6, n_tables=2)
+
+
+_SD_CENTROIDS = sim.ivf_centroids(DIM, 8)
+
+_DUCK_SD_CENTROIDS = " UNION ALL ".join(
+    f"SELECT {j} AS j, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[] AS c"
+    for j, c in enumerate(_SD_CENTROIDS))
+
+
+@register(
+    "semdedup_cell_stats",
+    f"""
+    WITH centroids AS ({_DUCK_SD_CENTROIDS}),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 1000
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.1 + 0.01) AS v
+      FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 1000
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, j AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(v, c) DESC, j) AS rn
+        FROM corpus CROSS JOIN centroids) t WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.v', b='b.v')} >= 0.9
+    )
+    SELECT CAST(s.cell AS INT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    GROUP BY s.cell
+    """,
+)
+def semdedup_cell_stats(spark, sf_dir):
+    """SemDeDup semantic dedup over the planted corpus: 8 deterministic
+    unit centroids, within-cell cosine prune at 0.9 — every planted
+    variant (cos ≈ 0.995 to its original, same argmax cell) must be
+    dropped, natural corpus (max pairwise 0.52) kept. Per-cell member/
+    dropped/kept counts; one shuffle on cell, pair cost sum(cell²)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    r = sim.semdedup(corpus, dim=DIM, threshold=0.9, n_centroids=8)
+    keep = F.col("semdedup_keep")
+    return r.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum((~keep).cast("int")).cast("long").alias("n_dropped"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+    )

@@ -479,3 +479,64 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .withColumn("score", score)
             .where(F.col("score") >= threshold)
             .select("id_a", "id_b", F.bround(F.col("score"), 6).alias("score")))
+
+
+def semdedup(df: DataFrame, dim: int, threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, centroids: np.ndarray | None = None,
+             seed: int = PLANE_SEED, assignment: str = "auto") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space with a coarse quantizer, then prune near-duplicate
+    members WITHIN each cluster.
+
+    Deterministic variant: a row is dropped iff some SMALLER-id row in
+    the same cell has cosine >= threshold to it (the greedy
+    keep-lowest-id sweep, evaluated non-iteratively — the kept
+    representative of every similarity group is its minimum id; unlike
+    the iterative greedy, a row dominated only by itself-dropped rows is
+    still dropped, which is the conservative direction for dedup).
+
+    Returns ``(id_col, cell int, semdedup_keep boolean)``.
+
+    Scale shape: cell assignment is one codegen projection (literal
+    centroids) or one Arrow matmul batch (``assignment`` dispatch as in
+    ``ivf_topk`` — auto switches to the broadcast-matrix pandas UDF
+    above LITERAL_ASSIGN_BUDGET scalars, so high-dim stays plan-flat);
+    the prune is ONE shuffle on ``cell`` + a within-cell self-join, so
+    pair cost is sum(cell²), not n². At 10^12 docs you grow
+    ``n_centroids`` ~ n/target_cell_size (SemDeDup used 50k clusters
+    for LAION) and train them (``train_ivf_centroids``); the operator
+    takes any centroid matrix unchanged. Centroids must be unit-norm
+    (both built-in sources are): argmax dot == argmax cosine per row,
+    so assignment reuses the IVF cell machinery unchanged.
+
+    Null vectors get cell NULL and keep=true (exempt — same null-key
+    exemption as exact dedup's null-text sentinel, dedup.py).
+    """
+    cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
+        else centroids
+    mode = _resolve_assignment(assignment, dim * len(cents))
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                     norm_expr(F.col(vec_col)).alias("_nrm"))
+    if mode == "udf":
+        cell_udf = make_ivf_cell_udf(base, cents)
+        base = base.withColumn("cell", cell_udf(F.col("_v")))
+    else:
+        base = base.withColumn("cell", ivf_cell_expr(F.col("_v"), cents))
+
+    left = base.select(F.col("cell").alias("_ca"), F.col(id_col).alias("_ida"),
+                       F.col("_v").alias("_va"), F.col("_nrm").alias("_na"))
+    right = base.select(F.col("cell").alias("_cb"), F.col(id_col).alias("_idb"),
+                        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"))
+    cos = F.try_divide(dot_expr(F.col("_va"), F.col("_vb")),
+                       F.col("_na") * F.col("_nb"))
+    dropped = (left.join(right, (F.col("_ca") == F.col("_cb"))
+                         & (F.col("_ida") < F.col("_idb")))
+                   .where(cos >= F.lit(threshold))
+                   .select(F.col("_idb").alias(id_col))
+                   .distinct())
+    return (base.join(dropped.withColumn("_dropped", F.lit(True)),
+                      [id_col], "left")
+                .select(id_col, "cell",
+                        F.coalesce(~F.col("_dropped"), F.lit(True))
+                        .alias("semdedup_keep")))

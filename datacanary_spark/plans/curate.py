@@ -4,6 +4,7 @@ The full training-data pipeline composed from the engine's tiers:
 
     pages ─ filter_pages (heuristics + langid + perplexity + scrub)
           ─ keep==true, text := scrubbed_text
+          ─ Gopher char-weighted repetition filter (optional)
           ─ exact dedup (content hash, min-url survivor)
           ─ transitive near-dup cluster dedup (MinHash-LSH pairs →
             connected components, one survivor per cluster; optional)
@@ -63,6 +64,8 @@ def run_curation_job(
     host_cap: int | None = None,
     classifier_model: str | None = None,
     classifier_threshold: float = 0.5,
+    gopher_repetition: bool = False,
+    repetition_cfg=None,
     temperature: float | None = None,
     temperature_weight_col: str | None = None,
 ) -> dict:
@@ -82,7 +85,11 @@ def run_curation_job(
     filter — the DCLM-style learned-quality stage. Scoring is a pure
     Column projection (sigmoid of plan-literal weights): no UDF, no
     shuffle, so it adds a narrow stage even at 10^12 docs.
-    ``near_dup_threshold`` enables transitive near-dup dedup right
+    ``gopher_repetition`` drops docs violating any Gopher table-A1
+    char-weighted repetition threshold (``repetition_cfg`` overrides
+    the thresholds) — pure narrow expressions, applied after the
+    classifier so lineage separates heuristic / learned / repetition
+    losses. ``near_dup_threshold`` enables transitive near-dup dedup right
     after the exact stage: MinHash-LSH pairs at that Jaccard threshold,
     clustered by connected components, one survivor per cluster
     (minimum url — deterministic on any cluster size; note this is
@@ -137,6 +144,21 @@ def run_curation_job(
                          threshold=classifier_threshold)
                 .where(F.col("keep_pred")).select(*kept.columns))
             summary["after_classifier"] = kept.count()
+
+        if gopher_repetition:
+            from datacanary_spark.functions.repetition import (
+                RepetitionConfig,
+                gopher_repetition_hit_exprs,
+                with_repetition_stats,
+            )
+
+            rcfg = repetition_cfg or RepetitionConfig()
+            rep = with_repetition_stats(kept, text_col="text")
+            hits = gopher_repetition_hit_exprs(rcfg)
+            n_hits = sum(hits.values(), F.lit(0))
+            kept = scope.persist(
+                rep.where(n_hits == 0).select(*kept.columns))
+            summary["after_repetition_filter"] = kept.count()
 
         stage = scope.persist(dedup_exact(kept, id_col="url", text_col="text"))
         summary["after_exact_dedup"] = stage.count()

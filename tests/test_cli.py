@@ -850,3 +850,67 @@ def test_curate_span_dedup_stage(spark, tmp_path, capsys):
     assert len(with_boiler) == 1    # exactly the canonical occurrence
     assert with_boiler[0] == min(
         r.url for r in out.where(F.col("url").isin(victims)).collect())
+
+
+def test_curate_gopher_repetition_stage(spark, tmp_path, capsys):
+    """Opt-in Gopher char-weighted repetition stage: a planted doc that
+    passes the base heuristics but carries a repeated 10-gram span is
+    dropped; lineage records the stage; output has zero violators."""
+    from pyspark.sql import functions as F2
+
+    from datacanary_spark.functions.repetition import (
+        gopher_repetition_hit_exprs,
+        with_repetition_stats,
+    )
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    donor = corpus.orderBy("url").first()  # survives the base filter
+    span = " ".join(donor["text"].split()[:10])
+    planted_text = donor["text"] + " " + " ".join([span] * 3)
+    planted = spark.createDataFrame(
+        [("http://zzz-planted.test/x", planted_text)], "url string, text string")
+    pages_df = spark.read.parquet(pages)
+    pages2 = str(tmp_path / "pages2")
+    pages_df.unionByName(
+        planted.select(
+            "url", F2.lit(None).cast("timestamp").alias("warc_ts"),
+            F2.lit(None).cast("binary").alias("html"), "text",
+            F2.lit(donor["lang_pred"] if "lang_pred" in corpus.columns
+                   else "en").alias("lang"))
+    ).write.parquet(pages2)
+
+    plain = run_curation_job(spark, pages2, str(tmp_path / "plain"))
+    # the planted doc passes the base heuristic filter
+    out_plain = spark.read.parquet(
+        os.path.join(str(tmp_path / "plain"), "corpus"))
+    assert out_plain.where(
+        F2.col("url") == "http://zzz-planted.test/x").count() == 1
+
+    rep = run_curation_job(spark, pages2, str(tmp_path / "rep"),
+                           gopher_repetition=True)
+    assert "after_repetition_filter" in rep
+    assert rep["after_repetition_filter"] < plain["kept"]
+    out_rep = spark.read.parquet(os.path.join(str(tmp_path / "rep"), "corpus"))
+    assert out_rep.where(
+        F2.col("url") == "http://zzz-planted.test/x").count() == 0
+    # no violator of any threshold survives
+    hits = gopher_repetition_hit_exprs()
+    n_viol = (with_repetition_stats(out_rep, text_col="text")
+              .withColumn("_h", sum(hits.values(), F2.lit(0)))
+              .where(F2.col("_h") > 0).count())
+    assert n_viol == 0
+    # CLI flag reaches the plan
+    assert main(["curate", "--input", pages2,
+                 "--output", str(tmp_path / "cli_rep"),
+                 "--gopher-repetition"]) == 0
+    cli_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_summary["after_repetition_filter"] == \
+        rep["after_repetition_filter"]

@@ -872,3 +872,59 @@ def test_repeated_ngram_partition_invariance(spark):
          for r in dd.remove_repeated_ngrams(
              df.repartition(7, "text"), k=12).collect()}
     assert a == b
+
+
+# -------------------- SemDeDup (cluster-then-prune) --------------------
+
+
+def test_semdedup_drops_planted_variants_keeps_rest(spark, emb_df):
+    df, vecs = emb_df
+    # plant near-identical variants (cos ~= 1) of every 5th vector
+    aug = df.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"))
+    res = sim.semdedup(df.unionByName(aug), dim=16, threshold=0.95,
+                       n_centroids=4).collect()
+    by_id = {r["vec_id"]: r for r in res}
+    planted = [i + 1000 for i in range(0, 40, 5)]
+    for p in planted:  # every variant shares its original's cell -> dropped
+        assert by_id[p]["semdedup_keep"] is False, p
+        assert by_id[p]["cell"] == by_id[p - 1000]["cell"]
+    # originals keep (nothing with a smaller id is near them: random
+    # unit vectors in 16-d, max natural cosine well below 0.95)
+    for i in range(40):
+        assert by_id[i]["semdedup_keep"] is True, i
+
+
+def test_semdedup_matches_numpy_brute_force(spark, emb_df):
+    df, vecs = emb_df
+    cents = sim.ivf_centroids(16, 4)
+    res = {r["vec_id"]: r for r in
+           sim.semdedup(df, dim=16, threshold=0.6, n_centroids=4).collect()}
+    cells = np.argmax(vecs @ cents.T, axis=1)
+    sims = vecs @ vecs.T  # unit vectors
+    for j in range(40):
+        want_drop = any(cells[i] == cells[j] and sims[i, j] >= 0.6 - 1e-12
+                        for i in range(j))
+        assert res[j]["semdedup_keep"] is (not want_drop), j
+        assert res[j]["cell"] == cells[j], j
+
+
+def test_semdedup_null_vectors_exempt(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 1e-9]), (2, None)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    res = {r["vec_id"]: r for r in
+           sim.semdedup(df, dim=2, threshold=0.99, n_centroids=2).collect()}
+    assert res[0]["semdedup_keep"] is True
+    assert res[1]["semdedup_keep"] is False  # near-dup of vec 0
+    assert res[2]["semdedup_keep"] is True and res[2]["cell"] is None
+
+
+def test_semdedup_udf_assignment_agrees_with_literal(spark, emb_df):
+    df, _ = emb_df
+    lit = sim.semdedup(df, dim=16, threshold=0.6, n_centroids=4,
+                       assignment="literal").collect()
+    udf = sim.semdedup(df, dim=16, threshold=0.6, n_centroids=4,
+                       assignment="udf").collect()
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(lit, key=key) == sorted(udf, key=key)
