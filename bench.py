@@ -141,6 +141,14 @@ def main() -> None:
             fn(spark, args.sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         warm[name] = round(best, 4)
+        # isolate queries from each other (r04): the LSH/near-dup
+        # queries persist intermediates they never unpersist, so
+        # without this a query's warm run could reuse (or be evicted
+        # by) a NEIGHBOR query's leaked blocks — timings then shift
+        # whenever the suite gains a query, which is exactly the
+        # round-over-round noise this file exists to avoid. Within one
+        # query's own first+warm pair the persist still works.
+        spark.catalog.clearCache()
 
     filt_sec, n_docs = bench_filter_pipeline(spark, args.sf_dir)
     # the pipeline number is already steady-state (min-of-3 after its
@@ -172,7 +180,9 @@ def main() -> None:
                     "r04 — compare to r03's warm_total/queries_warm; "
                     "first-run times (r01-r03 headline protocol; always the "
                     "literal first execution) are in "
-                    "queries_first_run/first_run_total",
+                    "queries_first_run/first_run_total; cache cleared "
+                    "between queries (r04) so timings are independent of "
+                    "suite composition",
         "notes": {
             "embedding_near_dup_pairs":
                 "exact all-pairs oracle twin, O(n^2) by design (corpus "

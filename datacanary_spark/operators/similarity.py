@@ -484,7 +484,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 def semdedup(df: DataFrame, dim: int, threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, centroids: np.ndarray | None = None,
-             seed: int = PLANE_SEED, assignment: str = "auto") -> DataFrame:
+             seed: int = PLANE_SEED, assignment: str = "auto",
+             max_cell: int | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding space with a coarse quantizer, then prune near-duplicate
     members WITHIN each cluster.
@@ -512,6 +513,13 @@ def semdedup(df: DataFrame, dim: int, threshold: float = 0.95,
 
     Null vectors get cell NULL and keep=true (exempt — same null-key
     exemption as exact dedup's null-text sentinel, dedup.py).
+
+    ``max_cell`` is the skew guard (same role as LSH ``max_bucket``,
+    dedup.py): cells with more members than the cap are EXCLUDED from
+    the prune join (all members kept) so one degenerate cluster — a
+    constant embedding, an undertrained quantizer — cannot create an
+    O(hot²) pair stage; the returned ``cell`` column lets callers
+    count skipped-cell mass for lineage.
     """
     cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
         else centroids
@@ -524,10 +532,20 @@ def semdedup(df: DataFrame, dim: int, threshold: float = 0.95,
     else:
         base = base.withColumn("cell", ivf_cell_expr(F.col("_v"), cents))
 
-    left = base.select(F.col("cell").alias("_ca"), F.col(id_col).alias("_ida"),
-                       F.col("_v").alias("_va"), F.col("_nrm").alias("_na"))
-    right = base.select(F.col("cell").alias("_cb"), F.col(id_col).alias("_idb"),
-                        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"))
+    joinable = base
+    if max_cell is not None:
+        # one count-shuffle on cell; oversized cells drop out of BOTH
+        # join sides (members all keep) — bounds the pair stage at
+        # sum(min(cell, max_cell)²) no matter how degenerate a cluster
+        w = Window.partitionBy("cell")
+        joinable = (base.withColumn("_csz", F.count(F.lit(1)).over(w))
+                        .where(F.col("_csz") <= max_cell).drop("_csz"))
+    left = joinable.select(
+        F.col("cell").alias("_ca"), F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"), F.col("_nrm").alias("_na"))
+    right = joinable.select(
+        F.col("cell").alias("_cb"), F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"))
     cos = F.try_divide(dot_expr(F.col("_va"), F.col("_vb")),
                        F.col("_na") * F.col("_nb"))
     dropped = (left.join(right, (F.col("_ca") == F.col("_cb"))

@@ -928,3 +928,20 @@ def test_semdedup_udf_assignment_agrees_with_literal(spark, emb_df):
                        assignment="udf").collect()
     key = lambda r: r["vec_id"]  # noqa: E731
     assert sorted(lit, key=key) == sorted(udf, key=key)
+
+
+def test_semdedup_max_cell_exempts_oversized_cells(spark):
+    # 6 copies of the same direction (one degenerate cell) + 2 of an
+    # orthogonal one; cap 4 -> the degenerate cell is skipped entirely
+    rows = ([(i, [1.0, float(i) * 1e-9]) for i in range(6)]
+            + [(10, [0.0, 1.0]), (11, [1e-9, 1.0])])
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    capped = {r["vec_id"]: r["semdedup_keep"] for r in
+              sim.semdedup(df, dim=2, threshold=0.99, n_centroids=2,
+                           max_cell=4).collect()}
+    assert all(capped[i] for i in range(6))       # oversized cell: all kept
+    assert capped[10] and not capped[11]          # small cell still pruned
+    uncapped = {r["vec_id"]: r["semdedup_keep"] for r in
+                sim.semdedup(df, dim=2, threshold=0.99,
+                             n_centroids=2).collect()}
+    assert [uncapped[i] for i in range(6)] == [True] + [False] * 5
