@@ -461,6 +461,8 @@ def cmd_curate(args) -> int:
         classifier_model=args.classifier_model,
         classifier_threshold=args.classifier_threshold,
         gopher_repetition=args.gopher_repetition,
+        dsir_target_path=args.dsir_target,
+        dsir_keep_fraction=args.dsir_keep_fraction,
         temperature=args.temperature,
         temperature_weight_col=args.temperature_weight_col)
     print(json.dumps(summary, sort_keys=True))
@@ -719,6 +721,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop docs violating the Gopher char-weighted "
                          "repetition thresholds (top-2/3/4-gram, "
                          "dup-5..10-gram char fractions)")
+    cu.add_argument("--dsir-target", default=None,
+                    help="target-domain table (text column); train a DSIR "
+                         "hashed-bigram importance model against the kept "
+                         "corpus and keep only the top-weighted docs")
+    cu.add_argument("--dsir-keep-fraction", type=float, default=0.5,
+                    help="fraction of docs the DSIR stage keeps "
+                         "(default 0.5)")
     cu.add_argument("--temperature", type=float, default=None,
                     help="derive mixing fractions from the curated "
                          "corpus's stratum masses (n^alpha; mutually "

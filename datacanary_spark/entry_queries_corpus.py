@@ -357,3 +357,76 @@ def temperature_mix_tokens_by_lang(spark, sf_dir):
                      F.bround(frac, 6).alias("keep_fraction"),
                      F.floor(frac * F.col("toks")).cast("bigint")
                       .alias("expected_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+_DUCK_DSIR = r"""
+    WITH dbase AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, substr(md5(g), 1, 2) AS b FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM dbase WHERE len(ws) >= 2)
+    ),
+    craw AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    ctgt AS (SELECT b, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY b),
+    tots AS (
+      SELECT (SELECT coalesce(sum(c), 0) FROM ctgt) AS tt,
+             (SELECT coalesce(sum(c), 0) FROM craw) AS tr
+    ),
+    lr AS (
+      SELECT r.b,
+             (ln(coalesce(t.c, 0) + 1.0) - ln(tt + 256.0))
+           - (ln(r.c + 1.0) - ln(tr + 256.0)) AS lr
+      FROM craw r LEFT JOIN ctgt t USING (b) CROSS JOIN tots
+    ),
+    docw AS (
+      SELECT bg.doc_id, sum(lr.lr) AS w
+      FROM bg JOIN lr USING (b) GROUP BY bg.doc_id
+    )
+"""
+
+
+@register(
+    "dsir_weights_by_lang",
+    _DUCK_DSIR + """
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(coalesce(w, 0.0)), 6) AS avg_weight,
+           CAST(sum(CASE WHEN coalesce(w, 0.0) > 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_positive
+    FROM documents d LEFT JOIN docw ON d.doc_id = docw.doc_id
+    GROUP BY d.lang
+    """,
+)
+def dsir_weights_by_lang(spark, sf_dir):
+    """DSIR importance weights (hashed-bigram log-ratio, target =
+    English docs, raw = full corpus) aggregated per language: the
+    target language must score highest.
+
+    The ORACLE retrains the whole model in SQL — bucket counts,
+    add-one smoothing, ln ratios — so training and scoring are both
+    cross-checked, not just the final projection. Spark side: two
+    256-key counting passes (driver-collected), then one shuffle-free
+    literal-map fold per doc."""
+    from datacanary_spark.operators import dsir
+
+    d = _t(spark, sf_dir, "documents")
+    m = dsir.train_dsir(d.where(F.col("lang") == "en"), d,
+                        n=2, hex_chars=2, alpha=1.0)
+    w = dsir.with_dsir_weights(d, m)
+    wc = F.col("dsir_weight")
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bround(F.avg(wc), 6).alias("avg_weight"),
+        F.sum((wc > 0.0).cast("int")).cast("long").alias("n_positive"),
+    )

@@ -13,6 +13,7 @@ The full training-data pipeline composed from the engine's tiers:
             optional)
           ─ per-host document cap (anti-spam, optional)
           ─ benchmark decontamination (optional)
+          ─ DSIR importance selection vs a target domain (optional)
           ─ deterministic stratified mix by predicted language (optional)
           ─ final corpus parquet + stage-count lineage JSON
 
@@ -66,6 +67,8 @@ def run_curation_job(
     classifier_threshold: float = 0.5,
     gopher_repetition: bool = False,
     repetition_cfg=None,
+    dsir_target_path: str | None = None,
+    dsir_keep_fraction: float = 0.5,
     temperature: float | None = None,
     temperature_weight_col: str | None = None,
 ) -> dict:
@@ -89,7 +92,13 @@ def run_curation_job(
     char-weighted repetition threshold (``repetition_cfg`` overrides
     the thresholds) — pure narrow expressions, applied after the
     classifier so lineage separates heuristic / learned / repetition
-    losses. ``near_dup_threshold`` enables transitive near-dup dedup right
+    losses. ``dsir_target_path`` points at a target-domain table with
+    a ``text`` column: a DSIR hashed-bigram importance model is
+    trained (target vs the currently-kept corpus) and only the top
+    ``dsir_keep_fraction`` of docs by importance weight survive —
+    the data-selection stage, applied after dedup/cap so weights are
+    fit on unique content, before mixing so fractions see the
+    selected corpus. ``near_dup_threshold`` enables transitive near-dup dedup right
     after the exact stage: MinHash-LSH pairs at that Jaccard threshold,
     clustered by connected components, one survivor per cluster
     (minimum url — deterministic on any cluster size; note this is
@@ -214,6 +223,17 @@ def run_curation_job(
                 decontaminate(stage, reference, id_col="url",
                               text_col="text", mode=decontaminate_mode))
             summary["after_decontamination"] = stage.count()
+
+        if dsir_target_path:
+            from datacanary_spark.operators import dsir
+
+            target = read_table(spark, dsir_target_path)
+            model = dsir.train_dsir(target, stage, text_col="text")
+            stage = scope.persist(
+                dsir.dsir_select(stage, model, dsir_keep_fraction,
+                                 text_col="text", tie_col="url")
+                    .drop("dsir_weight"))
+            summary["after_dsir"] = stage.count()
 
         if temperature is not None:
             from datacanary_spark.operators.corpus_stats import (

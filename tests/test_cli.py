@@ -914,3 +914,46 @@ def test_curate_gopher_repetition_stage(spark, tmp_path, capsys):
     cli_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert cli_summary["after_repetition_filter"] == \
         rep["after_repetition_filter"]
+
+
+def test_curate_dsir_stage(spark, tmp_path, capsys):
+    """Optional DSIR importance-selection stage: train vs a target
+    table, keep the top fraction by weight, record lineage; docs
+    resembling the target are enriched in the survivors."""
+    from pyspark.sql import functions as F2
+
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    # target domain = the corpus's own English docs
+    target = str(tmp_path / "target")
+    corpus.where(F2.col("lang_pred") == "en").select("text") \
+        .write.parquet(target)
+
+    s = run_curation_job(spark, pages, str(tmp_path / "dsir"),
+                         dsir_target_path=target, dsir_keep_fraction=0.5)
+    assert 0 < s["after_dsir"] < s["final_docs"] + 1
+    assert s["after_dsir"] <= base["final_docs"]
+    out = spark.read.parquet(os.path.join(str(tmp_path / "dsir"), "corpus"))
+    assert "dsir_weight" not in out.columns  # stage drops its scratch col
+
+    def en_frac(df):
+        n = df.count()
+        return df.where(F2.col("lang_pred") == "en").count() / n
+
+    assert en_frac(out) >= en_frac(corpus)  # target lang enriched
+
+    # CLI wiring produces the same lineage
+    assert main(["curate", "--input", pages,
+                 "--output", str(tmp_path / "cli_dsir"),
+                 "--dsir-target", target,
+                 "--dsir-keep-fraction", "0.5"]) == 0
+    cli_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_summary["after_dsir"] == s["after_dsir"]

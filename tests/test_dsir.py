@@ -1,0 +1,135 @@
+"""DSIR importance resampling (operators/dsir.py): pure-Python twin of
+train+score, literal/join mode agreement, selection semantics, edge
+cases, curate-stage e2e and the shuffle-free scoring plan."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacanary_spark.operators import dsir
+
+
+def _py_bucket(gram: str, hex_chars: int) -> str:
+    return hashlib.md5(gram.encode()).hexdigest()[:hex_chars]
+
+
+def _py_counts(texts, n, hex_chars):
+    counts: dict[str, int] = {}
+    for t in texts:
+        ws = [w for w in (t or "").split() if w]
+        for i in range(len(ws) - n + 1):
+            b = _py_bucket(" ".join(ws[i:i + n]), hex_chars)
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def _py_model(target_texts, raw_texts, n=2, hex_chars=2, alpha=1.0):
+    nb = 16 ** hex_chars
+    ct, cr = _py_counts(target_texts, n, hex_chars), _py_counts(
+        raw_texts, n, hex_chars)
+    dt = math.log(sum(ct.values()) + alpha * nb)
+    dr = math.log(sum(cr.values()) + alpha * nb)
+    return {format(i, f"0{hex_chars}x"):
+            (math.log(ct.get(format(i, f"0{hex_chars}x"), 0) + alpha) - dt)
+            - (math.log(cr.get(format(i, f"0{hex_chars}x"), 0) + alpha) - dr)
+            for i in range(nb)}
+
+
+def _py_weight(text, lr, n=2, hex_chars=2):
+    ws = [w for w in (text or "").split() if w]
+    return sum(lr[_py_bucket(" ".join(ws[i:i + n]), hex_chars)]
+               for i in range(len(ws) - n + 1))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "tgt"),
+        (1, "the quick brown fox runs over the lazy cat", "tgt"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "other"),
+        (3, "one two three four five six seven eight nine", "other"),
+        (4, "the quick brown bear walks over the lazy fox", "other"),
+        (5, "", "other"),
+        (6, None, "other"),
+        (7, "single", "other"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_train_matches_python_twin(spark, corpus):
+    target = corpus.where(F.col("src") == "tgt")
+    m = dsir.train_dsir(target, corpus)
+    texts = [r["text"] for r in corpus.collect()]
+    t_texts = [r["text"] for r in target.collect()]
+    want = _py_model(t_texts, texts)
+    assert set(m.logratio) == set(want)
+    for b in want:
+        assert m.logratio[b] == pytest.approx(want[b], abs=1e-12), b
+
+
+def test_weights_match_python_twin(spark, corpus):
+    target = corpus.where(F.col("src") == "tgt")
+    m = dsir.train_dsir(target, corpus)
+    got = {r["doc_id"]: r["dsir_weight"]
+           for r in dsir.with_dsir_weights(corpus, m).collect()}
+    for r in corpus.collect():
+        want = _py_weight(r["text"], m.logratio)
+        assert got[r["doc_id"]] == pytest.approx(want, abs=1e-12), r
+    # target-like docs outscore off-domain docs
+    assert got[4] > got[2] and got[4] > got[3]
+    # empty/null/too-short docs: weight exactly 0
+    for i in (5, 6, 7):
+        assert got[i] == 0.0
+
+
+def test_literal_and_join_modes_agree(spark, corpus):
+    m = dsir.train_dsir(corpus.where(F.col("src") == "tgt"), corpus)
+    lit = {r["doc_id"]: r["dsir_weight"]
+           for r in dsir.with_dsir_weights(corpus, m, mode="literal")
+           .collect()}
+    joined = {r["doc_id"]: r["dsir_weight"]
+              for r in dsir.with_dsir_weights(corpus, m, mode="join",
+                                              id_col="doc_id").collect()}
+    assert set(lit) == set(joined)
+    for k in lit:
+        assert lit[k] == pytest.approx(joined[k], abs=1e-9), k
+
+
+def test_auto_mode_dispatches_on_budget(spark, corpus):
+    m = dsir.train_dsir(corpus.where(F.col("src") == "tgt"), corpus)
+    # 256 buckets -> literal: plan has no Exchange (narrow projection)
+    plan = dsir.with_dsir_weights(corpus, m)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # hex_chars=4 (65536 buckets) -> join path required
+    m4 = dsir.DsirModel(logratio={b: 0.0 for b in dsir._all_buckets(2)},
+                        n=2, hex_chars=4, alpha=1.0)
+    with pytest.raises(ValueError, match="id_col"):
+        dsir.with_dsir_weights(corpus, m4)  # auto -> join, needs id_col
+
+
+def test_select_keeps_top_fraction(spark, corpus):
+    m = dsir.train_dsir(corpus.where(F.col("src") == "tgt"), corpus)
+    sel = dsir.dsir_select(corpus, m, 0.25, tie_col="doc_id")
+    ids = sorted(r["doc_id"] for r in sel.collect())
+    all_w = {r["doc_id"]: r["dsir_weight"]
+             for r in dsir.with_dsir_weights(corpus, m).collect()}
+    kept_min = min(all_w[i] for i in ids)
+    for i, w in all_w.items():
+        assert (i in ids) == (w >= kept_min)
+    assert dsir.dsir_select(corpus, m, 1.0).count() == corpus.count()
+    with pytest.raises(ValueError):
+        dsir.dsir_select(corpus, m, 0.0)
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="hex_chars"):
+        dsir.train_dsir(None, None, hex_chars=5)
+    m = dsir.DsirModel(logratio={}, n=2, hex_chars=2, alpha=1.0)
+    with pytest.raises(ValueError, match="mode"):
+        dsir.with_dsir_weights(None, m, mode="nope")
