@@ -70,17 +70,46 @@ def bucket_expr(gram: Column, hex_chars: int) -> Column:
     return F.substring(F.md5(gram), 1, hex_chars)
 
 
-def _doc_grams(text_col: str, n: int) -> Column:
-    return ngrams_expr(words_expr(F.col(text_col)), n)
+def _with_grams(df: DataFrame, text_col: str, n: int,
+                out: str = "_dsir_grams") -> DataFrame:
+    """Bind words THEN grams as named columns (staged projects).
+
+    ``ngrams_expr`` slices its words argument once per output gram; fed
+    a raw ``words_expr`` subtree that re-evaluates the whole
+    split+filter per element — O(words²) per doc (the trigrams_expr
+    lesson, heuristics.py:87; binding cut the sf0.1 scoring pass from
+    6.1 s to well under 1 s). Callers must drop ``out``.
+    """
+    df = df.withColumns({"_dsir_w": words_expr(F.col(text_col))})
+    df = df.withColumns({out: ngrams_expr(F.col("_dsir_w"), n)})
+    return df.drop("_dsir_w")
 
 
 def bucket_counts(df: DataFrame, text_col: str = "text", n: int = 2,
                   hex_chars: int = 2) -> dict[str, int]:
     """Per-bucket n-gram occurrence counts, collected to the driver
-    (at most 16^hex_chars rows — the shuffle is map-side combined)."""
-    rows = (df.select(F.explode(_doc_grams(text_col, n)).alias("g"))
-              .select(bucket_expr(F.col("g"), hex_chars).alias("b"))
-              .groupBy("b").count().collect())
+    (at most 16^hex_chars rows — the shuffle is map-side combined).
+
+    The input is spread to default parallelism first: a one-file
+    test-scale table is a single split, which would run the whole
+    tokenize+hash pass on one core (the r03 single-split lesson,
+    plans/partitioning.py); at real scale the scan already has enough
+    splits and the spread is a no-op.
+
+    ``explode_outer`` + post-filter, NOT plain ``explode``: Spark
+    infers a ``size(grams) > 0`` filter from a non-outer Generate
+    (InferFiltersFromGenerate) and pushes it below the repartition to
+    the SCAN — re-evaluating the entire gram expression single-threaded
+    on the unspread split (measured: the whole pass serialized, 7.3 s
+    vs 1.9 s for ~266k bigrams at sf0.1)."""
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+    pruned = spread_to_parallelism(df.select(F.col(text_col)))
+    rows = (_with_grams(pruned, text_col, n)
+            .select(F.explode_outer("_dsir_grams").alias("g"))
+            .where(F.col("g").isNotNull())
+            .select(bucket_expr(F.col("g"), hex_chars).alias("b"))
+            .groupBy("b").count().collect())
     return {r["b"]: r["count"] for r in rows}
 
 
@@ -138,12 +167,12 @@ def with_dsir_weights(df: DataFrame, model: DsirModel,
         mode = "literal" if n_buckets <= LITERAL_MAP_BUDGET else "join"
     if mode == "literal":
         m = _literal_map(model)
-        grams = _doc_grams(text_col, model.n)
+        staged = _with_grams(df, text_col, model.n)
         w = F.aggregate(
-            grams, F.lit(0.0),
+            F.col("_dsir_grams"), F.lit(0.0),
             lambda acc, g: acc + F.element_at(
                 m, bucket_expr(g, model.hex_chars)))
-        return df.withColumn(weight_col, w)
+        return staged.withColumn(weight_col, w).drop("_dsir_grams")
     if mode != "join":
         raise ValueError(f"mode must be auto|literal|join, got {mode!r}")
     if id_col is None:
@@ -151,9 +180,9 @@ def with_dsir_weights(df: DataFrame, model: DsirModel,
     spark = df.sparkSession
     ratios = spark.createDataFrame(
         sorted(model.logratio.items()), "b string, _lr double")
-    per_doc = (df.select(F.col(id_col),
-                         F.explode_outer(_doc_grams(text_col, model.n))
-                          .alias("g"))
+    per_doc = (_with_grams(df, text_col, model.n)
+                 .select(F.col(id_col),
+                         F.explode_outer("_dsir_grams").alias("g"))
                  .select(id_col,
                          bucket_expr(F.col("g"), model.hex_chars).alias("b"))
                  .join(F.broadcast(ratios), "b", "left")

@@ -1,57 +1,28 @@
-"""spark-submit entry point for the composed curation job
-(filter → exact dedup → line dedup → stratified mix).
+"""spark-submit entry point for the composed curation job.
 
     spark-submit --py-files dist/datacanary_spark.zip jobs/curate_job.py \
-        --input <pages dir/table> --output <dir> \
-        [--fractions en=1.0,de=0.5] [--no-line-dedup] [--from-html]
+        --input <pages dir/table> --output <dir> [any `curate` flag]
 
-On a real cluster the SparkSession comes from spark-submit's conf
-(master/executors set there); locally it falls back to local[*].
+Delegates to the CLI's ``curate`` subcommand so the spark-submit flag
+surface IS the CLI flag surface — this file used to carry its own
+argparse copy and silently drifted seven stage flags behind
+(near-dup/span-dedup/host-cap/classifier/gopher-repetition/DSIR/
+temperature). Under spark-submit the pre-existing SparkContext wins
+``getOrCreate`` inside ``datacanary_spark.session.get_spark``, so the
+cluster master/executors from the submit conf apply unchanged; locally
+it falls back to ``local[*]``.
 """
 
 from __future__ import annotations
 
-import argparse
-import json
+import sys
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
-    p.add_argument("--fractions", default=None,
-                   help="stratum=fraction pairs, e.g. en=1.0,de=0.5")
-    p.add_argument("--strata-col", default="lang_pred")
-    p.add_argument("--key-col", default="url")
-    p.add_argument("--no-line-dedup", action="store_true")
-    p.add_argument("--from-html", action="store_true")
-    p.add_argument("--decontaminate-against", default=None)
-    p.add_argument("--decontaminate-mode", choices=["exact", "winnow"],
-                   default="winnow")
-    args = p.parse_args()
+def main() -> int:
+    from datacanary_spark.cli import main as cli_main
 
-    from datacanary_spark.cli import parse_fractions
-
-    fractions = parse_fractions(args.fractions) if args.fractions else None
-
-    from pyspark.sql import SparkSession
-
-    from datacanary_spark.plans.curate import run_curation_job
-
-    spark = (SparkSession.builder.appName("datacanary_curate_job")
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .getOrCreate())
-    summary = run_curation_job(
-        spark, args.input, args.output, fractions=fractions,
-        strata_col=args.strata_col, key_col=args.key_col,
-        line_dedup=not args.no_line_dedup,
-        extract_from_html=args.from_html,
-        decontaminate_path=args.decontaminate_against,
-        decontaminate_mode=args.decontaminate_mode)
-    print(json.dumps(summary, sort_keys=True))
+    return cli_main(["curate", *sys.argv[1:]])
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -957,3 +957,26 @@ def test_curate_dsir_stage(spark, tmp_path, capsys):
                  "--dsir-keep-fraction", "0.5"]) == 0
     cli_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert cli_summary["after_dsir"] == s["after_dsir"]
+
+
+def test_curate_job_delegates_full_cli_surface(spark, tmp_path, capsys,
+                                               monkeypatch):
+    """jobs/curate_job.py must expose every CLI curate flag (it drifted
+    seven stages behind when it carried its own parser): drive it
+    in-proc with an r04-era flag and check the lineage key appears."""
+    import importlib
+    import sys
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "40",
+                 "--files", "1"]) == 0
+    capsys.readouterr()
+
+    job = importlib.import_module("jobs.curate_job")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py", "--input", pages,
+        "--output", str(tmp_path / "out"), "--gopher-repetition"])
+    assert job.main() == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "after_repetition_filter" in summary
+    assert summary["final_docs"] >= 0
