@@ -441,6 +441,18 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def parse_blocklist_arg(arg: str | None) -> list[str] | str | None:
+    """``--blocklist`` disambiguation: anything with a path separator
+    (or URI scheme) is a table path handed to read_table; otherwise a
+    comma-separated inline domain list (a single domain is a list of
+    one)."""
+    if arg is None:
+        return None
+    if "/" in arg or "://" in arg:
+        return arg
+    return [d.strip() for d in arg.split(",") if d.strip()]
+
+
 def cmd_curate(args) -> int:
     """Composed curation pipeline: filter → dedup → mix (plans/curate)."""
     from datacanary_spark.plans.curate import run_curation_job
@@ -457,6 +469,7 @@ def cmd_curate(args) -> int:
         extract_from_html=args.from_html,
         decontaminate_path=args.decontaminate_against,
         decontaminate_mode=args.decontaminate_mode,
+        blocklist=parse_blocklist_arg(args.blocklist),
         host_cap=args.host_cap,
         classifier_model=args.classifier_model,
         classifier_threshold=args.classifier_threshold,
@@ -708,8 +721,14 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--decontaminate-against", default=None,
                     help="benchmark table (text column); overlapping "
                          "docs are removed")
-    cu.add_argument("--decontaminate-mode", choices=["exact", "winnow"],
+    cu.add_argument("--decontaminate-mode",
+                    choices=["exact", "winnow", "bloom"],
                     default="winnow")
+    cu.add_argument("--blocklist", default=None,
+                    help="domain blocklist: comma-separated domains, or "
+                         "a table path with a 'domain' column; docs whose "
+                         "url host (or any parent domain) is listed are "
+                         "dropped before any content processing")
     cu.add_argument("--host-cap", type=int, default=None,
                     help="keep at most N docs per url host "
                          "(deterministic anti-spam cap)")

@@ -526,6 +526,9 @@ _TAIL_ROTATION = [
     "setop_long_docs_except_sources",  # r04: room for repeated_ngram_removal_stats
     "insight_outliers",  # r04: room for gopher_repetition_by_lang
     "user_sessions",  # r04: room for semdedup_cell_stats
+    "quality_score_distribution",  # r04b: room for bloom_decontam_by_lang
+    "mad_nchars_by_lang",  # r04b: room for blocklist_survivors_by_lang
+    "session_window_stats",  # r04b: room for ccnet_length_bands_by_lang
     "profile_numeric_nchars",
     "profile_string_text",
     "profile_timestamp_events",

@@ -430,3 +430,90 @@ def dsir_weights_by_lang(spark, sf_dir):
         F.bround(F.avg(wc), 6).alias("avg_weight"),
         F.sum((wc > 0.0).cast("int")).cast("long").alias("n_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering (text_analysis.filter_blocked_domains)
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("site3.com", "site7.com", "site11.com", "sub1.site0.com")
+
+
+@register(
+    "blocklist_survivors_by_lang",
+    """
+    WITH raw AS (
+      SELECT doc_id, lang,
+             'sub' || (doc_id % 3) || '.site' || (doc_id % 20) || '.com'
+               AS host
+      FROM documents WHERE doc_id < 400
+    ),
+    bl(domain) AS (VALUES ('site3.com'), ('site7.com'), ('site11.com'),
+                          ('sub1.site0.com'))
+    SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM raw
+    WHERE NOT EXISTS (SELECT 1 FROM bl
+                      WHERE raw.host = bl.domain
+                         OR raw.host LIKE '%.' || bl.domain)
+    GROUP BY lang
+    """,
+)
+def blocklist_survivors_by_lang(spark, sf_dir):
+    """UT1-style domain blocklist filter: docs whose url host or any
+    parent domain is listed are dropped. Constructed hosts
+    sub{id%3}.site{id%20}.com exercise both match shapes — registrable-
+    domain suffix (site3/7/11.com) and exact-host (sub1.site0.com).
+    Runs the production JOIN dispatch (suffix explode + broadcast
+    semi-join — the ~3M-domain-list path); the literal dispatch is
+    pinned equal by tests. sum_ids pins exact membership."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    did = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+                   F.lit(".site"), (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".com/page/"), did)
+    docs = d.select("doc_id", "lang", url.alias("url"))
+    out = ta.filter_blocked_domains(docs, list(_BLOCKLIST), mode="join")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quantile banding (corpus_stats.ccnet_buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ccnet_length_bands_by_lang",
+    """
+    WITH cuts AS (
+      SELECT lang,
+             quantile_cont(CAST(n_chars AS DOUBLE),
+                           [1.0/3.0, 2.0/3.0]) AS c
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CASE WHEN CAST(n_chars AS DOUBLE) <= c[1] THEN 'head'
+                WHEN CAST(n_chars AS DOUBLE) <= c[2] THEN 'middle'
+                ELSE 'tail' END AS band,
+           count(*) AS n_docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM documents d JOIN cuts USING (lang)
+    GROUP BY 1, 2
+    """,
+)
+def ccnet_length_bands_by_lang(spark, sf_dir):
+    """CCNet head/middle/tail banding (per-language quantile terciles —
+    here over n_chars; in the ppl pipeline the same operator runs over
+    the perplexity column, whose model the oracle cannot rerun). Exact
+    percentile mode is the oracle twin — Spark percentile() and DuckDB
+    quantile_cont share the (n-1)p interpolation rule; exact=False
+    swaps in the bounded-state sketch for the 10^12-row pass. avg over
+    ints cast to double is order-independent (integer sums are exact),
+    so the cross-engine comparison is deterministic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    b = cs.ccnet_buckets(d, "n_chars", "lang", exact=True, out_col="band")
+    return b.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bround(F.avg(F.col("n_chars").cast("double")), 6)
+        .alias("avg_chars"))

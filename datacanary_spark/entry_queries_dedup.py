@@ -812,3 +812,42 @@ def repeated_ngram_removal_stats(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_tb").alias("tokens_before"),
                  F.sum("_ta").alias("tokens_after")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (operators/membership.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_decontam_by_lang",
+    r"""
+    SELECT lang,
+           count(*) AS n_survivors,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents c
+    WHERE text IS NULL OR NOT EXISTS (
+      SELECT 1 FROM documents r
+      WHERE r.doc_id % 5 = 0 AND r.text IS NOT NULL
+        AND md5(trim(lower(regexp_replace(r.text, '\s+', ' ', 'g'))))
+          = md5(trim(lower(regexp_replace(c.text, '\s+', ' ', 'g')))))
+    GROUP BY lang
+    """,
+)
+def bloom_decontam_by_lang(spark, sf_dir):
+    """Decontamination via a broadcast Bloom bitset: identical result
+    to the plain fingerprint anti-join (the oracle runs the NOT EXISTS
+    form — a Bloom filter has no false negatives and every bitset hit
+    is confirmed by an exact join), but scan-side rows the bitset
+    rejects never reach a shuffle. At 10^9-fingerprint reference scale
+    the bitset broadcast (~GB) replaces shuffling the corpus's
+    fingerprints (~corpus-sized). sum_ids pins exact row membership."""
+    from datacanary_spark.operators import membership as mb
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "lang", "text")
+    reference = d.where(F.col("doc_id") % 5 == 0).select("text")
+    out = mb.decontaminate_bloom(corpus, reference, fpp=1e-3)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("doc_id").alias("sum_ids"))

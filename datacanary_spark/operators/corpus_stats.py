@@ -355,3 +355,48 @@ def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
     fractions = temperature_fractions(df, strata_col, alpha, weight_col)
     return hash_stratified_sample(df, strata_col, fractions, key_col,
                                   salt=salt)
+
+
+def ccnet_buckets(df: DataFrame, value_col: str, group_col: str,
+                  cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+                  labels: tuple[str, ...] = ("head", "middle", "tail"),
+                  exact: bool = True, accuracy: int = 10000,
+                  out_col: str = "bucket") -> DataFrame:
+    """CCNet-style per-group quantile banding (Wenzek et al. 2020):
+    split each language's documents into named bands — canonically
+    head/middle/tail at the per-language perplexity terciles, where
+    "head" (lowest perplexity) feeds training first and "tail" is
+    dropped or downweighted.
+
+    Same plan shape as :func:`approx_quantile_buckets` (per-group
+    cutoff aggregate → broadcastable join back → one CASE per row; no
+    window, nothing per-row in Python): ``exact=True`` uses
+    ``percentile`` — unbounded per-group state, but the (n−1)·p
+    linear-interpolation rule is shared bit-for-bit with DuckDB's
+    ``quantile_cont``, making this the oracle mode; ``exact=False``
+    swaps in the ``percentile_approx`` sketch (O(accuracy) state per
+    group) for the 10^12-row pass, identical downstream plan.
+
+    Banding rule: value ≤ cut₁ → labels[0], ≤ cut₂ → labels[1], …,
+    else labels[-1]; null values → null band; the null GROUP keeps its
+    own cutoffs (eqNullSafe join, as everywhere in this module).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(f"need len(labels) == len(cuts)+1, got "
+                         f"{len(labels)} labels / {len(cuts)} cuts")
+    pfn = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, accuracy))
+    bounds = df.groupBy(group_col).agg(
+        pfn(F.col(value_col).cast("double"), F.lit(list(cuts)))
+        .alias("_cuts")) \
+        .select(F.col(group_col).alias("_g"), "_cuts")
+    v = F.col(value_col).cast("double")
+    band = F.lit(labels[-1])
+    for i in range(len(cuts) - 1, -1, -1):
+        band = F.when(v <= F.element_at("_cuts", i + 1), F.lit(labels[i])) \
+                .otherwise(band)
+    return (df.join(bounds, F.col(group_col).eqNullSafe(F.col("_g")))
+              .withColumn(out_col,
+                          F.when(v.isNull(), F.lit(None).cast("string"))
+                           .otherwise(band))
+              .drop("_g", "_cuts"))

@@ -214,3 +214,89 @@ def winnow_fingerprints(text_col: Column, k: int = 8,
         F.transform(F.array(normalized_text_expr(text_col)), per_text), 1)
     return F.when(text_col.isNull(),
                   F.lit(None).cast("array<string>")).otherwise(out)
+
+
+def blocklist_host_expr(url_col: Column) -> Column:
+    """Hostname as blocklist matching sees it: lowercased, port
+    stripped, ``www.`` KEPT (a list entry ``example.com`` still matches
+    ``www.example.com`` via the suffix walk — stripping here would only
+    hide an explicit ``www.evil.com`` listing). Same null contract as
+    canonical_url_expr: null / non-hierarchical urls → null host, and
+    null hosts are EXEMPT from blocking (unknown origin is not evidence
+    of a blocked origin)."""
+    host = F.lower(F.regexp_extract(
+        url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    hierarchical = url_col.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]")
+    return F.when(url_col.isNull() | ~hierarchical,
+                  F.lit(None).cast("string")).otherwise(host)
+
+
+def domain_suffixes_expr(host_col: Column) -> Column:
+    """All dot-suffixes of a hostname, most-specific first:
+    ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com,
+    com] — the UT1/adult-blocklist matching rule is "any suffix of the
+    host appears in the list" (lists carry registrable domains, so the
+    bare-TLD element never matches in practice). Linear build: one
+    split, one slice per label. Null host → null."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)))
+
+
+def filter_blocked_domains(df, blocklist, url_col: str = "url",
+                           id_col: str = "doc_id", mode: str = "auto",
+                           keep_host: str | None = None):
+    """Drop documents whose url host (or any parent domain of it)
+    appears in a domain blocklist — the UT1-category / spam-domain
+    filter stage of a crawl curation pipeline.
+
+    ``blocklist`` is a list[str] of lowercase domains or a
+    DataFrame with a ``domain`` column. Dispatch (same two-tier shape
+    as the ANN assignment and the Bloom bitset):
+
+    * ``"literal"`` — small lists inline as one array literal;
+      blocked = ``arrays_overlap(suffixes(host), lit(domains))``.
+      Pure Column expression: zero joins, zero Python, pipelined with
+      the scan.
+    * ``"join"`` — production lists (UT1 is ~3M domains): explode the
+      ≤ label-count suffixes per doc and LEFT SEMI join against the
+      blocklist on the suffix; the list side is broadcast (tens of MB),
+      so the corpus never shuffles; blocked ids then LEFT ANTI against
+      the corpus. Null hosts bypass the join entirely.
+
+    ``mode="auto"`` picks literal for ≤ 256 in-memory domains, join for
+    a DataFrame blocklist. ``keep_host`` optionally retains the parsed
+    host under that column name for lineage accounting.
+    """
+    url = F.col(url_col)
+    host = blocklist_host_expr(url)
+    out = df.withColumn("_bl_host", host)
+    if keep_host:
+        out = out.withColumn(keep_host, F.col("_bl_host"))
+    suffixes = domain_suffixes_expr(F.col("_bl_host"))
+
+    is_list = isinstance(blocklist, (list, tuple))
+    if mode == "auto":
+        mode = "literal" if (is_list and len(blocklist) <= 256) else "join"
+    if mode == "literal":
+        if not is_list:
+            raise ValueError("literal mode needs an in-memory domain list")
+        blocked = F.coalesce(
+            F.arrays_overlap(suffixes, F.lit([d.lower() for d in blocklist])),
+            F.lit(False))
+        return out.where(~blocked).drop("_bl_host")
+    if mode != "join":
+        raise ValueError(f"unknown mode: {mode!r} (auto|literal|join)")
+    if is_list:
+        bl = df.sparkSession.createDataFrame(
+            [(d.lower(),) for d in blocklist], "domain string")
+    else:
+        bl = blocklist.select(F.lower(F.col("domain")).alias("domain"))
+    exploded = (out.where(F.col("_bl_host").isNotNull())
+                .select(F.col(id_col), F.explode(suffixes).alias("domain")))
+    blocked_ids = (exploded.join(F.broadcast(bl), "domain", "left_semi")
+                   .select(id_col).distinct())
+    return out.join(blocked_ids, id_col, "left_anti").drop("_bl_host")

@@ -56,6 +56,7 @@ def run_curation_job(
     strata_col: str = "lang_pred",
     key_col: str = "url",
     line_dedup: bool = True,
+    blocklist: list[str] | str | None = None,
     near_dup_threshold: float | None = None,
     span_dedup_k: int | None = None,
     span_min_count: int = 2,
@@ -78,7 +79,13 @@ def run_curation_job(
     stage; strata not listed are dropped (default_fraction=0). Without
     it every surviving doc is kept. ``decontaminate_path`` points at a
     benchmark/test-set table with a ``text`` column; overlapping corpus
-    docs are removed (``decontaminate_mode``: "exact" or "winnow").
+    docs are removed (``decontaminate_mode``: "exact", "winnow", or
+    "bloom" — exact semantics behind a broadcast Bloom prefilter, the
+    no-corpus-shuffle path for 10^9-fingerprint references).
+    ``blocklist`` (a domain list, or a path to a table with a
+    ``domain`` column) drops docs whose url host or any parent domain
+    is listed, BEFORE any content processing — the UT1-style
+    origin-level filter.
     ``host_cap`` keeps at most N docs per url host (deterministic hash
     order — the C4/Gopher anti-spam step), applied after dedup so caps
     count unique content, before mixing so fractions see the capped
@@ -119,8 +126,26 @@ def run_curation_job(
         raise ValueError("pass at most one of fractions / temperature")
     t0 = time.time()
     scope = CacheScope()
+    blocklist_count = None
     try:
         pages = read_table(spark, input_path)
+        if blocklist is not None:
+            from datacanary_spark.operators.text_analysis import (
+                filter_blocked_domains,
+            )
+
+            # URL-level filtering runs FIRST: a doc dropped here never
+            # costs extraction, model inference, or a dedup shuffle —
+            # the cheapest possible stage removes work from every later
+            # one. A str blocklist is a table path (domain column); a
+            # list is inlined (literal dispatch under 256 entries).
+            bl = (read_table(spark, blocklist)
+                  if isinstance(blocklist, str) else list(blocklist))
+            n_in = pages.count()
+            pages = filter_blocked_domains(pages, bl, url_col="url",
+                                           id_col="url")
+            blocklist_count = {"docs_in": n_in,
+                               "after_blocklist": pages.count()}
         verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
                                 extract_from_html=extract_from_html)
         # carry exactly the columns downstream stages key on: url + scrubbed
@@ -140,6 +165,10 @@ def run_curation_job(
                     .select("url", F.col("scrubbed_text").alias("text"),
                             *carry[2:]))
         summary = {"docs_in": pages.count(), "kept": kept.count()}
+        if blocklist_count is not None:
+            # docs_in must mean the PRE-blocklist input; the stage's own
+            # removal is visible as docs_in → after_blocklist
+            summary.update(blocklist_count)
 
         if classifier_model:
             from datacanary_spark.plans.classifier import (
@@ -219,9 +248,21 @@ def run_curation_job(
 
         if decontaminate_path:
             reference = read_table(spark, decontaminate_path)
-            stage = scope.persist(
-                decontaminate(stage, reference, id_col="url",
-                              text_col="text", mode=decontaminate_mode))
+            if decontaminate_mode == "bloom":
+                # exact-fingerprint semantics behind a broadcast Bloom
+                # prefilter: bitset-miss rows (the vast majority) never
+                # reach the confirm join — the corpus-sized anti-join
+                # shuffle disappears (operators/membership.py)
+                from datacanary_spark.operators.membership import (
+                    decontaminate_bloom,
+                )
+
+                stage = scope.persist(
+                    decontaminate_bloom(stage, reference, text_col="text"))
+            else:
+                stage = scope.persist(
+                    decontaminate(stage, reference, id_col="url",
+                                  text_col="text", mode=decontaminate_mode))
             summary["after_decontamination"] = stage.count()
 
         if dsir_target_path:

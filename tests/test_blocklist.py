@@ -1,0 +1,75 @@
+"""Domain blocklist filtering (text_analysis.filter_blocked_domains):
+suffix semantics, null-host exemption, literal==join dispatch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacanary_spark.operators import text_analysis as ta
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "https://ads.evil.com/x"),          # suffix evil.com
+            (2, "https://evil.com/y"),              # exact registrable
+            (3, "https://EVIL.com:8443/z"),         # case + port
+            (4, "https://notevil.com/a"),           # NOT a dot-suffix
+            (5, "https://sub.tracker.net/b"),       # exact-host entry
+            (6, "https://deep.sub.tracker.net/c"),  # suffix of exact-host
+            (7, "https://clean.org/d"),
+            (8, None),                              # null url → exempt
+            (9, "mailto:x@y"),                      # non-hierarchical → exempt
+        ],
+        "doc_id long, url string")
+
+
+BLOCK = ["evil.com", "sub.tracker.net"]
+
+
+def test_suffix_expr_most_specific_first(spark):
+    row = spark.sql("SELECT 'a.b.example.com' AS h").select(
+        ta.domain_suffixes_expr(F.col("h")).alias("s")).collect()[0]
+    assert row["s"] == ["a.b.example.com", "b.example.com",
+                        "example.com", "com"]
+
+
+def test_blocklist_host_expr(spark):
+    rows = _docs(spark).select(
+        "doc_id", ta.blocklist_host_expr(F.col("url")).alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in rows}
+    assert h[3] == "evil.com"          # lowercased, port stripped
+    assert h[1] == "ads.evil.com"      # www/subdomain kept
+    assert h[8] is None and h[9] is None
+
+
+@pytest.mark.parametrize("mode", ["literal", "join"])
+def test_filter_blocked_domains_semantics(spark, mode):
+    out = ta.filter_blocked_domains(_docs(spark), BLOCK, mode=mode)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 1,2,3 blocked by evil.com; 5,6 by sub.tracker.net;
+    # 4 survives (notevil.com is not a dot-suffix match);
+    # 8,9 survive (null host exempt)
+    assert ids == [4, 7, 8, 9]
+    assert "url" in out.columns and "_bl_host" not in out.columns
+
+
+def test_literal_join_dispatch_agree_and_keep_host(spark):
+    lit = ta.filter_blocked_domains(_docs(spark), BLOCK, mode="literal",
+                                    keep_host="host")
+    join = ta.filter_blocked_domains(_docs(spark), BLOCK, mode="join",
+                                     keep_host="host")
+    assert sorted(map(tuple, lit.collect())) \
+        == sorted(map(tuple, join.collect()))
+    assert "host" in lit.columns
+
+
+def test_blocklist_dataframe_input_and_errors(spark):
+    bl = spark.createDataFrame([("EVIL.com",)], "domain string")
+    out = ta.filter_blocked_domains(_docs(spark), bl)  # auto → join, lowered
+    assert sorted(r["doc_id"] for r in out.collect()) == [4, 5, 6, 7, 8, 9]
+    with pytest.raises(ValueError):
+        ta.filter_blocked_domains(_docs(spark), bl, mode="literal")
+    with pytest.raises(ValueError):
+        ta.filter_blocked_domains(_docs(spark), BLOCK, mode="bogus")

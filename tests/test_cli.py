@@ -980,3 +980,55 @@ def test_curate_job_delegates_full_cli_surface(spark, tmp_path, capsys,
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "after_repetition_filter" in summary
     assert summary["final_docs"] >= 0
+
+
+def test_curate_blocklist_and_bloom_decontamination(spark, tmp_path, capsys):
+    """--blocklist drops listed origins before any content processing
+    (docs_in -> after_blocklist visible in lineage); decontaminate-mode
+    bloom produces byte-identical output to mode exact."""
+    from pyspark.sql import functions as F2
+
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "120",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    # fixture urls are https://host{i}.example.com/...: block two hot
+    # hosts exactly and everything else via a registrable-domain test
+    out = str(tmp_path / "blocked")
+    assert main(["curate", "--input", pages, "--output", out,
+                 "--blocklist", "host0.example.com,host1.example.com"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["docs_in"] == 120
+    assert s["after_blocklist"] < 120  # Zipf host pool: hot hosts exist
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    hosts = {r["h"] for r in corpus.select(
+        F2.parse_url(F2.col("url"), F2.lit("HOST")).alias("h")).collect()}
+    assert "host0.example.com" not in hosts
+    assert "host1.example.com" not in hosts
+
+    # a registrable-domain entry blocks EVERY fixture host (suffix walk)
+    s_all = run_curation_job(spark, pages, str(tmp_path / "allblocked"),
+                             blocklist=["example.com"])
+    assert s_all["after_blocklist"] == 0 and s_all["final_docs"] == 0
+
+    # bloom == exact decontamination, end to end
+    base = run_curation_job(spark, pages, str(tmp_path / "dbase"))
+    bench = str(tmp_path / "dbench")
+    spark.read.parquet(os.path.join(str(tmp_path / "dbase"), "corpus")) \
+        .orderBy("url").limit(4).select("text").write.parquet(bench)
+    se = run_curation_job(spark, pages, str(tmp_path / "dexact"),
+                          decontaminate_path=bench,
+                          decontaminate_mode="exact")
+    sb = run_curation_job(spark, pages, str(tmp_path / "dbloom"),
+                          decontaminate_path=bench,
+                          decontaminate_mode="bloom")
+    assert sb["after_decontamination"] == se["after_decontamination"] \
+        == base["final_docs"] - 4
+    a = {tuple(r) for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "dexact"), "corpus")).collect()}
+    b = {tuple(r) for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "dbloom"), "corpus")).collect()}
+    assert a == b

@@ -386,3 +386,58 @@ def test_temperature_fractions_token_weighted(spark):
     df = spark.createDataFrame(rows, "lang string, tokens int")
     fr = temperature_fractions(df, "lang", alpha=0.5, weight_col="tokens")
     assert fr == {"a": 1.0, "b": 0.5, "c": 0.2}   # sqrt(mass_min/mass)
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets (head/middle/tail quantile banding)
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_tercile_semantics(spark):
+    import numpy as np
+
+    rows = [(i, "en", float(i)) for i in range(30)] \
+        + [(100 + i, "de", float(i * 10)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v double")
+    out = cs.ccnet_buckets(df, "v", "lang", out_col="band")
+    got = {(r["lang"], r["doc_id"]): r["band"] for r in out.collect()}
+    for lang, vals in (("en", [float(i) for i in range(30)]),
+                       ("de", [float(i * 10) for i in range(9)])):
+        c1, c2 = np.quantile(vals, [1.0 / 3.0, 2.0 / 3.0],
+                             method="linear")
+        for (lg, did), band in got.items():
+            if lg != lang:
+                continue
+            v = vals[did % 100]
+            expect = "head" if v <= c1 else ("middle" if v <= c2 else "tail")
+            assert band == expect, (lg, did, v, c1, c2, band)
+
+
+def test_ccnet_buckets_null_group_and_null_values(spark):
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, None, 3.0),
+         (4, "en", None)],
+        "doc_id long, lang string, v double")
+    out = cs.ccnet_buckets(df, "v", "lang", out_col="band").collect()
+    by_id = {r["doc_id"]: r["band"] for r in out}
+    # null group survives (eqNullSafe) and bands within itself
+    assert by_id[1] == "head" and by_id[3] == "tail"
+    # null value → null band, row retained
+    assert 4 in by_id and by_id[4] is None
+
+
+def test_ccnet_buckets_approx_mode_and_errors(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(300)],
+        "doc_id long, lang string, v double")
+    exact = cs.ccnet_buckets(df, "v", "lang", out_col="band")
+    approx = cs.ccnet_buckets(df, "v", "lang", exact=False,
+                              accuracy=10000, out_col="band")
+    # high-accuracy sketch on a small group = same bands
+    assert sorted(map(tuple, exact.collect())) \
+        == sorted(map(tuple, approx.collect()))
+    with pytest.raises(ValueError):
+        cs.ccnet_buckets(df, "v", "lang", cuts=(0.5,),
+                         labels=("a", "b", "c"))
