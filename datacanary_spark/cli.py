@@ -474,6 +474,9 @@ def cmd_curate(args) -> int:
         classifier_model=args.classifier_model,
         classifier_threshold=args.classifier_threshold,
         gopher_repetition=args.gopher_repetition,
+        c4_clean=args.c4_clean,
+        c4_min_line_words=args.c4_min_line_words,
+        c4_require_terminal=not args.c4_no_terminal_punct,
         dsir_target_path=args.dsir_target,
         dsir_keep_fraction=args.dsir_keep_fraction,
         temperature=args.temperature,
@@ -740,6 +743,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop docs violating the Gopher char-weighted "
                          "repetition thresholds (top-2/3/4-gram, "
                          "dup-5..10-gram char fractions)")
+    cu.add_argument("--c4-clean", action="store_true",
+                    help="C4 line-quality cleaning before dedup: drop "
+                         "short / unpunctuated / javascript lines per "
+                         "doc; drop lorem-ipsum and brace docs whole")
+    cu.add_argument("--c4-min-line-words", type=int, default=3)
+    cu.add_argument("--c4-no-terminal-punct", action="store_true",
+                    help="keep lines regardless of terminal punctuation "
+                         "(corpora whose prose is not sentence-"
+                         "punctuated)")
     cu.add_argument("--dsir-target", default=None,
                     help="target-domain table (text column); train a DSIR "
                          "hashed-bigram importance model against the kept "

@@ -517,3 +517,74 @@ def ccnet_length_bands_by_lang(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.bround(F.avg(F.col("n_chars").cast("double")), 6)
         .alias("avg_chars"))
+
+
+# ---------------------------------------------------------------------------
+# C4 line-quality cleaning (text_analysis.c4_clean)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c4_line_clean_stats",
+    r"""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             substring(text, 1, 80) || ' end of sentence.' || chr(10) ||
+             'MENU' || chr(10) ||
+             'Enable JavaScript to continue viewing.' || chr(10) ||
+             'click here for more' ||
+             CASE WHEN doc_id % 10 = 0
+                    THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+                  WHEN doc_id % 10 = 5
+                    THEN chr(10) || 'function() { return 1; }'
+                  ELSE '' END AS text
+      FROM documents WHERE doc_id < 300
+    ),
+    survivors AS (
+      SELECT doc_id, lang,
+             array_to_string(list_filter(string_split(text, chr(10)),
+               l -> len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                                    x -> x <> '')) >= 3
+                AND right(trim(l), 1) IN ('.', '!', '?', '"')
+                AND NOT contains(lower(trim(l)), 'javascript')),
+               chr(10)) AS cleaned
+      FROM raw
+      WHERE NOT contains(text, '{')
+        AND NOT contains(lower(text), 'lorem ipsum')
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(len(string_split(cleaned, chr(10)))) AS BIGINT)
+             AS lines_kept,
+           CAST(sum(length(cleaned)) AS BIGINT) AS chars_kept
+    FROM survivors WHERE length(cleaned) > 0
+    GROUP BY lang
+    """,
+)
+def c4_line_clean_stats(spark, sf_dir):
+    """C4 line-quality cleaning (Raffel et al. 2020 §2.2) over
+    synthesized multi-line pages: the content line (terminal
+    punctuation, ≥3 words) survives; the menu stub (short), the
+    javascript notice (banned substring) and the unpunctuated
+    call-to-action are removed; docs planted with "lorem ipsum" or a
+    curly brace are dropped whole. Narrow per-row expressions — no
+    shuffle; the oracle replays line construction AND filtering."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    base = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 80), F.lit(" end of sentence.")),
+        F.lit("MENU"),
+        F.lit("Enable JavaScript to continue viewing."),
+        F.lit("click here for more"))
+    extra = F.when(F.col("doc_id") % 10 == 0,
+                   F.lit("\nLorem Ipsum dolor sit amet.")) \
+             .when(F.col("doc_id") % 10 == 5,
+                   F.lit("\nfunction() { return 1; }")) \
+             .otherwise(F.lit(""))
+    corpus = d.select("doc_id", "lang",
+                      F.concat(base, extra).alias("text"))
+    out = ta.c4_clean(corpus)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum(F.size(F.split("text", "\n"))).alias("lines_kept"),
+        F.sum(F.length("text")).alias("chars_kept"))

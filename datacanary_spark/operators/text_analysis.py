@@ -300,3 +300,70 @@ def filter_blocked_domains(df, blocklist, url_col: str = "url",
     blocked_ids = (exploded.join(F.broadcast(bl), "domain", "left_semi")
                    .select(id_col).distinct())
     return out.join(blocked_ids, id_col, "left_anti").drop("_bl_host")
+
+
+def c4_line_keep_pred(line: Column, min_words: int = 3,
+                      require_terminal: bool = True,
+                      ban_substrings: tuple[str, ...] = ("javascript",)):
+    """C4's per-line retention rule (Raffel et al. 2020 §2.2): a line
+    survives iff it has ≥ ``min_words`` whitespace tokens, ends in
+    terminal punctuation (``. ! ? "``, checked on the trimmed line),
+    and contains none of ``ban_substrings`` case-insensitively
+    ("javascript" in the paper — cookie/JS boilerplate). Pure
+    expression, usable inside a ``filter()`` lambda."""
+    t = F.trim(line)
+    wc = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")))
+    keep = wc >= F.lit(min_words)
+    if require_terminal:
+        keep = keep & F.substring(t, -1, 1).isin(".", "!", "?", '"')
+    low = F.lower(t)
+    for b in ban_substrings:
+        keep = keep & ~low.contains(b.lower())
+    return keep
+
+
+def c4_doc_drop_pred(text_col: Column,
+                     drop_brace: bool = True,
+                     ban_phrases: tuple[str, ...] = ("lorem ipsum",)):
+    """C4's whole-document drop rule: pages containing a curly brace
+    (source code) or any banned phrase ("lorem ipsum") are removed
+    outright. Null text is NOT dropped here — the quality filter owns
+    the null-text policy."""
+    low = F.lower(text_col)
+    drop = F.lit(False)
+    if drop_brace:
+        drop = drop | text_col.contains("{")
+    for p in ban_phrases:
+        drop = drop | low.contains(p.lower())
+    return F.when(text_col.isNull(), F.lit(False)).otherwise(drop)
+
+
+def c4_clean(df, text_col: str = "text", min_words: int = 3,
+             require_terminal: bool = True,
+             ban_substrings: tuple[str, ...] = ("javascript",),
+             drop_brace: bool = True,
+             ban_phrases: tuple[str, ...] = ("lorem ipsum",),
+             drop_empty: bool = True):
+    """C4 cleaning stage: drop junk documents, then drop junk LINES
+    inside the survivors and re-join the rest with newlines. This is
+    the line-QUALITY half of C4; the line-DEDUP half is
+    dedup.dedup_lines (three-sentence-span dedup in the paper).
+
+    Scale: entirely narrow per-row expressions — no shuffle, no
+    Python, pipelined with the scan; cost is O(bytes). Null text
+    passes through unchanged (the filter pipeline owns null policy);
+    docs whose every line is junk become empty and are dropped when
+    ``drop_empty`` (their text was 100% boilerplate).
+    """
+    col = F.col(text_col)
+    out = df.where(~c4_doc_drop_pred(col, drop_brace, ban_phrases))
+    kept_lines = F.filter(
+        F.split(col, "\n"),
+        lambda ln: c4_line_keep_pred(ln, min_words, require_terminal,
+                                     ban_substrings))
+    cleaned = F.when(col.isNull(), F.lit(None).cast("string")) \
+        .otherwise(F.array_join(kept_lines, "\n"))
+    out = out.withColumn(text_col, cleaned)
+    if drop_empty:
+        out = out.where(col.isNull() | (F.length(col) > 0))
+    return out

@@ -68,6 +68,9 @@ def run_curation_job(
     classifier_threshold: float = 0.5,
     gopher_repetition: bool = False,
     repetition_cfg=None,
+    c4_clean: bool = False,
+    c4_min_line_words: int = 3,
+    c4_require_terminal: bool = True,
     dsir_target_path: str | None = None,
     dsir_keep_fraction: float = 0.5,
     temperature: float | None = None,
@@ -85,7 +88,12 @@ def run_curation_job(
     ``blocklist`` (a domain list, or a path to a table with a
     ``domain`` column) drops docs whose url host or any parent domain
     is listed, BEFORE any content processing — the UT1-style
-    origin-level filter.
+    origin-level filter. ``c4_clean`` enables C4's line-quality pass
+    (short / unpunctuated / javascript lines removed per doc;
+    lorem-ipsum and brace docs dropped whole) before dedup so
+    boilerplate lines never reach a fingerprint; set
+    ``c4_require_terminal=False`` for corpora whose prose is not
+    sentence-punctuated.
     ``host_cap`` keeps at most N docs per url host (deterministic hash
     order — the C4/Gopher anti-spam step), applied after dedup so caps
     count unique content, before mixing so fractions see the capped
@@ -197,6 +205,20 @@ def run_curation_job(
             kept = scope.persist(
                 rep.where(n_hits == 0).select(*kept.columns))
             summary["after_repetition_filter"] = kept.count()
+
+        if c4_clean:
+            from datacanary_spark.operators.text_analysis import (
+                c4_clean as c4_clean_op,
+            )
+
+            # line-QUALITY cleaning before any dedup: boilerplate lines
+            # removed here never enter a fingerprint or shingle set, so
+            # every later stage hashes less text
+            kept = scope.persist(c4_clean_op(
+                kept, text_col="text",
+                min_words=c4_min_line_words,
+                require_terminal=c4_require_terminal))
+            summary["after_c4_clean"] = kept.count()
 
         stage = scope.persist(dedup_exact(kept, id_col="url", text_col="text"))
         summary["after_exact_dedup"] = stage.count()

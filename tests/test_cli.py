@@ -1032,3 +1032,30 @@ def test_curate_blocklist_and_bloom_decontamination(spark, tmp_path, capsys):
     b = {tuple(r) for r in spark.read.parquet(
         os.path.join(str(tmp_path / "dbloom"), "corpus")).collect()}
     assert a == b
+
+
+def test_curate_c4_clean_stage(spark, tmp_path, capsys):
+    """--c4-clean removes boilerplate lines before dedup; fixture prose
+    has no terminal punctuation, so the corpus-appropriate config is
+    --c4-no-terminal-punct with a line-length floor that kills the
+    planted short boilerplate lines."""
+    from pyspark.sql import functions as F2
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "120",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "c4")
+    assert main(["curate", "--input", pages, "--output", out,
+                 "--c4-clean", "--c4-no-terminal-punct",
+                 "--c4-min-line-words", "5"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["kept"] >= s["after_c4_clean"] > 0
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    # fixture boilerplate lines ("SHARED HEADER ..."-style stubs) are
+    # under 5 words; none may survive inside any document
+    short_lines = corpus.select(
+        F2.explode(F2.split("text", "\n")).alias("l")) \
+        .where(F2.size(F2.filter(F2.split(F2.trim("l"), r"\s+"),
+                                 lambda w: w != F2.lit(""))) < 5)
+    assert short_lines.count() == 0
