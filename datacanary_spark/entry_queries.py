@@ -529,6 +529,8 @@ _TAIL_ROTATION = [
     "quality_score_distribution",  # r04b: room for bloom_decontam_by_lang
     "mad_nchars_by_lang",  # r04b: room for blocklist_survivors_by_lang
     "session_window_stats",  # r04b: room for ccnet_length_bands_by_lang
+    "events_rolling_hourly",  # r04b: room for tfidf_top_terms_docs
+    "doc_length_deciles_by_lang",  # r04b: room for host_reputation_scores
     "profile_numeric_nchars",
     "profile_string_text",
     "profile_timestamp_events",

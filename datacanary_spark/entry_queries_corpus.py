@@ -588,3 +588,85 @@ def c4_line_clean_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("docs_kept"),
         F.sum(F.size(F.split("text", "\n"))).alias("lines_kept"),
         F.sum(F.length("text")).alias("chars_kept"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (corpus_stats.tfidf_top_terms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents WHERE doc_id < 60
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n
+          FROM documents WHERE doc_id < 60),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) * ln(n / df) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS INT)
+             AS rank,
+           round(score, 6) AS score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) <= 3
+    """,
+)
+def tfidf_top_terms_docs(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (tf · ln(N/df), raw counts):
+    the oracle recomputes tf, df, N and the ln weighting — training
+    and scoring both cross-checked, like the DSIR model. Corpus size N
+    enters as a single-row broadcast cross join, never a collect."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    out = cs.tfidf_top_terms(d, "text", "doc_id", k=3)
+    return out.select("doc_id", "term", "tf", "df", "rank",
+                      F.bround("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Host reputation aggregates (corpus_stats.host_reputation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "host_reputation_scores",
+    r"""
+    WITH raw AS (
+      SELECT 'h' || (doc_id % 7) || '.example.org' AS host, text
+      FROM documents WHERE doc_id < 350
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(trim(lower(
+             regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
+             AS n_distinct,
+           round(avg(CAST(length(text) AS DOUBLE)), 6) AS mean_chars,
+           round(CAST(count(DISTINCT md5(trim(lower(
+             regexp_replace(text, '\s+', ' ', 'g'))))) AS DOUBLE)
+             / count(*), 6) AS distinct_ratio
+    FROM raw GROUP BY host
+    """,
+)
+def host_reputation_scores(spark, sf_dir):
+    """Per-host reputation table (doc count, distinct-content count,
+    mean length, distinct ratio) over constructed hosts — the fixture's
+    planted cross-source duplicates push distinct_ratio below 1 for
+    every host bucket, which is exactly the signal a domain-level
+    filter thresholds on. Exact count_distinct here (oracle mode);
+    ``approx=True`` is the HLL++ 10^12-doc mode."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 350)
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".example.org/p/"), F.col("doc_id").cast("string"))
+    docs = d.select(url.alias("url"), "text")
+    return cs.host_reputation(docs)

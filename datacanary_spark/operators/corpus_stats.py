@@ -400,3 +400,90 @@ def ccnet_buckets(df: DataFrame, value_col: str, group_col: str,
                           F.when(v.isNull(), F.lit(None).cast("string"))
                            .otherwise(band))
               .drop("_g", "_cuts"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    min_df: int = 1) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword-extraction
+    primitive (doc summarization, near-dup explanations, index keys).
+
+    score(t, d) = tf(t, d) · ln(N / df(t)), natural log, raw counts —
+    the classic formulation, chosen because every factor is an integer
+    until the final ln/multiply, so the DuckDB oracle reproduces it
+    bit-for-bit (same discipline as DSIR's ln-ratio model).
+
+    Plan: explode words → (id, term) count [shuffle 1, map-side
+    partials] → term document frequencies from the SAME aggregate
+    [shuffle 2 over |vocab| rows, not corpus rows] → join df back
+    [broadcastable: vocabulary is Heaps-law sublinear] → corpus size N
+    as a single-row scalar broadcast cross join (never collect) →
+    per-doc top-k window over each doc's OWN vocabulary (bounded by
+    doc length, no hot partition). ``min_df`` prunes hapax noise
+    before the join. Tie-break: score desc, term asc.
+    """
+    tf = (df.select(F.col(id_col),
+                    F.explode(words_expr(F.col(text_col))).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("term")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") >= min_df))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (tf.join(dfreq, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn("score",
+                            F.col("tf").cast("double")
+                            * F.log(F.col("_n") / F.col("df")))
+                .drop("_n"))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def host_reputation(df: DataFrame, url_col: str = "url",
+                    quality_col: str | None = None,
+                    text_col: str = "text",
+                    min_docs: int = 1,
+                    approx: bool = False) -> DataFrame:
+    """Per-host reputation aggregates — the table a crawl scheduler or
+    domain-level filter consumes: doc count, distinct-content ratio
+    (1 − duplicate fraction by normalized fingerprint), mean document
+    length, and mean quality score when a score column exists.
+
+    One groupBy on the parsed host (same extraction rule as the
+    blocklist — lowercased, port stripped; null hosts are excluded:
+    a reputation for "unknown origin" would be meaningless and its
+    group unboundedly hot). ``approx=True`` swaps the distinct-content
+    count to approx_count_distinct (HLL++, O(1) state per host — the
+    10^12-doc mode); the exact count_distinct default is the oracle
+    form. Map-side partials make the shuffle O(hosts).
+    """
+    from datacanary_spark.operators.text_analysis import (
+        blocklist_host_expr,
+        content_fingerprint,
+    )
+
+    host = blocklist_host_expr(F.col(url_col))
+    base = (df.withColumn("_host", host)
+              .where(F.col("_host").isNotNull())
+              .withColumn("_fp", content_fingerprint(F.col(text_col))))
+    distinct = (F.approx_count_distinct(F.col("_fp")) if approx
+                else F.count_distinct(F.col("_fp")))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        distinct.alias("n_distinct"),
+        F.bround(F.avg(F.length(F.col(text_col)).cast("double")), 6)
+        .alias("mean_chars"),
+    ]
+    if quality_col is not None:
+        aggs.append(F.bround(F.avg(F.col(quality_col).cast("double")), 6)
+                    .alias("mean_quality"))
+    out = (base.groupBy(F.col("_host").alias("host")).agg(*aggs)
+               .where(F.col("n_docs") >= min_docs))
+    return out.withColumn(
+        "distinct_ratio",
+        F.bround(F.col("n_distinct").cast("double")
+                 / F.col("n_docs").cast("double"), 6))

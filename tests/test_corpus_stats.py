@@ -441,3 +441,71 @@ def test_ccnet_buckets_approx_mode_and_errors(spark):
     with pytest.raises(ValueError):
         cs.ccnet_buckets(df, "v", "lang", cuts=(0.5,),
                          labels=("a", "b", "c"))
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms / host_reputation
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_matches_hand_computation(spark):
+    import math
+
+    docs = [(1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry date date date")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = cs.tfidf_top_terms(df, "text", "doc_id", k=2)
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["df"],
+                                      round(r["score"], 10), r["rank"])
+           for r in out.collect()}
+    # df: apple 1, banana 2, cherry 2, date 1 ; N = 3
+    assert got[(1, "apple")] == (2, 1, round(2 * math.log(3 / 1), 10), 1)
+    assert got[(1, "banana")] == (1, 2, round(math.log(3 / 2), 10), 2)
+    assert got[(3, "date")][3] == 1 and got[(3, "cherry")][3] == 2
+    # k bound respected
+    assert all(r[3] <= 2 for r in got.values())
+
+
+def test_tfidf_min_df_prunes_and_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "zz aa"), (2, "aa zz")], "doc_id long, text string")
+    # equal scores → term asc wins
+    out = cs.tfidf_top_terms(df, "text", "doc_id", k=1)
+    assert {(r["doc_id"], r["term"]) for r in out.collect()} \
+        == {(1, "aa"), (2, "aa")}
+    # min_df=2 keeps both shared terms; a hapax would vanish
+    df2 = spark.createDataFrame(
+        [(1, "aa unique"), (2, "aa")], "doc_id long, text string")
+    out2 = cs.tfidf_top_terms(df2, "text", "doc_id", k=5, min_df=2)
+    assert {r["term"] for r in out2.collect()} == {"aa"}
+
+
+def test_host_reputation_semantics(spark):
+    rows = [
+        (f"https://good.com/{i}", f"unique text {i}", 0.9) for i in range(4)
+    ] + [
+        ("https://spam.com/1", "same spam text", 0.2),
+        ("https://spam.com/2", "same spam text", 0.4),
+        ("https://SPAM.com:8080/3", "same  spam   text", 0.6),  # ws-variant
+        (None, "orphan", 0.5),               # null url → excluded
+        ("not-a-url", "orphan2", 0.5),       # unparseable → excluded
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, q double")
+    out = {r["host"]: r for r in
+           cs.host_reputation(df, quality_col="q").collect()}
+    assert set(out) == {"good.com", "spam.com"}
+    g, s = out["good.com"], out["spam.com"]
+    assert g["n_docs"] == 4 and g["n_distinct"] == 4
+    assert g["distinct_ratio"] == 1.0 and g["mean_quality"] == 0.9
+    # normalization collapses the whitespace variant onto one fingerprint
+    assert s["n_docs"] == 3 and s["n_distinct"] == 1
+    assert s["distinct_ratio"] == round(1 / 3, 6)
+    assert s["mean_quality"] == round((0.2 + 0.4 + 0.6) / 3, 6)
+    # min_docs filter
+    only = cs.host_reputation(df, min_docs=4).collect()
+    assert [r["host"] for r in only] == ["good.com"]
+    # approx mode returns same counts at this scale (HLL exact for tiny sets)
+    ax = {r["host"]: r["n_distinct"]
+          for r in cs.host_reputation(df, approx=True).collect()}
+    assert ax == {"good.com": 4, "spam.com": 1}
