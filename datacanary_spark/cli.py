@@ -384,9 +384,11 @@ def cmd_ingest_stream(args) -> int:
     return 0
 
 
-def parse_fractions(spec: str) -> dict[str, float]:
+def parse_fractions(spec: str, max_value: float | None = 1.0) -> dict[str, float]:
     """Parse ``stratum=frac,…`` mixing specs (single validation point
-    for the sample/curate CLI and jobs/curate_job.py)."""
+    for the sample/curate CLI and jobs/curate_job.py). ``max_value``
+    None lifts the upper bound for epoch-weight specs (--epochs), where
+    weights above 1 mean replication."""
     out: dict[str, float] = {}
     for part in spec.split(","):
         stratum, sep, frac = part.partition("=")
@@ -398,9 +400,11 @@ def parse_fractions(spec: str) -> dict[str, float]:
         except ValueError:
             raise SystemExit(f"bad --fractions value in {part!r}: "
                              f"{frac!r} is not a number") from None
-        if not 0.0 <= f <= 1.0:
+        if f < 0.0 or (max_value is not None and f > max_value):
+            bound = "[0, 1]" if max_value == 1.0 else f"[0, {max_value}]" \
+                if max_value is not None else "[0, inf)"
             raise SystemExit(
-                f"--fractions value out of [0, 1] in {part!r}")
+                f"--fractions value out of {bound} in {part!r}")
         if stratum in out:
             raise SystemExit(f"duplicate stratum in --fractions: {stratum!r}")
         out[stratum] = f
@@ -480,7 +484,9 @@ def cmd_curate(args) -> int:
         dsir_target_path=args.dsir_target,
         dsir_keep_fraction=args.dsir_keep_fraction,
         temperature=args.temperature,
-        temperature_weight_col=args.temperature_weight_col)
+        temperature_weight_col=args.temperature_weight_col,
+        epoch_weights=(parse_fractions(args.epochs, max_value=None)
+                       if args.epochs else None))
     print(json.dumps(summary, sort_keys=True))
     return 0
 
@@ -766,6 +772,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--temperature-weight-col", default=None,
                     help="weight the temperature mass by this column's "
                          "sum instead of doc count")
+    cu.add_argument("--epochs", default=None,
+                    help="mixture upsampling, e.g. en=2.5,de=1.0: "
+                         "replicate strata to fractional epoch counts "
+                         "(weights may exceed 1; mutually exclusive "
+                         "with --fractions/--temperature); output rows "
+                         "carry an epoch column")
     cu.set_defaults(fn=cmd_curate)
 
     tc = sub.add_parser("train-classifier",

@@ -531,6 +531,7 @@ _TAIL_ROTATION = [
     "session_window_stats",  # r04b: room for ccnet_length_bands_by_lang
     "events_rolling_hourly",  # r04b: room for tfidf_top_terms_docs
     "doc_length_deciles_by_lang",  # r04b: room for host_reputation_scores
+    "langid_rules_confusion",  # r04b: room for epoch_upsample_by_lang
     "profile_numeric_nchars",
     "profile_string_text",
     "profile_timestamp_events",

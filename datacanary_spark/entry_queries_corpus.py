@@ -670,3 +670,52 @@ def host_reputation_scores(spark, sf_dir):
                    F.lit(".example.org/p/"), F.col("doc_id").cast("string"))
     docs = d.select(url.alias("url"), "text")
     return cs.host_reputation(docs)
+
+
+# ---------------------------------------------------------------------------
+# Epoch upsampling (corpus_stats.epoch_upsample)
+# ---------------------------------------------------------------------------
+
+_UP_W = {"en": 2.5, "de": 1.0, "fr": 0.25}
+_UP_THR = {s: cs._hex_threshold(w - int(w)) for s, w in _UP_W.items()
+           if 0.0 < w - int(w) < 1.0}
+
+
+@register(
+    "epoch_upsample_by_lang",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 0 ELSE 1 END
+             + CASE lang
+                 WHEN 'en' THEN CASE WHEN substring(md5('upsample:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8) < '{_UP_THR["en"]}'
+                   THEN 1 ELSE 0 END
+                 WHEN 'fr' THEN CASE WHEN substring(md5('upsample:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8) < '{_UP_THR["fr"]}'
+                   THEN 1 ELSE 0 END
+                 ELSE 0 END AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_src_docs,
+           CAST(max(n) - 1 AS INT) AS max_epoch,
+           CAST(sum(doc_id * n) AS BIGINT) AS sum_ids
+    FROM c GROUP BY lang
+    """,
+)
+def epoch_upsample_by_lang(spark, sf_dir):
+    """Mixture upsampling (LLaMA-style fractional epochs: en 2.5×,
+    de 1.0×, fr 0.25×, default 1.0×): every en doc appears twice plus
+    a deterministic md5-selected half once more; fr keeps a quarter.
+    The oracle recomputes the copy count per doc from the same salt:key
+    bucket rule, so replica MEMBERSHIP (sum_ids weights each doc by its
+    copy count) is pinned, not just totals."""
+    d = _t(spark, sf_dir, "documents")
+    up = cs.epoch_upsample(d, "lang", _UP_W, "doc_id")
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_src_docs"),
+        F.max("epoch").cast("int").alias("max_epoch"),
+        F.sum("doc_id").alias("sum_ids"))

@@ -487,3 +487,60 @@ def host_reputation(df: DataFrame, url_col: str = "url",
         "distinct_ratio",
         F.bround(F.col("n_distinct").cast("double")
                  / F.col("n_docs").cast("double"), 6))
+
+
+def epoch_upsample(df: DataFrame, strata_col: str,
+                   weights: dict[str, float], key_col: str,
+                   default_weight: float = 1.0,
+                   epoch_col: str = "epoch",
+                   salt: str = "upsample") -> DataFrame:
+    """Mixture upsampling: replicate each stratum's docs to a target
+    epoch weight — the OTHER half of corpus mixing. hash_stratified_
+    sample / temperature_sample can only keep fractions ≤ 1; training
+    mixtures (LLaMA-style: Wikipedia 2.45 epochs, Books 2.23, web 1.0)
+    need docs REPEATED a fractional number of times.
+
+    A doc in a stratum with weight ``w`` appears ``floor(w)`` times,
+    plus once more iff the sampler's hash bucket of its key falls
+    below ``w − floor(w)`` — the SAME md5 bucket rule as every other
+    sampling entry point (`_bucket_expr`), so the replica set is a
+    pure function of content: identical on any partitioning, cluster
+    size, or engine, and E[copies] = w exactly. Copies carry
+    ``epoch_col`` = 0..n−1 so downstream packing/sharding can
+    interleave epochs instead of emitting them back-to-back.
+
+    Plan: one narrow projection (literal weight CASE + hash compare)
+    → explode(sequence(0, n_copies−1)) — no shuffle, no join; output
+    rows ≈ Σ w_s·|stratum|. Weight 0 drops the stratum (explode of an
+    empty sequence); strata not listed get ``default_weight``. Null
+    strata take the default too (an unknown stratum is not evidence
+    the doc should vanish).
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}: {w}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight: {default_weight}")
+
+    def n_copies_expr(w: float) -> Column:
+        base = int(w)
+        frac = w - base
+        extra = (F.lit(1).cast("int")
+                 if frac >= 1.0 else
+                 (F.lit(0).cast("int") if frac <= 0.0 else
+                  (_bucket_expr(F.col(key_col), salt)
+                   < F.lit(_hex_threshold(frac))).cast("int")))
+        return F.lit(base) + extra
+
+    copies = None
+    for s, w in weights.items():
+        c = F.when(F.col(strata_col).eqNullSafe(F.lit(s)), n_copies_expr(w))
+        copies = c if copies is None else copies.when(
+            F.col(strata_col).eqNullSafe(F.lit(s)), n_copies_expr(w))
+    copies = (copies.otherwise(n_copies_expr(default_weight))
+              if copies is not None else n_copies_expr(default_weight))
+    return (df.withColumn("_n", copies)
+              .where(F.col("_n") > 0)
+              .withColumn(epoch_col,
+                          F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+              .drop("_n"))

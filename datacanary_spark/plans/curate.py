@@ -75,6 +75,7 @@ def run_curation_job(
     dsir_keep_fraction: float = 0.5,
     temperature: float | None = None,
     temperature_weight_col: str | None = None,
+    epoch_weights: dict[str, float] | None = None,
 ) -> dict:
     """Run the composed curation pipeline; returns stage-count summary.
 
@@ -128,10 +129,16 @@ def run_curation_job(
     (``n^alpha`` rebalancing; ``temperature_weight_col`` switches the
     mass from doc count to a column sum, e.g. token counts) — computed
     after dedup/cap/decontamination so the rebalance sees the corpus
-    that will actually be sampled.
+    that will actually be sampled. ``epoch_weights`` (mutually
+    exclusive with both) REPLICATES strata instead: weight 2.5 emits
+    every doc twice plus a deterministic half once more
+    (corpus_stats.epoch_upsample), with an ``epoch`` column in the
+    output corpus for downstream interleaving.
     """
-    if temperature is not None and fractions:
-        raise ValueError("pass at most one of fractions / temperature")
+    if sum(x is not None and x != {} for x in
+           (fractions, temperature, epoch_weights)) > 1:
+        raise ValueError(
+            "pass at most one of fractions / temperature / epoch_weights")
     t0 = time.time()
     scope = CacheScope()
     blocklist_count = None
@@ -311,6 +318,16 @@ def run_curation_job(
         if fractions:
             stage = hash_stratified_sample(stage, strata_col, fractions, key_col)
             summary["sampled"] = stage.count()
+
+        if epoch_weights:
+            from datacanary_spark.operators.corpus_stats import epoch_upsample
+
+            # fractional-epoch replication (weights may exceed 1): the
+            # output carries an `epoch` column so packing/sharding can
+            # interleave replicas instead of emitting them back-to-back
+            stage = epoch_upsample(stage, strata_col, epoch_weights, key_col)
+            carry.append("epoch")
+            summary["upsampled_rows"] = stage.count()
 
         corpus_dir = os.path.join(output_path, "corpus")
         # pin the output schema: the line-dedup join reorders columns, and

@@ -1059,3 +1059,48 @@ def test_curate_c4_clean_stage(spark, tmp_path, capsys):
         .where(F2.size(F2.filter(F2.split(F2.trim("l"), r"\s+"),
                                  lambda w: w != F2.lit(""))) < 5)
     assert short_lines.count() == 0
+
+
+def test_curate_epoch_upsampling(spark, tmp_path, capsys):
+    """--epochs replicates strata to fractional epoch counts after
+    dedup; output rows carry an epoch column and the replica set is
+    deterministic (identical across re-runs)."""
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "100",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    def run(out):
+        assert main(["curate", "--input", pages, "--output", out,
+                     "--epochs", "en=2.5,de=1.0,fr=0.25"]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    s = run(str(tmp_path / "up1"))
+    corpus = spark.read.parquet(os.path.join(str(tmp_path / "up1"), "corpus"))
+    assert "epoch" in corpus.columns
+    assert s["upsampled_rows"] == s["final_docs"] == corpus.count()
+    from pyspark.sql import functions as F2
+
+    en_counts = {r["count"] for r in
+                 corpus.where(F2.col("lang_pred") == "en")
+                 .groupBy("url").count().collect()}
+    assert en_counts <= {2, 3} and en_counts
+    # epochs are contiguous per doc
+    bad = corpus.groupBy("url").agg(
+        F2.count(F2.lit(1)).alias("n"), F2.max("epoch").alias("m")) \
+        .where(F2.col("m") != F2.col("n") - 1).count()
+    assert bad == 0
+    # mutual exclusion with --fractions
+    import pytest
+
+    with pytest.raises(ValueError):
+        from datacanary_spark.plans.curate import run_curation_job
+
+        run_curation_job(spark, pages, str(tmp_path / "bad"),
+                         fractions={"en": 1.0}, epoch_weights={"en": 2.0})
+
+    s2 = run(str(tmp_path / "up2"))
+    a = sorted(tuple(r) for r in corpus.collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "up2"), "corpus")).collect())
+    assert a == b

@@ -509,3 +509,69 @@ def test_host_reputation_semantics(spark):
     ax = {r["host"]: r["n_distinct"]
           for r in cs.host_reputation(df, approx=True).collect()}
     assert ax == {"good.com": 4, "spam.com": 1}
+
+
+# ---------------------------------------------------------------------------
+# epoch_upsample (fractional-epoch mixture replication)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_upsample_copy_counts_and_epochs(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 40 else ("fr" if i < 60 else "de"))
+         for i in range(80)],
+        "doc_id long, lang string")
+    up = cs.epoch_upsample(df, "lang", {"en": 2.5, "fr": 0.25}, "doc_id")
+    rows = up.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # en docs: 2 or 3 copies, epochs contiguous from 0
+    en_counts = {d: sorted(e) for d, e in by_doc.items() if d < 40}
+    assert all(e == list(range(len(e))) for e in en_counts.values())
+    assert set(map(len, en_counts.values())) == {2, 3}
+    # expected fraction of 3-copy docs ~ 0.5 (deterministic, just sane)
+    n3 = sum(1 for e in en_counts.values() if len(e) == 3)
+    assert 10 <= n3 <= 30
+    # fr: kept docs have exactly 1 copy; some dropped
+    fr = [d for d in by_doc if 40 <= d < 60]
+    assert 0 < len(fr) < 20
+    assert all(len(by_doc[d]) == 1 for d in fr)
+    # de (unlisted) gets default weight 1.0 → exactly once
+    assert all(len(by_doc[d]) == 1 for d in by_doc if d >= 60)
+
+
+def test_epoch_upsample_determinism_and_membership_rule(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(50)], "doc_id long, lang string")
+    up1 = sorted(map(tuple, cs.epoch_upsample(
+        df, "lang", {"en": 1.5}, "doc_id").collect()))
+    up2 = sorted(map(tuple, cs.epoch_upsample(
+        df.repartition(7), "lang", {"en": 1.5}, "doc_id").collect()))
+    assert up1 == up2  # partitioning-invariant
+    # replica membership == the sampler's md5 rule, recomputed in Python
+    thr = cs._hex_threshold(0.5)
+    for doc_id in range(50):
+        h = hashlib.md5(f"upsample:{doc_id}".encode()).hexdigest()[:8]
+        expect = 2 if h < thr else 1
+        got = sum(1 for t in up1 if t[0] == doc_id)
+        assert got == expect, (doc_id, h, thr)
+
+
+def test_epoch_upsample_edges(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "doc_id long, lang string")
+    # weight 0 drops the stratum; null stratum takes the default
+    up = cs.epoch_upsample(df, "lang", {"a": 0.0, "b": 3.0}, "doc_id",
+                           default_weight=2.0)
+    got = {r["doc_id"]: r["epoch"] for r in up.collect()}
+    counts = {d: sum(1 for r in up.collect() if r["doc_id"] == d)
+              for d in (1, 2, 3)}
+    assert counts == {1: 0, 2: 3, 3: 2}
+    assert got[2] in (0, 1, 2)
+    with pytest.raises(ValueError):
+        cs.epoch_upsample(df, "lang", {"a": -1.0}, "doc_id")
