@@ -570,7 +570,7 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k_shingle: int = 5,
-                   n_hashes: int = 16, bands: int = 4,
+                   n_hashes: int = 16, bands: int | str = 4,
                    threshold: float = 0.7,
                    hash_fn: str = "md5",
                    persist: bool = True) -> DataFrame:
@@ -580,7 +580,20 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     throughput, Spark-only — keep md5 when oracle parity matters). The
     Jaccard verify stage is hash-independent, so both modes agree on
     every pair whose candidates survive LSH in both.
+
+    ``bands="auto"`` calibrates the banding to the requested Jaccard
+    ``threshold`` (functions/lsh_tuning.py::choose_bands, slightly
+    FP-leaning: LSH false positives are filtered by the exact verify
+    stage here, false negatives are unrecoverable). The default 4
+    bands × 4 rows has its S-curve inflection at 0.25^0.25 ≈ 0.707 —
+    already matched to the default threshold; "auto" matters when the
+    caller moves the threshold or pays for a longer signature.
     """
+    if bands == "auto":
+        from datacanary_spark.functions.lsh_tuning import choose_bands
+
+        bands, _ = choose_bands(n_hashes, threshold,
+                                fp_weight=0.4, fn_weight=0.6)
     cands = lsh_candidate_pairs(df, id_col, text_col, k_shingle, n_hashes,
                                 bands, hash_fn=hash_fn, persist=persist)
     j = jaccard_for_pairs(df, cands, id_col, text_col, k_shingle,
