@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -384,29 +385,36 @@ def cmd_ingest_stream(args) -> int:
     return 0
 
 
-def parse_fractions(spec: str, max_value: float | None = 1.0) -> dict[str, float]:
+def parse_fractions(spec: str, max_value: float | None = 1.0,
+                    flag: str = "--fractions") -> dict[str, float]:
     """Parse ``stratum=frac,…`` mixing specs (single validation point
     for the sample/curate CLI and jobs/curate_job.py). ``max_value``
     None lifts the upper bound for epoch-weight specs (--epochs), where
-    weights above 1 mean replication."""
+    weights above 1 mean replication; values must still be FINITE
+    (nan/inf would pass a naive range check — `not 0 <= nan <= 1` is
+    the only form that catches nan — and then crash deep inside the
+    job's final sampling stage instead of at the command line).
+    ``flag`` names the actual CLI flag in error messages."""
+    import math
+
     out: dict[str, float] = {}
     for part in spec.split(","):
         stratum, sep, frac = part.partition("=")
         if not sep or not stratum:
-            raise SystemExit(f"bad --fractions entry: {part!r} "
+            raise SystemExit(f"bad {flag} entry: {part!r} "
                              "(expected stratum=fraction)")
         try:
             f = float(frac)
         except ValueError:
-            raise SystemExit(f"bad --fractions value in {part!r}: "
+            raise SystemExit(f"bad {flag} value in {part!r}: "
                              f"{frac!r} is not a number") from None
-        if f < 0.0 or (max_value is not None and f > max_value):
-            bound = "[0, 1]" if max_value == 1.0 else f"[0, {max_value}]" \
-                if max_value is not None else "[0, inf)"
-            raise SystemExit(
-                f"--fractions value out of {bound} in {part!r}")
+        if not math.isfinite(f) or f < 0.0 \
+                or (max_value is not None and f > max_value):
+            bound = (f"[0, {max_value}]" if max_value is not None
+                     else "[0, inf)")
+            raise SystemExit(f"{flag} value out of {bound} in {part!r}")
         if stratum in out:
-            raise SystemExit(f"duplicate stratum in --fractions: {stratum!r}")
+            raise SystemExit(f"duplicate stratum in {flag}: {stratum!r}")
         out[stratum] = f
     return out
 
@@ -446,13 +454,16 @@ def cmd_sample(args) -> int:
 
 
 def parse_blocklist_arg(arg: str | None) -> list[str] | str | None:
-    """``--blocklist`` disambiguation: anything with a path separator
-    (or URI scheme) is a table path handed to read_table; otherwise a
+    """``--blocklist`` disambiguation: a path separator or an existing
+    local file/dir means a table path handed to read_table; otherwise a
     comma-separated inline domain list (a single domain is a list of
-    one)."""
+    one). The local-existence check catches the silent-no-op trap: a
+    bare cwd-relative table name like ``domains.parquet`` would parse
+    as a one-entry "domain" that no host ever matches, and the job
+    would complete reporting the blocklist applied."""
     if arg is None:
         return None
-    if "/" in arg or "://" in arg:
+    if "/" in arg or os.path.exists(arg):
         return arg
     return [d.strip() for d in arg.split(",") if d.strip()]
 
@@ -485,7 +496,8 @@ def cmd_curate(args) -> int:
         dsir_keep_fraction=args.dsir_keep_fraction,
         temperature=args.temperature,
         temperature_weight_col=args.temperature_weight_col,
-        epoch_weights=(parse_fractions(args.epochs, max_value=None)
+        epoch_weights=(parse_fractions(args.epochs, max_value=None,
+                                       flag="--epochs")
                        if args.epochs else None))
     print(json.dumps(summary, sort_keys=True))
     return 0

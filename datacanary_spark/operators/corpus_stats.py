@@ -534,9 +534,9 @@ def epoch_upsample(df: DataFrame, strata_col: str,
 
     copies = None
     for s, w in weights.items():
-        c = F.when(F.col(strata_col).eqNullSafe(F.lit(s)), n_copies_expr(w))
-        copies = c if copies is None else copies.when(
-            F.col(strata_col).eqNullSafe(F.lit(s)), n_copies_expr(w))
+        cond = F.col(strata_col).eqNullSafe(F.lit(s))
+        copies = (F.when(cond, n_copies_expr(w)) if copies is None
+                  else copies.when(cond, n_copies_expr(w)))
     copies = (copies.otherwise(n_copies_expr(default_weight))
               if copies is not None else n_copies_expr(default_weight))
     return (df.withColumn("_n", copies)

@@ -177,7 +177,8 @@ def decontaminate_bloom(corpus: DataFrame, reference: DataFrame,
                         ref_text_col: str = "text",
                         fpp: float = 1e-3,
                         expected_items: int | None = None,
-                        mode: str = "auto") -> DataFrame:
+                        mode: str = "auto",
+                        persist=False) -> DataFrame:
     """Exact-decontamination semantics (dedup.decontaminate
     ``mode="exact"``) with a Bloom prefilter: corpus docs whose
     normalized content fingerprint appears in the reference are
@@ -193,8 +194,20 @@ def decontaminate_bloom(corpus: DataFrame, reference: DataFrame,
     the 100-TB shuffle the plain anti-join would need disappears.
     Result is EXACTLY the plain anti-join's (no false negatives by
     construction; equality pinned by tests + the driver oracle).
+
+    Plan-shape caveat: the clean/confirm split is a UNION of two
+    branches over ``corpus`` — unpersisted, each branch re-scans the
+    input and re-hashes the fingerprint + k probes. The default leaves
+    that re-scan in place (re-reading a 100-TB parquet corpus twice is
+    usually cheaper than caching it — same judgment call as
+    dedup.decontaminate); pass ``persist=True`` or a CacheScope to pin
+    the fingerprint+probe projection once when the corpus is small or
+    expensive to recompute. ``reference`` is always read twice (bitset
+    build + confirm join) but its distinct-fingerprint frame is
+    reference-sized, not corpus-sized.
     """
     from datacanary_spark.operators.text_analysis import content_fingerprint
+    from datacanary_spark.plans.caching import maybe_persist
 
     ref_fp = (reference
               .select(content_fingerprint(F.col(ref_text_col)).alias("_fp"))
@@ -207,7 +220,8 @@ def decontaminate_bloom(corpus: DataFrame, reference: DataFrame,
     keyed = corpus.withColumn("_fp", content_fingerprint(F.col(text_col)))
     maybe = F.coalesce(might_contain_expr(F.col("_fp"), spec, mode),
                        F.lit(False))
-    clean = keyed.where(~maybe)
-    confirmed_clean = (keyed.where(maybe)
+    keyed = maybe_persist(keyed.withColumn("_maybe", maybe), persist)
+    clean = keyed.where(~F.col("_maybe"))
+    confirmed_clean = (keyed.where(F.col("_maybe"))
                        .join(ref_fp, "_fp", "left_anti"))
-    return clean.unionByName(confirmed_clean).drop("_fp")
+    return clean.unionByName(confirmed_clean).drop("_fp", "_maybe")

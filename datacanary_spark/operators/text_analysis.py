@@ -217,18 +217,25 @@ def winnow_fingerprints(text_col: Column, k: int = 8,
 
 
 def blocklist_host_expr(url_col: Column) -> Column:
-    """Hostname as blocklist matching sees it: lowercased, port
-    stripped, ``www.`` KEPT (a list entry ``example.com`` still matches
-    ``www.example.com`` via the suffix walk — stripping here would only
-    hide an explicit ``www.evil.com`` listing). Same null contract as
-    canonical_url_expr: null / non-hierarchical urls → null host, and
-    null hosts are EXEMPT from blocking (unknown origin is not evidence
-    of a blocked origin)."""
-    host = F.lower(F.regexp_extract(
+    """Hostname as blocklist matching sees it: lowercased, userinfo and
+    port stripped, trailing FQDN dots stripped, ``www.`` KEPT (a list
+    entry ``example.com`` still matches ``www.example.com`` via the
+    suffix walk — stripping here would only hide an explicit
+    ``www.evil.com`` listing). A safety filter must normalize the forms
+    an adversary controls: ``https://x@evil.com/`` (userinfo hides the
+    host from a naive authority regex) and ``https://evil.com./``
+    (trailing-dot FQDN resolves identically in DNS) would otherwise
+    bypass the suffix match while looking filtered. Same null contract
+    as canonical_url_expr: null / non-hierarchical urls → null host,
+    and null hosts are EXEMPT from blocking (unknown origin is not
+    evidence of a blocked origin)."""
+    auth = F.lower(F.regexp_extract(
         url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(host, r":\d+$", "")
+    host = F.regexp_replace(auth, r"^.*@", "")   # userinfo (greedy: last @)
+    host = F.regexp_replace(host, r":\d+$", "")  # port
+    host = F.regexp_replace(host, r"\.+$", "")   # trailing FQDN dot(s)
     hierarchical = url_col.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]")
-    return F.when(url_col.isNull() | ~hierarchical,
+    return F.when(url_col.isNull() | ~hierarchical | (host == ""),
                   F.lit(None).cast("string")).otherwise(host)
 
 

@@ -157,8 +157,13 @@ def run_curation_job(
             bl = (read_table(spark, blocklist)
                   if isinstance(blocklist, str) else list(blocklist))
             n_in = pages.count()
-            pages = filter_blocked_domains(pages, bl, url_col="url",
-                                           id_col="url")
+            # pin the filtered frame: three downstream consumers read it
+            # (the after_blocklist count, the filter stage, docs_in via
+            # the summary) — unpersisted, each re-runs the blocklist
+            # explode/semi-join over the full input
+            pages = scope.persist(
+                filter_blocked_domains(pages, bl, url_col="url",
+                                       id_col="url"))
             blocklist_count = {"docs_in": n_in,
                                "after_blocklist": pages.count()}
         verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
@@ -179,11 +184,12 @@ def run_curation_job(
             verdicts.where(F.col("keep"))
                     .select("url", F.col("scrubbed_text").alias("text"),
                             *carry[2:]))
-        summary = {"docs_in": pages.count(), "kept": kept.count()}
-        if blocklist_count is not None:
-            # docs_in must mean the PRE-blocklist input; the stage's own
-            # removal is visible as docs_in → after_blocklist
-            summary.update(blocklist_count)
+        # docs_in means the PRE-blocklist input; with a blocklist active
+        # the counts were already taken (no extra action — counting the
+        # filtered frame here would re-scan and then be overwritten)
+        summary = dict(blocklist_count) if blocklist_count is not None \
+            else {"docs_in": pages.count()}
+        summary["kept"] = kept.count()
 
         if classifier_model:
             from datacanary_spark.plans.classifier import (
@@ -287,7 +293,8 @@ def run_curation_job(
                 )
 
                 stage = scope.persist(
-                    decontaminate_bloom(stage, reference, text_col="text"))
+                    decontaminate_bloom(stage, reference, text_col="text",
+                                        persist=scope))
             else:
                 stage = scope.persist(
                     decontaminate(stage, reference, id_col="url",

@@ -73,3 +73,44 @@ def test_blocklist_dataframe_input_and_errors(spark):
         ta.filter_blocked_domains(_docs(spark), bl, mode="literal")
     with pytest.raises(ValueError):
         ta.filter_blocked_domains(_docs(spark), BLOCK, mode="bogus")
+
+
+def test_blocklist_adversarial_url_forms(spark):
+    """Forms an adversary controls must not bypass the filter:
+    userinfo hiding the host from a naive authority regex, and
+    trailing-dot FQDNs that resolve identically in DNS."""
+    docs = spark.createDataFrame(
+        [
+            (1, "https://anything@evil.com/x"),     # userinfo
+            (2, "https://a:b@sub.evil.com:99/x"),   # userinfo+port
+            (3, "https://evil.com./x"),             # trailing dot
+            (4, "https://evil.com.:443/x"),         # trailing dot + port
+            (5, "https://clean.org/x"),
+            (6, "https://@/x"),                     # degenerate: no host
+        ],
+        "doc_id long, url string")
+    for mode in ("literal", "join"):
+        out = ta.filter_blocked_domains(docs, ["evil.com"], mode=mode)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        # 6 survives: empty host → null → exempt (unknown origin)
+        assert ids == [5, 6], (mode, ids)
+
+
+def test_parse_blocklist_arg_disambiguation(tmp_path):
+    from datacanary_spark.cli import parse_blocklist_arg
+
+    assert parse_blocklist_arg(None) is None
+    assert parse_blocklist_arg("/data/bl.parquet") == "/data/bl.parquet"
+    assert parse_blocklist_arg("a.com,b.org") == ["a.com", "b.org"]
+    assert parse_blocklist_arg("a.com") == ["a.com"]
+    # a bare cwd-relative table name that EXISTS is a path, not a
+    # one-entry "domain" that silently never matches
+    import os
+    p = tmp_path / "domains.parquet"
+    p.write_text("x")
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert parse_blocklist_arg("domains.parquet") == "domains.parquet"
+    finally:
+        os.chdir(old)

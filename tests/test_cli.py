@@ -1104,3 +1104,20 @@ def test_curate_epoch_upsampling(spark, tmp_path, capsys):
     b = sorted(tuple(r) for r in spark.read.parquet(
         os.path.join(str(tmp_path / "up2"), "corpus")).collect())
     assert a == b
+
+
+def test_parse_fractions_rejects_nonfinite_and_names_flag():
+    import pytest
+
+    from datacanary_spark.cli import parse_fractions
+
+    for bad in ("en=nan", "en=inf", "en=-inf"):
+        with pytest.raises(SystemExit):
+            parse_fractions(bad)
+        with pytest.raises(SystemExit):
+            parse_fractions(bad, max_value=None, flag="--epochs")
+    with pytest.raises(SystemExit, match="--epochs"):
+        parse_fractions("en=abc", max_value=None, flag="--epochs")
+    # epochs accept >1 but stay finite-bounded
+    assert parse_fractions("en=2.5", max_value=None,
+                           flag="--epochs") == {"en": 2.5}

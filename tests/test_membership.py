@@ -103,3 +103,22 @@ def test_decontaminate_bloom_expected_items_skips_count(spark):
     reference = spark.createDataFrame([("t 3",)], "text string")
     got = mb.decontaminate_bloom(corpus, reference, expected_items=64)
     assert got.count() == 45
+
+
+def test_decontaminate_bloom_persist_modes_agree(spark):
+    from datacanary_spark.plans.caching import CacheScope
+
+    corpus = spark.createDataFrame(
+        [(i, f"body {i % 20}") for i in range(100)],
+        "doc_id long, text string")
+    reference = spark.createDataFrame([("body 3",), ("body 5",)],
+                                      "text string")
+    base = sorted(r["doc_id"] for r in
+                  mb.decontaminate_bloom(corpus, reference).collect())
+    with CacheScope() as scope:
+        scoped = sorted(r["doc_id"] for r in mb.decontaminate_bloom(
+            corpus, reference, persist=scope).collect())
+    plain = sorted(r["doc_id"] for r in mb.decontaminate_bloom(
+        corpus, reference, persist=True).collect())
+    spark.catalog.clearCache()
+    assert base == scoped == plain
