@@ -180,12 +180,18 @@ def gopher_repetition_hit_exprs(
     """Opt-in rule-hit columns over ``with_repetition_stats`` output:
     1 when the doc violates the Gopher threshold (null-safe: null stat
     → violation, matching heuristic_hit_exprs polarity)."""
+    # strict zips: a threshold tuple shorter than TOP_NS/DUP_NS would
+    # silently drop rules (a user tightening only the 5-gram bound with
+    # a 1-tuple would disable dup-6..10 entirely) while rule_names()
+    # still advertises all nine — fail loudly instead
     hits: dict[str, Column] = {}
-    for n, thr in zip(TOP_NS, cfg.max_top_ngram_char_fraction):
+    for n, thr in zip(TOP_NS, cfg.max_top_ngram_char_fraction,
+                      strict=True):
         c = F.col(f"{prefix}top_{n}gram_char_fraction")
         hits[f"top_{n}gram_chars"] = F.coalesce(
             (c > thr).cast("int"), F.lit(1))
-    for n, thr in zip(DUP_NS, cfg.max_dup_ngram_char_fraction):
+    for n, thr in zip(DUP_NS, cfg.max_dup_ngram_char_fraction,
+                      strict=True):
         c = F.col(f"{prefix}dup_{n}gram_char_fraction")
         hits[f"dup_{n}gram_chars"] = F.coalesce(
             (c > thr).cast("int"), F.lit(1))

@@ -194,7 +194,10 @@ def with_dsir_weights(df: DataFrame, model: DsirModel,
 
 def dsir_select(df: DataFrame, model: DsirModel, keep_fraction: float,
                 text_col: str = "text", tie_col: str = "url",
-                weight_col: str = "dsir_weight") -> DataFrame:
+                weight_col: str = "dsir_weight",
+                id_col: str | None = None,
+                mode: str = "auto",
+                persist=True) -> DataFrame:
     """Keep the top ``keep_fraction`` of docs by importance weight.
 
     Threshold = the exact (1-keep_fraction) percentile of the weight
@@ -202,15 +205,35 @@ def dsir_select(df: DataFrame, model: DsirModel, keep_fraction: float,
     ``approx_percentile`` (the only change) if the exact single-pass
     sort of 8·n bytes of doubles is too hot. Ties at the threshold are
     all kept (deterministic: membership is a pure function of the
-    weight, never of partition order; ``tie_col`` only orders the
-    returned frame for stable downstream writes).
+    weight, never of partition order); when ``tie_col`` exists in the
+    frame the result is ordered by (weight desc, tie_col asc) so
+    downstream writes are reproducible byte-for-byte — without it the
+    selection is still deterministic as a SET, just not as a sequence.
+
+    ``id_col``/``mode`` forward to :func:`with_dsir_weights` — required
+    for models whose bucket count exceeds LITERAL_MAP_BUDGET (the
+    join-mode path re-aggregates on ``id_col``; falls back to
+    ``tie_col`` when unset, which is an id in every pipeline use).
+    ``persist`` (tri-state: bool or CacheScope) pins the scored frame —
+    the percentile collect AND the returned selection both read it, and
+    unpersisted each would rerun the full tokenize+hash scoring pass.
     """
+    from datacanary_spark.plans.caching import maybe_persist
+
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(f"keep_fraction in (0, 1], got {keep_fraction}")
-    scored = with_dsir_weights(df, model, text_col, weight_col)
+    scored = with_dsir_weights(df, model, text_col, weight_col,
+                               id_col=id_col or tie_col, mode=mode)
+    order = [F.col(weight_col).desc()]
+    if tie_col in scored.columns:
+        order.append(F.col(tie_col).asc())
     if keep_fraction == 1.0:
-        return scored
+        return scored.orderBy(*order)
+    scored = maybe_persist(scored, persist)
     thr = scored.select(
         F.expr(f"percentile({weight_col}, {1.0 - keep_fraction})")
          .alias("t")).collect()[0]["t"]
-    return scored.where(F.col(weight_col) >= F.lit(float(thr)))
+    if thr is None:  # empty input: no percentile, nothing to select
+        return scored
+    return scored.where(F.col(weight_col) >= F.lit(float(thr))) \
+                 .orderBy(*order)

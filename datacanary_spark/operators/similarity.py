@@ -395,6 +395,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                       norm_expr(F.col(vec_col)).alias("_cnrm"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
                        norm_expr(F.col(vec_col)).alias("_qnrm"))
+    # a null query vector has no neighbors in EITHER dispatch mode: the
+    # probe UDF emits no cells for it (explode drops the row), while the
+    # literal probe expression would emit n_probe all-null-dot cells and
+    # k null-score rows — filter up front so "auto" cannot change the
+    # result set with dim (the literal==udf equivalence contract)
+    q = q.where(F.col("_qvec").isNotNull())
     if mode == "udf":
         cell_udf = make_ivf_cell_udf(c, cents)
         probe_udf = make_ivf_probe_udf(q, cents, n_probe)
@@ -485,7 +491,8 @@ def semdedup(df: DataFrame, dim: int, threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, centroids: np.ndarray | None = None,
              seed: int = PLANE_SEED, assignment: str = "auto",
-             max_cell: int | None = None) -> DataFrame:
+             max_cell: int | None = None,
+             persist: bool = True) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding space with a coarse quantizer, then prune near-duplicate
     members WITHIN each cluster.
@@ -520,7 +527,14 @@ def semdedup(df: DataFrame, dim: int, threshold: float = 0.95,
     constant embedding, an undertrained quantizer — cannot create an
     O(hot²) pair stage; the returned ``cell`` column lets callers
     count skipped-cell mass for lineage.
+
+    ``persist`` pins the assigned frame: THREE consumers read it (both
+    self-join sides + the final keep-flag join), and unpersisted each
+    recomputes the n_centroids·dim assignment per row — same tri-state
+    contract (bool or CacheScope) as embedding_near_dup_pairs.
     """
+    from datacanary_spark.plans.caching import maybe_persist
+
     cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
         else centroids
     mode = _resolve_assignment(assignment, dim * len(cents))
@@ -531,6 +545,7 @@ def semdedup(df: DataFrame, dim: int, threshold: float = 0.95,
         base = base.withColumn("cell", cell_udf(F.col("_v")))
     else:
         base = base.withColumn("cell", ivf_cell_expr(F.col("_v"), cents))
+    base = maybe_persist(base, persist)
 
     joinable = base
     if max_cell is not None:

@@ -308,7 +308,8 @@ def run_curation_job(
             model = dsir.train_dsir(target, stage, text_col="text")
             stage = scope.persist(
                 dsir.dsir_select(stage, model, dsir_keep_fraction,
-                                 text_col="text", tie_col="url")
+                                 text_col="text", tie_col="url",
+                                 persist=scope)
                     .drop("dsir_weight"))
             summary["after_dsir"] = stage.count()
 

@@ -11,6 +11,14 @@ Semantics (chosen to be batch-split invariant, so incremental ingestion
 equals a single full-batch run EXACTLY — pinned by test):
 
 * precedence order = (batch_id asc, doc id asc); earlier always wins.
+  The full-batch equivalence therefore requires batch order to be
+  CONSISTENT with id order (every id in batch N+1 sorts after batch
+  N's — true for crawl ids, which embed capture time). With ids that
+  zigzag across batches, the incremental run still applies the same
+  precedence rule deterministically, but a single full-batch run —
+  whose only order is id order — can canonize a different (lower-id,
+  later-batch) survivor; "split-invariant" means invariant to WHERE
+  the batch boundaries fall, not to reordering docs across them.
 * exact tier: a doc is dropped iff its content hash was produced by any
   preceding doc (earlier batch, or lower id in the same batch). NULL
   text is unknown content and exempt (same rule as
@@ -209,6 +217,13 @@ class SignatureStore:
         name = self._bands_table(g)
         if not self.spark.catalog.tableExists(name):
             id_t = self.meta["id_type"]
+            if id_t is None:
+                # id_type is learned from the first ingested batch; a
+                # DDL built now would contain the literal column type
+                # "None" and fail with a parse error far from the cause
+                raise ValueError(
+                    "band table schema unknown before the first ingest "
+                    "(meta id_type is unset) — ingest a batch first")
             self.spark.sql(
                 f"CREATE TABLE {name} "
                 f"(band_ix INT, band_key STRING, {id_col} {id_t}, "

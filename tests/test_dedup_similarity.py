@@ -945,3 +945,32 @@ def test_semdedup_max_cell_exempts_oversized_cells(spark):
                 sim.semdedup(df, dim=2, threshold=0.99,
                              n_centroids=2).collect()}
     assert [uncapped[i] for i in range(6)] == [True] + [False] * 5
+
+
+def test_ivf_null_query_vector_absent_in_both_modes(spark, emb_df):
+    """A null query embedding must be absent from the result in BOTH
+    dispatch modes (pre-fix, the literal path emitted k null-score rows
+    for it while the udf path emitted none — 'auto' changed the result
+    set with dim)."""
+    df, _ = emb_df
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding") \
+        .unionByName(spark.sql(
+            "SELECT 999 AS query_id, CAST(NULL AS ARRAY<DOUBLE>) "
+            "AS embedding"))
+    for mode in ("literal", "udf"):
+        got = sim.ivf_topk(df, queries, dim=16, k=3, n_centroids=8,
+                           n_probe=2, assignment=mode).collect()
+        assert {r["query_id"] for r in got} == {0, 1, 2}, mode
+
+
+def test_semdedup_persist_modes_agree(spark, emb_df):
+    from datacanary_spark.plans.caching import CacheScope
+
+    df, _ = emb_df
+    plain = sorted(map(tuple, sim.semdedup(
+        df, dim=16, threshold=0.9, persist=False).collect()))
+    with CacheScope() as scope:
+        scoped = sorted(map(tuple, sim.semdedup(
+            df, dim=16, threshold=0.9, persist=scope).collect()))
+    assert plain == scoped

@@ -133,3 +133,27 @@ def test_validation_errors():
     m = dsir.DsirModel(logratio={}, n=2, hex_chars=2, alpha=1.0)
     with pytest.raises(ValueError, match="mode"):
         dsir.with_dsir_weights(None, m, mode="nope")
+
+
+def test_dsir_select_join_mode_and_empty_input(spark):
+    """dsir_select must work for models above the literal budget (join
+    dispatch needs an id column — falls back to tie_col) and return the
+    empty frame, not TypeError, on empty input."""
+    target = spark.createDataFrame([(i, "alpha beta gamma") for i in range(8)],
+                                   "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 else "zeta eta theta")
+         for i in range(20)], "doc_id long, text string")
+    model = dsir.train_dsir(target, raw, n=2, hex_chars=4)  # 65536 buckets
+    out = dsir.dsir_select(raw, model, 0.5, tie_col="doc_id",
+                           persist=False)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert 0 < len(ids) <= 20
+    # target-like docs (odd ids) must dominate the kept half
+    assert sum(1 for i in ids if i % 2) > len(ids) / 2
+
+    empty = raw.where("doc_id < 0")
+    got = dsir.dsir_select(empty, model, 0.5, tie_col="doc_id",
+                           persist=False)
+    assert got.count() == 0
+    spark.catalog.clearCache()

@@ -365,3 +365,17 @@ def test_stream_setup_on_empty_input(spark, tmp_path):
     SignatureStore.create(spark, store_root, threshold=0.5)
     run_ingest_stream(spark, empty, store_root,
                       str(tmp_path / "eout"), str(tmp_path / "eckpt"))
+
+
+def test_band_table_read_before_first_ingest_raises_clearly(spark, tmp_path):
+    """Reading the bucketed band table of a store that has never
+    ingested must raise a clear error, not emit CREATE TABLE DDL with
+    the literal column type 'None'."""
+    import pytest
+
+    from datacanary_spark.plans.incremental import SignatureStore
+
+    store = SignatureStore.create(spark, str(tmp_path / "store"),
+                                  bucket_bands=4)
+    with pytest.raises(ValueError, match="first ingest"):
+        store.store_band_rows()

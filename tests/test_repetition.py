@@ -140,3 +140,22 @@ def test_words_contract_shared_with_heuristics(spark):
     df = spark.createDataFrame([(1, "  a\t b \n c  ")], "id int, text string")
     r = df.select(words_expr(F.col("text")).alias("w")).first()
     assert r["w"] == ["a", "b", "c"]
+
+
+def test_short_threshold_tuple_raises_not_truncates():
+    """A RepetitionConfig threshold tuple shorter than the rule list
+    must fail loudly — pre-fix, zip() silently dropped the uncovered
+    dup-6..10 rules while rule_names() still advertised them."""
+    import pytest
+
+    from datacanary_spark.functions.repetition import (
+        RepetitionConfig,
+        gopher_repetition_hit_exprs,
+    )
+
+    with pytest.raises(ValueError):
+        gopher_repetition_hit_exprs(
+            RepetitionConfig(max_dup_ngram_char_fraction=(0.15,)))
+    with pytest.raises(ValueError):
+        gopher_repetition_hit_exprs(
+            RepetitionConfig(max_top_ngram_char_fraction=(0.2, 0.18)))
