@@ -100,7 +100,12 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int, key_col: str,
     Selection: rows ranked by (md5 bucket, key) within each group; the
     ``cap`` smallest survive. A pure function of the keys → identical
     output on any engine, partitioning, or cluster size, and re-runs of
-    a resumable job pick the same survivors.
+    a resumable job pick the same survivors. PRECONDITION: ``key_col``
+    must be unique within each group (it is the only tie-breaker — two
+    rows sharing a key have identical sort keys, and which one's OTHER
+    columns survive at the cap boundary would be partition-order luck).
+    In the pipeline the key is the url, unique after exact dedup; cap
+    BEFORE deduplicating only if the key is still an identity.
 
     Scale shape: the rank is a per-group window — fine when groups are
     hosts (≤10^6 rows each). For PATHOLOGICAL groups (a single host
@@ -470,8 +475,14 @@ def host_reputation(df: DataFrame, url_col: str = "url",
     base = (df.withColumn("_host", host)
               .where(F.col("_host").isNotNull())
               .withColumn("_fp", content_fingerprint(F.col(text_col))))
+    # null fingerprints (null text) are exempt identities: each failed
+    # extraction is ITS OWN content, not a duplicate of the others
+    # (content_fingerprint contract) — count_distinct skips nulls, so
+    # without the correction a host of 10 null-text docs would score
+    # distinct_ratio 0.0 and read as 100% duplicated
     distinct = (F.approx_count_distinct(F.col("_fp")) if approx
                 else F.count_distinct(F.col("_fp")))
+    distinct = distinct + F.sum(F.col("_fp").isNull().cast("long"))
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         distinct.alias("n_distinct"),

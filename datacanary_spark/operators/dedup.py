@@ -171,13 +171,19 @@ def make_simhash64_udf():
             b"".join(hashlib.md5(w.encode("utf-8")).digest()[:8]
                      for toks in token_lists for w in toks),
             dtype=np.uint64)
+        # int8 bit matrix: 64 B/token instead of int64's 512 B/token —
+        # at ~10k-row Arrow batches of ~500-token web docs the int64
+        # form allocates multi-GB per batch per core (executor OOM in
+        # exactly the cluster-scale path this UDF exists for); the
+        # segment sum widens to int64 inside reduceat, so results are
+        # bit-identical
         bits = ((digests[:, None] >> np.arange(64, dtype=np.uint64)) &
-                np.uint64(1)).astype(np.int64)          # (n_tokens, 64)
+                np.uint64(1)).astype(np.int8)           # (n_tokens, 64)
         votes = np.zeros((len(docs), 64), np.int64)
         nonempty = counts > 0
         if nonempty.any():
             votes[nonempty] = np.add.reduceat(bits, offsets[:-1][nonempty],
-                                              axis=0)
+                                              axis=0, dtype=np.int64)
         majority = (2 * votes) > counts[:, None]         # bit=1 iff >half ones
         out = (majority.astype(np.uint64)
                << np.arange(64, dtype=np.uint64)).sum(axis=1)
@@ -252,7 +258,6 @@ def lsh_bucket_rows(df: DataFrame, id_col: str = "doc_id",
     from datacanary_spark.plans.partitioning import spread_to_parallelism
 
     assert n_hashes % bands == 0, "bands must divide n_hashes"
-    rows = n_hashes // bands
     # The 16-pass MinHash over the shingle array is the dominant map
     # cost; make sure it runs on every core even when the input scanned
     # as one row group (no-op at real scale — see plans/partitioning).

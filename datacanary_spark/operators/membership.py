@@ -112,9 +112,15 @@ def build_bloom(ref: DataFrame, key_col: str, m_bits: int,
         .alias("mask"))
         .groupBy("word_ix").agg(F.bit_or("mask").alias("word")))
     words = np.zeros(m_bits // 64, dtype=np.int64)
-    for row in packed.collect():  # bounded: ≤ m/64 rows by construction
-        words[int(row["word_ix"])] = np.int64(np.uint64(row["word"] %
-                                                        (1 << 64)))
+    # Arrow collect, not Row collect: ≤ m/64 rows by construction, but
+    # at a 10^9-item reference that is ~2·10^8 rows — as pyspark Row
+    # objects that is ~10× the bitset's own memory on the driver;
+    # toPandas keeps it at two int64 columns. Values are already signed
+    # 64-bit from Spark's bit_or — assign directly (no uint64 wrap
+    # round-trip, which NumPy 2 rejects for negative words).
+    pdf = packed.toPandas()
+    words[pdf["word_ix"].to_numpy(dtype=np.int64)] = \
+        pdf["word"].to_numpy(dtype=np.int64)
     return BloomSpec(m_bits=m_bits, k=k, words=words)
 
 

@@ -240,8 +240,14 @@ def run_curation_job(
             from datacanary_spark.operators.dedup import near_dup_pairs
             from datacanary_spark.operators.graph import components_of_pairs
 
+            # bands="auto": the default 4x4 banding is calibrated for
+            # ~0.7 Jaccard — at a user threshold of 0.5 it would miss
+            # ~77% of true pairs BEFORE the verify stage (LSH false
+            # negatives are unrecoverable); auto re-banding keeps the
+            # S-curve inflection near the requested threshold
             pairs = near_dup_pairs(stage, id_col="url", text_col="text",
                                    threshold=near_dup_threshold,
+                                   bands="auto",
                                    hash_fn="xxhash64", persist=scope)
             assigned = components_of_pairs(stage, pairs.select("id_a", "id_b"),
                                            id_col="url")
@@ -274,9 +280,17 @@ def run_curation_job(
             # distinct documents, not one spam host — lumping them into a
             # single NULL pseudo-group and capping it to N would silently
             # delete them (ADVICE r03; same rationale as canonical_url_expr)
+            from datacanary_spark.operators.text_analysis import (
+                blocklist_host_expr,
+            )
+
+            # normalized host (lowercase, port/userinfo/trailing-dot
+            # stripped — blocklist_host_expr), NOT raw parse_url: a spam
+            # host whose crawl mixes EXAMPLE.COM / example.com. forms
+            # would otherwise split into several cap groups and collect
+            # a multiple of the cap
             capped = cap_per_group(
-                stage.withColumn("_host", F.parse_url(F.col("url"),
-                                                      F.lit("HOST"))),
+                stage.withColumn("_host", blocklist_host_expr(F.col("url"))),
                 "_host", host_cap, "url", exempt_null_group=True).drop("_host")
             stage = scope.persist(capped)
             summary["after_host_cap"] = stage.count()
