@@ -55,6 +55,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# HLL++ relative standard deviation used by approx mode (pinned so the
+# has_duplicates guard band below stays in sync with the sketch).
+_APPROX_RSD = 0.05
+
 NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                  T.FloatType, T.DoubleType, T.DecimalType)
 STRING_TYPES = (T.StringType,)
@@ -80,9 +84,18 @@ def _type_name(dt: T.DataType) -> str:
 
 def _generic_exprs(c: str, approx: bool) -> list:
     col = F.col(c)
-    distinct = (F.approx_count_distinct(c) if approx else F.count_distinct(col))
+    distinct = (F.approx_count_distinct(c, _APPROX_RSD) if approx
+                else F.count_distinct(col))
     total = F.count(F.lit(1))
     non_null = F.count(col)
+    # In approx mode the distinct count is an HLL estimate (±rsd), so a
+    # raw non_null > estimate comparison would flag an all-unique column
+    # as duplicated whenever the sketch undershoots. Require the count
+    # to exceed the estimate by a 3·rsd guard band: confident duplicates
+    # only; columns whose duplicate fraction is below ~3·rsd may report
+    # False (documented approximation — exact mode is unchanged).
+    dup_non_null = (non_null > distinct * (1.0 + 3.0 * _APPROX_RSD)
+                    if approx else (non_null > distinct))
     return [
         total.alias(f"{c}__count"),
         F.coalesce(F.sum(col.isNull().cast("long")), F.lit(0)).alias(f"{c}__null_count"),
@@ -93,7 +106,7 @@ def _generic_exprs(c: str, approx: bool) -> list:
         .alias(f"{c}__unique_percentage"),
         # pandas duplicated().any() counts repeated NULLs as duplicates:
         # dup iff non-null dup OR (null_count > 1)
-        ((non_null > distinct) | (total - non_null > 1)).alias(f"{c}__has_duplicates"),
+        (dup_non_null | (total - non_null > 1)).alias(f"{c}__has_duplicates"),
     ]
 
 
@@ -223,12 +236,22 @@ def analyse_dataframe(df: DataFrame, approx: bool = False) -> dict[str, dict[str
     row = df.agg(*main).collect()[0].asDict()
     if samples:
         row.update(df.agg(*samples).collect()[0].asDict())
-    out: dict[str, dict[str, Any]] = {}
-    for field in df.schema.fields:
-        c = field.name
-        prefix = f"{c}__"
-        stats = {k[len(prefix):]: v for k, v in row.items() if k.startswith(prefix)}
-        out[c] = {"type": _type_name(field.dataType), "stats": stats}
+    # Assign each stat key to the LONGEST matching column prefix: a
+    # naive startswith would let column 'x' absorb the stats of a
+    # sibling column named 'x__y' (its keys 'x__y__count', … all start
+    # with 'x__'). Longest-first is exact because stat names themselves
+    # never contain '__'.
+    by_len = sorted((f.name for f in df.schema.fields), key=len, reverse=True)
+    out: dict[str, dict[str, Any]] = {
+        f.name: {"type": _type_name(f.dataType), "stats": {}}
+        for f in df.schema.fields
+    }
+    for k, v in row.items():
+        for c in by_len:
+            prefix = f"{c}__"
+            if k.startswith(prefix):
+                out[c]["stats"][k[len(prefix):]] = v
+                break
     return out
 
 

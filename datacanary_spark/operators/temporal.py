@@ -34,6 +34,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """True iff ``hash()`` accepts the type: Spark rejects MAP anywhere
+    in the input (no canonical entry order), recursively inside
+    arrays/structs too."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def range_join(
@@ -130,9 +144,15 @@ def asof_join(
     # Deterministic tie-break: when two RIGHT rows share (key, ts), order
     # them by a stable hash of their payload so the match is a pure
     # function of the data, not of partitioning/sort luck. (_k keeps
-    # right rows ahead of left rows at equal ts regardless.)
+    # right rows ahead of left rows at equal ts regardless.) hash() is
+    # prohibited on MAP-typed inputs (DATATYPE_MISMATCH.HASH_MAP_TYPE),
+    # so the tie-break hashes only the hashable payload fields — e.g.
+    # an as-of join against this pipeline's own verdict rows carries a
+    # rule_hits map<string,int> that must be excluded, not fatal.
+    hashable = ["_r._rt"] + [f"_r.{c}" for c in right_cols
+                             if _hashable(right.schema[c].dataType)]
     w = (Window.partitionBy(*on).orderBy("_t", "_k",
-                                         F.hash("_r").asc_nulls_last())
+                                         F.hash(*hashable).asc_nulls_last())
          .rowsBetween(Window.unboundedPreceding, 0))
     u = l2.unionByName(r2).withColumn(
         "_match", F.last("_r", ignorenulls=True).over(w))

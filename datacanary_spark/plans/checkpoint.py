@@ -73,8 +73,30 @@ def run_filter_job(
     data_dir = os.path.join(output_path, "data")
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    if repartition_buckets is None:
-        repartition_buckets = max(spark.sparkContext.defaultParallelism, 4)
+    # The bucket count is part of the lineage KEY SPACE: partition_lineage
+    # keys on the materialized url-hash bucket, whose modulus is this
+    # number. Deriving it from defaultParallelism would silently change
+    # the modulus when a crashed run resumes on a differently-sized
+    # cluster, mixing incompatible bucket spaces in one metrics table —
+    # so the first run records its choice and every resume reuses it.
+    meta_path = os.path.join(ckpt_dir, "job_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            recorded_buckets = json.load(f)["repartition_buckets"]
+        if repartition_buckets is None:
+            repartition_buckets = recorded_buckets
+        elif repartition_buckets != recorded_buckets:
+            raise RuntimeError(
+                f"repartition_buckets={repartition_buckets} conflicts with "
+                f"the value this job started with ({recorded_buckets}); "
+                f"the lineage bucket key space must stay stable across "
+                f"resumes. Omit the argument to reuse the recorded value, "
+                f"or start a fresh output dir.")
+    else:
+        if repartition_buckets is None:
+            repartition_buckets = max(spark.sparkContext.defaultParallelism, 4)
+        with open(meta_path, "w") as f:
+            json.dump({"repartition_buckets": repartition_buckets}, f)
 
     models_bc = broadcast_models(spark, models)
     chunks = _chunk_files(input_path, n_chunks)
@@ -137,12 +159,20 @@ def run_filter_job(
         (lin.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("chunk").parquet(metrics_dir))
-        counts = written.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]
+        # Chunk totals from the just-written lineage rows (one tiny row
+        # per bucket) — NOT a second full scan of the chunk data, which
+        # would double per-chunk read I/O at scale for numbers the
+        # lineage aggregate already computed.
+        chunk_metrics = os.path.join(metrics_dir, f"chunk={k}")
+        if os.path.isdir(chunk_metrics):
+            counts = (spark.read.parquet(chunk_metrics)
+                      .agg(F.sum("input_count").alias("n"),
+                           F.sum("keep_count").alias("kept")).collect()[0])
+        else:  # empty chunk: dynamic overwrite wrote no partition dir
+            counts = {"n": 0, "kept": 0}
 
         _mark_done(ckpt_dir, k, {"chunk": k, "files": files,
-                                 "docs": int(counts["n"]),
+                                 "docs": int(counts["n"] or 0),
                                  "kept": int(counts["kept"] or 0)})
         summary["chunks_run"] += 1
 

@@ -86,7 +86,11 @@ def corpus_metrics(verdicts: DataFrame, cfg: FilterConfig | None = None) -> Data
     )
     return agg.withColumn(
         "health_status",
-        F.when(F.col("health_score") >= 90, "Excellent")
+        # Empty input: every avg() is NULL → score NULL. Falling through
+        # to the otherwise() would report 'Poor' health for a corpus
+        # that simply has no rows; surface NULL (unknown) instead.
+        F.when(F.col("health_score").isNull(), F.lit(None).cast("string"))
+        .when(F.col("health_score") >= 90, "Excellent")
         .when(F.col("health_score") >= 75, "Good")
         .when(F.col("health_score") >= 60, "Fair")
         .otherwise("Poor"),

@@ -48,13 +48,19 @@ def object_store_conf(provider: str, creds: dict[str, str]) -> dict[str, str]:
         }
     if p in ("azure", "abfs"):
         account = creds.get("account", "")
+        key = creds.get("account_key", "")
         # abfs[s] connectors read the account key against the DFS
         # endpoint; legacy wasb[s] reads it against the BLOB endpoint —
-        # emitting only one leaves the other scheme silently unauthed.
-        suffix = creds.get("endpoint_suffix", "dfs.core.windows.net")
+        # emitting only one leaves the other scheme silently unauthed,
+        # so the default emits BOTH. An explicit endpoint_suffix
+        # (sovereign clouds etc.) narrows to that endpoint only.
+        if "endpoint_suffix" in creds:
+            suffixes = [creds["endpoint_suffix"]]
+        else:
+            suffixes = ["dfs.core.windows.net", "blob.core.windows.net"]
         return {
-            f"spark.hadoop.fs.azure.account.key.{account}.{suffix}":
-                creds.get("account_key", ""),
+            f"spark.hadoop.fs.azure.account.key.{account}.{s}": key
+            for s in suffixes
         }
     if p in ("gcs", "gcp"):
         return {
@@ -78,13 +84,29 @@ def apply_store_conf(spark: SparkSession, conf: dict[str, str]) -> None:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff an Iceberg catalog is configured AND the runtime jar loads."""
+    """True iff an Iceberg catalog is configured AND the runtime jar loads.
+
+    Both halves are checked: the jar alone with no ``spark.sql.catalog.*``
+    conf would make ``read_table("iceberg:db.t")`` skip the clear setup
+    error here only to die later inside ``reader.table()`` with an opaque
+    TABLE_OR_VIEW_NOT_FOUND."""
     try:
         jvm = spark.sparkContext._jvm
         jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
-        return True
     except Exception:
         return False
+    try:
+        # session-start conf + runtime conf (catalog confs may be set
+        # either way; RuntimeConfig.getAll covers both)
+        it = spark._jsparkSession.conf().getAll().keysIterator()
+        while it.hasNext():
+            if str(it.next()).startswith("spark.sql.catalog."):
+                return True
+    except Exception:
+        # conf enumeration failed (exotic backend): fall back to the
+        # jar-only signal rather than wrongly gating Iceberg off
+        return True
+    return False
 
 
 def read_table(spark: SparkSession, source: str,
@@ -152,7 +174,24 @@ def write_table(df: DataFrame, target: str, mode: str = "append",
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-        (writer.append() if mode == "append" else writer.createOrReplace())
+        # Honor DataFrameWriter mode semantics on the V2 writer: only
+        # 'overwrite' may replace an existing table. Mapping every
+        # non-append mode to createOrReplace would make mode='error' /
+        # 'ignore' silently DROP the table and all its snapshots.
+        if mode == "append":
+            writer.append()
+        elif mode == "overwrite":
+            writer.createOrReplace()
+        elif mode in ("error", "errorifexists"):
+            writer.create()  # raises TABLE_OR_VIEW_ALREADY_EXISTS
+        elif mode == "ignore":
+            try:
+                writer.create()
+            except Exception as e:  # table exists → no-op, like parquet
+                if "ALREADY_EXISTS" not in str(e):
+                    raise
+        else:
+            raise ValueError(f"unknown write mode: {mode!r}")
         return
     w = df.write.mode(mode)
     if partition_by:
@@ -238,10 +277,28 @@ def write_text_atomic(spark: SparkSession, uri: str, content: str) -> None:
     write_text(spark, tmp, content)
     fs, target, jvm = _fs_and_path(spark, uri)
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(target):
-        fs.delete(target, False)
-    if not fs.rename(tmp_path, target):
-        raise IOError(f"atomic rename failed: {tmp} -> {uri}")
+    sc = spark.sparkContext
+    try:
+        # Single atomic rename-with-overwrite (FileContext honors
+        # Options.Rename.OVERWRITE on HDFS/local). delete-then-rename
+        # would reopen the exact crash window this function exists to
+        # close: a death between the two calls leaves NO target at all.
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            sc._jsc.hadoopConfiguration())
+        rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = sc._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc.rename(tmp_path, target, opts)
+    except Exception:
+        # Stores without FileContext support (some object-store
+        # connectors): fall back to delete+rename. Not atomic — but on
+        # those stores rename is copy+delete anyway, so single-call
+        # atomicity never existed; the temp-file write still prevents
+        # partially-written content from ever being visible.
+        if fs.exists(target):
+            fs.delete(target, False)
+        if not fs.rename(tmp_path, target):
+            raise IOError(f"atomic rename failed: {tmp} -> {uri}")
 
 
 def path_exists(spark: SparkSession, uri: str) -> bool:

@@ -1121,3 +1121,52 @@ def test_parse_fractions_rejects_nonfinite_and_names_flag():
     # epochs accept >1 but stay finite-bounded
     assert parse_fractions("en=2.5", max_value=None,
                            flag="--epochs") == {"en": 2.5}
+
+
+def test_filter_job_bucket_modulus_stable_across_resume(spark, tmp_path,
+                                                        monkeypatch):
+    """The lineage bucket key space (url-hash % buckets) must keep ONE
+    modulus for the life of a job: the first run records its choice in
+    _checkpoint/job_meta.json, a resume with no explicit value reuses
+    it (never re-derives from the resuming cluster's parallelism), and
+    a conflicting explicit value is refused."""
+    import json as _json
+
+    import pytest
+
+    from datacanary_spark.plans import checkpoint as cp
+    from datacanary_spark.sources.fixtures import write_pages_parquet
+
+    pages, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    write_pages_parquet(pages, n_docs=60, seed=7, chunk_size=30)  # 2 files
+
+    calls = {"n": 0}
+    real = cp.partition_lineage
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated loss")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cp, "partition_lineage", dying)
+    with pytest.raises(RuntimeError, match="simulated"):
+        cp.run_filter_job(spark, pages, out, n_chunks=2,
+                          repartition_buckets=6)
+    meta = _json.load(open(os.path.join(out, "_checkpoint",
+                                        "job_meta.json")))
+    assert meta["repartition_buckets"] == 6
+
+    # conflicting explicit value on resume → refused before any work
+    monkeypatch.setattr(cp, "partition_lineage", real)
+    with pytest.raises(RuntimeError, match="repartition_buckets=12"):
+        cp.run_filter_job(spark, pages, out, n_chunks=2,
+                          repartition_buckets=12)
+
+    # default resume reuses the recorded modulus: every bucket id < 6
+    summary = cp.run_filter_job(spark, pages, out, n_chunks=2)
+    assert summary["docs"] == 60
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    ids = [r["partition_id"] for r in
+           metrics.select("partition_id").distinct().collect()]
+    assert ids and all(0 <= i < 6 for i in ids)

@@ -118,3 +118,16 @@ def test_no_row_udfs():
         if re.search(r"(?<!pandas_)\budf\s*\(", src):
             bad.append(str(p))
     assert not bad, f"row-wise udf( found in {bad}"
+
+
+def test_corpus_metrics_empty_input_health_unknown(spark):
+    """Zero verdict rows: health_score is NULL, and health_status must
+    surface NULL (unknown) — not fall through the band chain to 'Poor'
+    for a corpus that simply has no data."""
+    models_bc = broadcast_models(spark)
+    pages = pages_spark_df(spark, 10, seed=1).limit(0)
+    verdicts = filter_pages(pages, models_bc)
+    cm = corpus_metrics(verdicts).collect()[0]
+    assert cm["input_count"] == 0
+    assert cm["health_score"] is None
+    assert cm["health_status"] is None

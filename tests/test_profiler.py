@@ -166,3 +166,33 @@ def test_decimal_column_profile(spark):
     assert s["min"] == 1.5 and s["max"] == 4.0
     assert s["median"] == 2.25
     assert s["null_count"] == 1 and s["unique_count"] == 3
+
+
+def test_column_name_prefix_collision(spark):
+    """A column literally named 'x__y' next to a column 'x' must not
+    leak its stats into x's dict (stat keys are assigned by LONGEST
+    column prefix, not first startswith match)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)],
+        T.StructType([T.StructField("user", T.StringType(), True),
+                      T.StructField("user__id", T.LongType(), True)]))
+    p = analyse_dataframe(df)
+    assert set(p) == {"user", "user__id"}
+    # no key from user__id may appear under user
+    assert not any(k.startswith("id__") for k in p["user"]["stats"])
+    assert p["user"]["stats"]["unique_count"] == 2
+    assert p["user__id"]["stats"]["unique_count"] == 3
+    assert p["user__id"]["stats"]["min"] == 1.0
+
+
+def test_approx_all_unique_not_flagged_duplicated(spark):
+    """approx mode: has_duplicates uses a 3·rsd guard band over the HLL
+    estimate, so an all-unique column must never be flagged just
+    because the sketch undershoots the true cardinality."""
+    df = spark.range(50_000).withColumnRenamed("id", "uid")
+    s = analyse_dataframe(df, approx=True)["uid"]["stats"]
+    assert s["has_duplicates"] is False
+    # and a heavily-duplicated column still IS flagged in approx mode
+    dup = spark.range(50_000).selectExpr("id % 100 as k")
+    assert analyse_dataframe(dup, approx=True)["k"]["stats"][
+        "has_duplicates"] is True

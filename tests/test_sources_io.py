@@ -131,3 +131,20 @@ def test_write_text_atomic_roundtrip_and_overwrite(spark, tmp_path):
     leftovers = [p.name for p in tmp_path.iterdir()
                  if p.name.startswith("meta.json.tmp")]
     assert leftovers == []
+
+
+def test_azure_conf_covers_both_endpoints():
+    """abfs[s] auths against the DFS endpoint, legacy wasb[s] against
+    the BLOB endpoint — one creds dict must unlock both schemes."""
+    az = sio.object_store_conf("azure", {"account": "acct",
+                                         "account_key": "K"})
+    assert az["spark.hadoop.fs.azure.account.key"
+              ".acct.dfs.core.windows.net"] == "K"
+    assert az["spark.hadoop.fs.azure.account.key"
+              ".acct.blob.core.windows.net"] == "K"
+    # explicit endpoint_suffix (sovereign cloud) narrows to that endpoint
+    sov = sio.object_store_conf("azure", {
+        "account": "acct", "account_key": "K",
+        "endpoint_suffix": "dfs.core.chinacloudapi.cn"})
+    assert list(sov) == ["spark.hadoop.fs.azure.account.key"
+                         ".acct.dfs.core.chinacloudapi.cn"]

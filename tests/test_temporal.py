@@ -206,3 +206,24 @@ def test_asof_tie_deterministic(spark):
         picks.add(got[0]["id_right"])
     assert len(picks) == 1
     assert picks.pop() in (100, 101)
+
+
+def test_asof_map_typed_payload_column(spark):
+    """hash() rejects MAP inputs, so the deterministic tie-break must
+    skip unhashable payload columns instead of failing analysis — an
+    as-of join against this pipeline's own verdict rows carries a
+    rule_hits map<string,int>."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00"))],
+        "id: long, user_id: string, ts: timestamp")
+    right = (spark.createDataFrame(
+        [(100, "u", _ts("2024-01-01 09:00:00")),
+         (101, "u", _ts("2024-01-01 09:30:00"))],
+        "id: long, user_id: string, ts: timestamp")
+        .withColumn("rule_hits", F.create_map(F.lit("min_len"),
+                                              F.col("id") % 2)))
+    got = asof_join(left, right, on="user_id").collect()
+    assert got[0]["id_right"] == 101
+    assert got[0]["rule_hits"] == {"min_len": 1}
