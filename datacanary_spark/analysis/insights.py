@@ -64,8 +64,7 @@ def detect_distribution_skewness(profile: dict[str, dict[str, Any]]) -> dict[str
     return skewness
 
 
-def get_data_insights(profile: dict[str, dict[str, Any]],
-                      rule_results: dict | None = None) -> dict[str, Any]:
+def get_data_insights(profile: dict[str, dict[str, Any]]) -> dict[str, Any]:
     outliers = detect_outliers(profile)
     skewness = detect_distribution_skewness(profile)
 

@@ -33,6 +33,17 @@ import os
 import sys
 
 
+def _bands_arg(v: str):
+    """'auto' or a positive int — argparse type, so bad input is a
+    clean usage error instead of a traceback."""
+    if v == "auto":
+        return v
+    n = int(v)
+    if n < 1:
+        raise ValueError("band count must be >= 1")
+    return n
+
+
 def _spark(args, extra_conf=None):
     from datacanary_spark.session import get_spark
 
@@ -256,11 +267,11 @@ def cmd_check(args) -> int:
     rules = load_rules_from_file(args.rules) if args.rules else default_rules()
     for r in rules:
         engine.add_rule(r)
-    results = engine.evaluate_profile(profile)
+    results = engine.evaluate_profile(profile, df=df)
 
     summary = calculate_summary(profile)
     health = get_health_score(results, profile)
-    insights = get_data_insights(profile, results)
+    insights = get_data_insights(profile)
     report = generate_text_report(uri, profile, results,
                                   summary=summary, health=health,
                                   insights=insights)
@@ -320,6 +331,7 @@ def cmd_dedup(args) -> int:
         pairs = dd.near_dup_pairs(df, id_col=args.id_col,
                                   text_col=args.text_col,
                                   threshold=args.threshold,
+                                  bands=args.bands,
                                   hash_fn=args.hash_fn)
         drops = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
         out = df.join(drops, args.id_col, "left_anti")
@@ -530,9 +542,13 @@ def cmd_gen_pages(args) -> int:
 
     from datacanary_spark.sources.fixtures import write_pages_parquet
 
+    if args.docs < 1 or args.files < 1:
+        print("gen-pages: --docs and --files must be >= 1", file=sys.stderr)
+        return 2
     chunk = math.ceil(args.docs / args.files)
     write_pages_parquet(args.output, args.docs, seed=args.seed, chunk_size=chunk)
-    print(f"wrote {args.docs} pages to {args.output} ({args.files} files)")
+    n_files = math.ceil(args.docs / chunk)
+    print(f"wrote {args.docs} pages to {args.output} ({n_files} files)")
     return 0
 
 
@@ -652,6 +668,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--text-col", default="text")
     d.add_argument("--threshold", type=float, default=0.7,
                    help="near mode: Jaccard threshold")
+    d.add_argument("--bands", type=_bands_arg, default="auto",
+                   help="near mode: LSH band count, or 'auto' (default) to "
+                        "calibrate the banding S-curve to --threshold — a "
+                        "fixed band count is only correct near its own "
+                        "inflection point")
     d.add_argument("--hash-fn", choices=["md5", "xxhash64"], default="md5",
                    help="near mode: xxhash64 is the cluster-scale mode")
     d.set_defaults(fn=cmd_dedup)

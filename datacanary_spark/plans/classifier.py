@@ -52,8 +52,14 @@ class QualityClassifier:
 
     @classmethod
     def from_dict(cls, d: dict) -> "QualityClassifier":
-        return cls(tuple(d["feature_names"]), tuple(d["weights"]),
-                   float(d["intercept"]))
+        names = tuple(d["feature_names"])
+        weights = tuple(float(w) for w in d["weights"])
+        if len(names) != len(weights):
+            raise ValueError(
+                f"classifier bundle mismatch: {len(names)} feature_names "
+                f"vs {len(weights)} weights — refusing to score with a "
+                f"truncated model")
+        return cls(names, weights, float(d["intercept"]))
 
 
 def featurized(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -102,7 +108,7 @@ def quality_margin_expr(clf: QualityClassifier,
     exactness-friendly twin of :func:`quality_prob_expr` (no ``exp``,
     whose last-ulp behavior is libm-specific)."""
     z = F.lit(clf.intercept)
-    for name, w in zip(clf.feature_names, clf.weights):
+    for name, w in zip(clf.feature_names, clf.weights, strict=True):
         z = z + F.lit(w) * F.col(feature_prefix + name)
     return z
 

@@ -60,7 +60,14 @@ class RuleEngine:
                 if (full_counts is not None
                         and isinstance(rule, PatternMatchRule)
                         and (column_name, i) in full_counts):
-                    result = rule._verdict(full_counts[(column_name, i)], [])
+                    count = full_counts[(column_name, i)]
+                    if isinstance(count, Exception):
+                        # full-data evaluation of THIS rule failed
+                        # (e.g. Python-valid but Java-invalid regex);
+                        # re-raise inside the containment block so only
+                        # this rule records the error verdict.
+                        raise count
+                    result = rule._verdict(count, [])
                 else:
                     result = rule.evaluate(column_profile)
             except Exception as e:  # per-rule containment (:368-378)
@@ -83,9 +90,13 @@ class RuleEngine:
     # reference API name (rule_engine.py:387) kept as an alias
     evaluate_dataframe = evaluate_profile
 
-    def _full_pattern_counts(self, profile, df) -> dict[tuple[str, int], int]:
+    def _full_pattern_counts(self, profile, df) -> dict[tuple[str, int], Any]:
         """ONE agg computing every (pattern rule × string column) nomatch
-        count."""
+        count. Per-rule containment survives the batching: if the single
+        batched agg fails (one Python-valid/Java-invalid regex would
+        otherwise abort every rule), each expression re-runs as its own
+        agg and only the offending rules map to their Exception, which
+        ``evaluate_column`` converts to that rule's error verdict."""
         exprs = []
         keys: list[tuple[str, int]] = []
         for col, col_profile in profile.items():
@@ -99,5 +110,20 @@ class RuleEngine:
                     keys.append((col, i))
         if not exprs:
             return {}
-        row = df.agg(*exprs).collect()[0]
-        return {k: int(row[f"c{j}"] or 0) for j, k in enumerate(keys)}
+        try:
+            row = df.agg(*exprs).collect()[0]
+            return {k: int(row[f"c{j}"] or 0) for j, k in enumerate(keys)}
+        except Exception:
+            # fallback: one scan per pattern rule, but only on the
+            # (rare) path where some rule's regex breaks the batch —
+            # the happy path stays a single aggregate.
+            out: dict[tuple[str, int], Any] = {}
+            for j, k in enumerate(keys):
+                try:
+                    row = df.agg(exprs[j]).collect()[0]
+                    out[k] = int(row[f"c{j}"] or 0)
+                except Exception as e:
+                    logger.error("full-data pattern rule %s on %s failed: %s",
+                                 self.rules[k[1]].name, k[0], e)
+                    out[k] = e
+            return out

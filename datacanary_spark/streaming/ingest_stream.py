@@ -61,10 +61,28 @@ def run_ingest_stream(
         schema = spark.read.option("recursiveFileLookup", "true") \
             .parquet(input_dir).schema
     except Exception as e:
+        # only a missing/empty input dir is the benign "no new drop yet"
+        # case; credential failures, corrupt parquet, etc. must surface,
+        # not silently report a clean drain on every cron run.
+        msg = str(e)
+        cls = ""
+        get_cls = getattr(e, "getCondition", None) \
+            or getattr(e, "getErrorClass", None)
+        if callable(get_cls):
+            try:
+                cls = get_cls() or ""
+            except Exception:
+                cls = ""
+        benign = ("PATH_NOT_FOUND" in cls
+                  or "UNABLE_TO_INFER_SCHEMA" in cls
+                  or "Path does not exist" in msg
+                  or "Unable to infer schema" in msg)
         if store_exists:
-            # normal streaming hygiene: consumed files archived, or no
-            # new drop yet — nothing to drain
-            return
+            if benign:
+                # normal streaming hygiene: consumed files archived, or
+                # no new drop yet — nothing to drain
+                return
+            raise
         raise ValueError(
             f"no readable parquet under {input_dir!r} and the store "
             f"does not exist yet — not creating a store from an empty "

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from datacanary_spark.functions.heuristics import words_expr
 from datacanary_spark.schema import PAGES_SCHEMA
 from datacanary_spark.streaming.filter_stream import (
     idempotent_parquet_sink as _idempotent_sink,
@@ -199,7 +200,9 @@ def _enriched_pages_stream(spark: SparkSession, input_dir: str,
                            min_words: int):
     """(host, keep) streaming projection shared by both stateful APIs."""
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    # single source of truth for the tokenization contract (pinned to
+    # the golden twin via functions/heuristics.py)
+    words = words_expr(F.col("text"))
     return pages.select(
         F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
         (F.size(words) >= min_words).alias("keep"))

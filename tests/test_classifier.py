@@ -148,3 +148,15 @@ def test_curate_with_classifier_stage(spark, tmp_path):
     assert s_loose["kept"] >= s_loose["after_classifier"] > 0
     assert s_strict["after_classifier"] <= s_loose["after_classifier"]
     assert s_loose["final_docs"] > 0
+
+
+def test_from_dict_rejects_mismatched_bundle():
+    """A truncated/hand-edited coefficient bundle (7 names, 5 weights)
+    must fail loudly at load time, not silently mis-score the corpus."""
+    good = {"feature_names": ["a", "b"], "weights": [0.1, 0.2],
+            "intercept": 0.0}
+    qc.QualityClassifier.from_dict(good)  # sanity: valid bundle loads
+    bad = {"feature_names": ["a", "b", "c"], "weights": [0.1, 0.2],
+           "intercept": 0.0}
+    with pytest.raises(ValueError, match="mismatch"):
+        qc.QualityClassifier.from_dict(bad)

@@ -1170,3 +1170,46 @@ def test_filter_job_bucket_modulus_stable_across_resume(spark, tmp_path,
     ids = [r["partition_id"] for r in
            metrics.select("partition_id").distinct().collect()]
     assert ids and all(0 <= i < 6 for i in ids)
+
+
+def test_gen_pages_reports_actual_file_count(tmp_path, capsys):
+    """Printed file count is the number of chunks actually written
+    (ceil(9/ceil(9/8)) = 5, not the requested 8); --docs 0 is a clean
+    usage error, not a range() traceback."""
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "9",
+                 "--files", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "(5 files)" in out
+
+    assert main(["gen-pages", "--output", str(tmp_path / "p2"),
+                 "--docs", "0", "--files", "8"]) == 2
+
+
+def test_check_pattern_rules_run_full_data(spark, tmp_path, capsys):
+    """cmd_check must feed the DataFrame to evaluate_profile so pattern
+    rules see ALL rows: the profile's top-10 sample_values here all
+    match the pattern, but one rare row does not — sample-only mode
+    would pass, full-data mode must fail with rc 1."""
+    data = str(tmp_path / "codes")
+    rows = [(i, f"AB{100000 + i % 12:06d}") for i in range(120)]
+    rows.append((999, "zz-bad"))  # unique, never a top-10 sample value
+    spark.createDataFrame(rows, "id bigint, code string") \
+        .write.parquet(data)
+
+    rules = tmp_path / "rules.yaml"
+    rules.write_text(
+        "rules:\n"
+        "  - type: pattern_match\n"
+        "    pattern: '[A-Z]{2}\\d{6}$'\n"
+        "    columns: [code]\n")
+    check_json = str(tmp_path / "check.json")
+    rc = main(["check", "--file", data, "--rules", str(rules),
+               "--json", check_json])
+    capsys.readouterr()
+    assert rc == 1
+    blob = json.load(open(check_json))
+    verdicts = [r["result"] for r in blob["rules"]["code"]
+                if r["rule_name"].startswith("pattern")]
+    assert verdicts and verdicts[0]["passed"] is False
+    assert verdicts[0]["invalid_count"] == 1

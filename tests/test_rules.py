@@ -124,6 +124,26 @@ def test_pattern_rule_full_data(spark):
     assert verdict["passed"] is False and verdict["invalid_count"] == 1
 
 
+def test_pattern_rule_full_data_bad_regex_contained(spark):
+    """A Python-valid but Java-invalid regex must not abort the whole
+    full-data run: only the offending rule records the error verdict,
+    every other rule still gets its true full-data count."""
+    df = spark.createDataFrame(
+        [("AB123456",), ("bad",), ("XX999999",)], ["code"])
+    profile = {"code": {"type": "object",
+                        "stats": {"sample_values": ["AB123456"]}}}
+    engine = RuleEngine()
+    engine.add_rule(PatternMatchRule(r"[A-Z]{2}\d{6}$", name="good_rule"))
+    # (?P<x>...) is Python's named-group syntax; Java regex rejects it
+    engine.add_rule(PatternMatchRule(r"(?P<x>[a-z]\d)", name="bad_rule"))
+    res = engine.evaluate_profile(profile, df=df)
+    by_name = {r["rule_name"]: r["result"] for r in res["code"]}
+    assert by_name["good_rule"]["passed"] is False
+    assert by_name["good_rule"]["invalid_count"] == 1
+    assert by_name["bad_rule"]["passed"] is False
+    assert by_name["bad_rule"]["reason"] == "Evaluation error"
+
+
 def test_config_loader(tmp_path):
     yaml_text = """
 rules:

@@ -99,3 +99,35 @@ def _input_ids_of_batch(spark, store: SignatureStore, batch_id: int) -> set:
     ids = {r.doc_id for r in acc.select("doc_id").collect()}
     ids |= {r.doc_id for r in sig.select("doc_id").collect()}
     return ids
+
+
+def test_ingest_stream_read_failures_surface_or_noop(spark, tmp_path):
+    """With an existing store, a MISSING input dir is the benign
+    'no new drop yet' case (clean no-op); a CORRUPT input file is a
+    real failure and must raise, not silently report a clean drain."""
+    import pytest
+
+    inp = str(tmp_path / "in")
+    store_root = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_file(spark, f"{inp}/f1.parquet", [(1, _doc("a")), (2, _doc("b"))])
+    run_ingest_stream(spark, inp, store_root, out, ckpt, threshold=0.5)
+    store = SignatureStore.open(spark, store_root)
+    n_batches = len(store.committed_batches())
+
+    # benign: input dir gone (archived) -> no-op, store untouched
+    missing = str(tmp_path / "nonexistent")
+    run_ingest_stream(spark, missing, store_root, out, ckpt, threshold=0.5)
+    assert len(SignatureStore.open(spark, store_root).committed_batches()) \
+        == n_batches
+
+    # real failure: unreadable bytes where parquet is expected
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception) as ei:
+        run_ingest_stream(spark, str(bad), store_root, out, ckpt,
+                          threshold=0.5)
+    assert not isinstance(ei.value, ValueError) or "no readable parquet" \
+        not in str(ei.value)
