@@ -64,16 +64,10 @@ def bench_filter_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+    from datacanary_spark.sources.fixtures import docs_as_pages
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pages = docs.select(
-        F.concat(F.lit("https://example.com/doc/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
-        F.lit(None).cast("binary").alias("html"),
-        F.col("text"),
-        F.col("lang"),
-    )
+    pages = docs_as_pages(docs)
     bc = broadcast_models(spark)
     n_docs = docs.count()  # warms the scan cache fairly; excluded from timing
 

@@ -120,7 +120,10 @@ def profile_string_text(spark, sf_dir):
     """
     SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_date,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_date,
-           CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 86400) AS BIGINT) AS range_days,
+           -- truncate each endpoint to whole seconds BEFORE differencing,
+           -- mirroring Spark's unix_timestamp() (epoch() keeps microseconds)
+           CAST(floor((floor(epoch(max(ts))) - floor(epoch(min(ts)))) / 86400)
+                AS BIGINT) AS range_days,
            CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count
     FROM events
     """,
@@ -487,14 +490,10 @@ def filter_pipeline_verdicts(spark, sf_dir):
     SQL-expressible heuristic slice is contract-covered by
     ``heuristic_keep_by_lang`` and ``heuristic_rule_hits_by_lang``."""
     from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
+    from datacanary_spark.sources.fixtures import docs_as_pages
 
     d = _t(spark, sf_dir, "documents")
-    pages = d.select(
-        F.concat(F.lit("https://example.com/doc/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
-        F.lit(None).cast("binary").alias("html"),
-        F.col("text"), F.col("lang"))
+    pages = docs_as_pages(d)
     v = filter_pages(pages, broadcast_models(spark))
     return (v.groupBy("lang")
              .agg(F.sum(F.col("keep").cast("long")).alias("kept"),

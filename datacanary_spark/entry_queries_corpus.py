@@ -94,7 +94,7 @@ def stratified_sample_by_lang(spark, sf_dir):
       SELECT doc_id,
              'HTTPS://WWW.Example' || (doc_id % 20) || '.COM:443/Path/' ||
              (doc_id % 50) || '/?utm_source=feed&id=' || (doc_id % 50) ||
-             '&utm_campaign=x&b=2#sec' || doc_id AS url
+             '&utm_campaign=x&utm_nov&b=2#sec' || doc_id AS url
       FROM documents WHERE doc_id < 200
     ),
     comp AS (
@@ -120,7 +120,7 @@ def stratified_sample_by_lang(spark, sf_dir):
           list_sort(list_filter(
             string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
             p -> p <> '' AND NOT regexp_matches(
-              p, '^(utm_[^=]*|fbclid|gclid)='))) AS params
+              p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))) AS params
         FROM comp)
     )
     SELECT canonical_url, count(*) AS group_size, min(doc_id) AS min_doc
@@ -137,7 +137,7 @@ def url_canonical_groups(spark, sf_dir):
         F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 20).cast("string"),
         F.lit(".COM:443/Path/"), (F.col("doc_id") % 50).cast("string"),
         F.lit("/?utm_source=feed&id="), (F.col("doc_id") % 50).cast("string"),
-        F.lit("&utm_campaign=x&b=2#sec"), F.col("doc_id").cast("string"))
+        F.lit("&utm_campaign=x&utm_nov&b=2#sec"), F.col("doc_id").cast("string"))
     return (d.select(ta.canonical_url_expr(url).alias("canonical_url"),
                      "doc_id")
             .groupBy("canonical_url")
@@ -648,12 +648,17 @@ def tfidf_top_terms_docs(spark, sf_dir):
     )
     SELECT host,
            CAST(count(*) AS BIGINT) AS n_docs,
+           -- null-text docs are exempt identities (each its own
+           -- content), mirroring host_reputation's count_distinct +
+           -- null correction
            CAST(count(DISTINCT md5(trim(lower(
-             regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
+             regexp_replace(text, '\s+', ' ', 'g')))))
+             + sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_distinct,
            round(avg(CAST(length(text) AS DOUBLE)), 6) AS mean_chars,
            round(CAST(count(DISTINCT md5(trim(lower(
-             regexp_replace(text, '\s+', ' ', 'g'))))) AS DOUBLE)
+             regexp_replace(text, '\s+', ' ', 'g')))))
+             + sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS distinct_ratio
     FROM raw GROUP BY host
     """,

@@ -199,7 +199,12 @@ def _duck_simhash(tokens: str) -> str:
       SELECT doc_id, {_WORDS.format(col='text')} AS w
       FROM documents WHERE doc_id < 100
     )
-    SELECT doc_id, CAST({_duck_simhash('w')} AS INT) AS simhash
+    SELECT doc_id,
+           -- null text => null tokens => null simhash (Spark's
+           -- aggregate over a null array is NULL; the per-bit CASE
+           -- would otherwise fall to ELSE 0 on the NULL condition)
+           CASE WHEN w IS NULL THEN NULL
+                ELSE CAST({_duck_simhash('w')} AS INT) END AS simhash
     FROM toks
     """,
 )

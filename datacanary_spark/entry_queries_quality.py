@@ -161,11 +161,15 @@ def _duck_outlier_selects() -> list[str]:
     sel = []
     for c in NUMERIC_COLUMNS:
         for kind, agg in (("minimum", "min"), ("maximum", "max")):
+            # filter on the UNROUNDED z (detect_outliers thresholds the
+            # raw z and rounds only for display); rounding first would
+            # shift the cut to z >= 3.005
             sel.append(
-                f"SELECT * FROM (SELECT '{c}' AS column, '{kind}' AS boundary, "
+                f'SELECT "column", boundary, value, round(z_raw, 2) AS z_score '
+                f'FROM (SELECT \'{c}\' AS "column", \'{kind}\' AS boundary, '
                 f"CAST({agg}({c}) AS DOUBLE) AS value, "
-                f"round(abs(({agg}({c}) - avg({c})) / stddev_samp({c})), 2) AS z_score "
-                f"FROM aug) t_{c}_{agg} WHERE z_score > 3")
+                f"abs(({agg}({c}) - avg({c})) / stddev_samp({c})) AS z_raw "
+                f"FROM aug) t_{c}_{agg} WHERE z_raw > 3")
     return sel
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from datacanary_spark.functions.heuristics import words_expr
 from datacanary_spark.sources.fixtures import LANGS, STOPWORDS
 
 # BPE-ish pre-tokenizer: ASCII alnum runs, or single non-alnum non-space
@@ -25,10 +26,8 @@ from datacanary_spark.sources.fixtures import LANGS, STOPWORDS
 # (DuckDB) and Python `re` agree codepoint-for-codepoint.
 BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
-
-def words_expr(text_col: Column) -> Column:
-    """Whitespace tokens (non-empty splits on \\s+)."""
-    return F.filter(F.split(text_col, r"\s+"), lambda w: w != F.lit(""))
+# words_expr is functions/heuristics.words_expr, re-exported: ONE
+# tokenization contract (pinned to the golden twin), two import paths.
 
 
 def token_count_ws(text_col: Column) -> Column:
@@ -152,7 +151,9 @@ def canonical_url_expr(url_col: Column) -> Column:
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     params = F.array_sort(F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+        # (=|$): valueless tracking params ("?utm_source") are tracking
+        # params too
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)")))
     q_part = F.when(F.size(params) > 0,
                     F.concat(F.lit("?"), F.concat_ws("&", params))) \
               .otherwise(F.lit(""))

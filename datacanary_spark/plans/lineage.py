@@ -45,8 +45,10 @@ def partition_lineage(verdicts: DataFrame, cfg: FilterConfig | None = None) -> D
     """
     cfg = cfg or FilterConfig()
     rule_names = list(cfg.rule_names)
+    # cast unifies the two paths (bucket is a long pmod,
+    # spark_partition_id an int) onto LINEAGE_SCHEMA's int partition_id
     pid = (F.col("bucket") if "bucket" in verdicts.columns
-           else F.spark_partition_id())
+           else F.spark_partition_id()).cast("int")
     return (
         verdicts.withColumn("partition_id", pid)
         .groupBy("partition_id")

@@ -48,10 +48,11 @@ from datacanary_spark.functions.udfs import (
     make_ppl_udf,
     make_scrub_udf,
 )
+from datacanary_spark.schema import VERDICT_FIELDS
 
-VERDICT_COLUMNS = ["url", "warc_ts", "lang", "keep", "rule_hits",
-                   "lang_pred", "lang_conf", "ppl",
-                   "scrubbed_text", "scrub_count"]
+# column list derives from the declared contract (schema.VERDICT_FIELDS)
+# so the two can never drift
+VERDICT_COLUMNS = [f.name for f in VERDICT_FIELDS]
 
 
 def broadcast_models(spark, models=None):

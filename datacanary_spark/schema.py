@@ -42,13 +42,22 @@ EVENTS_SCHEMA = T.StructType(
 
 # ---- output: per-document verdicts ----------------------------------------
 
+# The authoritative verdict contract: plans/pipeline.py selects its
+# output columns FROM this list (names) and tests pin the runtime
+# dtypes to these (test_filter_pipeline), so the declared schema and
+# the shipped pipeline cannot drift apart.
 VERDICT_FIELDS = [
     T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("lang", T.StringType(), True),
     T.StructField("keep", T.BooleanType(), False),
-    T.StructField("rule_hits", T.MapType(T.StringType(), T.IntegerType()), False),
+    T.StructField("rule_hits",
+                  T.MapType(T.StringType(), T.IntegerType(), False), False),
     T.StructField("lang_pred", T.StringType(), True),
+    T.StructField("lang_conf", T.DoubleType(), True),
     T.StructField("ppl", T.DoubleType(), True),
     T.StructField("scrubbed_text", T.StringType(), True),
+    T.StructField("scrub_count", T.IntegerType(), True),
 ]
 VERDICT_SCHEMA = T.StructType(VERDICT_FIELDS)
 

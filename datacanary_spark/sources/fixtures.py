@@ -235,6 +235,24 @@ def pages_spark_df(spark, n_docs: int, seed: int = 42, num_partitions: int | Non
     return ids.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def docs_as_pages(docs_df):
+    """Reshape the testdata ``documents`` table into the PAGES_SCHEMA
+    contract (url, warc_ts, html, text, lang).
+
+    THE single definition of the documents→pages reshape shared by
+    bench.py's ``filter_pipeline_full`` timing and the entry-query
+    twin — if the contract shape changes, the benchmark keeps timing
+    the shipped pipeline, not a stale copy."""
+    from pyspark.sql import functions as F
+
+    return docs_df.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"), F.col("lang"))
+
+
 def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
                         chunk_size: int = 20_000, start_id: int = 0,
                         file_prefix: str = "part") -> None:

@@ -37,32 +37,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _hw_control(thread_levels: tuple[int, int]) -> float:
-    """No-Spark thread-scaling ceiling for this instant: a fixed total
-    of C-side md5 work (hashlib releases the GIL) split across
-    ``thread_levels`` threads; returns the N→4N-style efficiency
-    between the two levels. Same rationale as
-    scripts/scaling_dedup.py::hardware_control, run INSIDE each bench
-    round so the pipeline's efficiency has a same-window reference on
-    a host whose ceiling drifts."""
-    import hashlib
-    import threading
+    """No-Spark thread-scaling ceiling for this instant, run INSIDE
+    each bench round so the pipeline's efficiency has a same-window
+    reference on a host whose ceiling drifts. One shared probe
+    (scripts/hwcontrol.py) backs both scaling reports."""
+    from scripts.hwcontrol import efficiency, md5_thread_secs
 
-    def work(n_iter):
-        b = b"x" * 65536
-        for _ in range(n_iter):
-            hashlib.md5(b).digest()
-
-    total = 48000
-    secs = {}
-    for nt in thread_levels:
-        ths = [threading.Thread(target=work, args=(total // nt,))
-               for _ in range(nt)]
-        t0 = time.perf_counter()
-        [t.start() for t in ths]
-        [t.join() for t in ths]
-        secs[nt] = time.perf_counter() - t0
     lo, hi = thread_levels
-    return round(secs[lo] / secs[hi] / (hi / lo), 3)
+    return efficiency(md5_thread_secs(thread_levels), lo, hi)
 
 
 def worker(cpus: int, input_dir: str, repeat: int, job: str = "filter") -> None:

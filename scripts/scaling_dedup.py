@@ -184,25 +184,11 @@ def hardware_control() -> dict:
     scale at ≥0.8 from 2→8 threads, no hash-dominated Spark stage on
     this box can — the limit is the virtualized hardware, not the
     operator."""
-    import hashlib
-    import threading
+    from scripts.hwcontrol import efficiency, md5_thread_secs
 
-    def work(n_iter):
-        b = b"x" * 65536
-        for _ in range(n_iter):
-            hashlib.md5(b).digest()
-
-    total = 48000  # ~3 GB hashed
-    out = {}
-    for nt in (1, 2, 8):
-        ths = [threading.Thread(target=work, args=(total // nt,))
-               for _ in range(nt)]
-        t0 = time.perf_counter()
-        [t.start() for t in ths]
-        [t.join() for t in ths]
-        out[f"threads_{nt}_sec"] = round(time.perf_counter() - t0, 3)
-    out["eff_2_to_8"] = round(
-        out["threads_2_sec"] / (4 * out["threads_8_sec"]), 3)
+    secs = md5_thread_secs((1, 2, 8))
+    out = {f"threads_{nt}_sec": round(s, 3) for nt, s in secs.items()}
+    out["eff_2_to_8"] = efficiency(secs, 2, 8)
     return out
 
 

@@ -94,8 +94,9 @@ def test_canonical_url_random_differential(spark):
                        for _ in range(segs))
         path += rng.choice(["", "/"])
         params = rng.sample(["utm_source=x", "utm_campaign=Y", "fbclid=z",
-                             "gclid=1", "id=5", "b=2", "q=hello", "empty="],
-                            rng.randint(0, 5))
+                             "gclid=1", "id=5", "b=2", "q=hello", "empty=",
+                             "utm_source", "fbclid", "flag"],
+                            rng.randint(0, 6))
         query = "?" + "&".join(params) if params else rng.choice(["", "?"])
         frag = rng.choice(["", "#sec", "#a?b=1"])
         urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
@@ -113,7 +114,7 @@ def test_canonical_url_random_differential(spark):
         qm = re.search(r"\?(.*)$", rest)
         params = sorted(
             p for p in (qm.group(1) if qm else "").split("&")
-            if p and not re.match(r"^(utm_[^=]*|fbclid|gclid)=", p))
+            if p and not re.match(r"^(utm_[^=]*|fbclid|gclid)(=|$)", p))
         return scheme + "://" + host + path + \
             ("?" + "&".join(params) if params else "")
 
@@ -134,6 +135,13 @@ def test_canonical_url_rules(spark):
         ("https://host.org/", "https://host.org"),
         ("https://host.org/p?fbclid=abc", "https://host.org/p"),
         ("https://host.org/p?gclid=1&keep=2", "https://host.org/p?keep=2"),
+        # valueless tracking params are tracking params too; valueless
+        # NON-tracking params survive
+        ("https://host.org/p?utm_source", "https://host.org/p"),
+        ("https://host.org/p?fbclid&keep=1", "https://host.org/p?keep=1"),
+        ("https://host.org/p?flag", "https://host.org/p?flag"),
+        # a param merely PREFIXED by a tracking name is not tracking
+        ("https://host.org/p?fbclidx=1", "https://host.org/p?fbclidx=1"),
         ("https://host.org", "https://host.org"),
         (None, None),
         # non-hierarchical / scheme-less urls have UNKNOWN identity →

@@ -131,3 +131,27 @@ def test_corpus_metrics_empty_input_health_unknown(spark):
     assert cm["input_count"] == 0
     assert cm["health_score"] is None
     assert cm["health_status"] is None
+
+
+def test_verdict_and_lineage_match_declared_schemas(spark):
+    """schema.py's VERDICT_SCHEMA / LINEAGE_SCHEMA are the declared
+    output contracts — the runtime DataFrames must carry exactly those
+    column names and datatypes (nullability excluded: Spark's inference
+    is plan-dependent), on both the bucketed and unbucketed paths."""
+    from datacanary_spark.schema import LINEAGE_SCHEMA, VERDICT_SCHEMA
+
+    models_bc = broadcast_models(spark)
+    pages = pages_spark_df(spark, 60, seed=7, num_partitions=2)
+
+    for buckets in (None, 4):
+        verdicts = filter_pages(pages, models_bc,
+                                repartition_buckets=buckets)
+        got = {f.name: f.dataType
+               for f in verdicts.schema.fields if f.name != "bucket"}
+        want = {f.name: f.dataType for f in VERDICT_SCHEMA.fields}
+        assert got == want, f"buckets={buckets}"
+
+        lin = partition_lineage(verdicts)
+        got_l = {f.name: f.dataType for f in lin.schema.fields}
+        want_l = {f.name: f.dataType for f in LINEAGE_SCHEMA.fields}
+        assert got_l == want_l, f"buckets={buckets}"
