@@ -289,12 +289,24 @@ def band_rows_from_sig(df: DataFrame, id_col: str = "doc_id",
     the document text is long gone."""
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows = n_hashes // bands
+    # fail FAST on a signature whose length doesn't match n_hashes (a
+    # store written with different parameters, or a caller passing
+    # defaults against a migrated table): with ANSI off, element_at
+    # past the end yields null and concat_ws silently DROPS nulls —
+    # every doc would share a truncated/empty band key, collapsing the
+    # corpus into one quadratic bucket with no error.
+    sig_ok = F.size(F.col(sig_col)) == F.lit(n_hashes)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_ix"),
-            F.concat_ws("|", *[F.element_at(F.col(sig_col), b * rows + r + 1)
-                               .cast("string")
-                               for r in range(rows)]).alias("band_key"),
+            F.when(sig_ok, F.concat_ws(
+                "|", *[F.element_at(F.col(sig_col), b * rows + r + 1)
+                       .cast("string")
+                       for r in range(rows)]))
+             .otherwise(F.raise_error(F.concat(
+                 F.lit(f"band_rows_from_sig: signature length "),
+                 F.size(F.col(sig_col)).cast("string"),
+                 F.lit(f" != n_hashes={n_hashes}")))).alias("band_key"),
         )
         for b in range(bands)
     ])
@@ -351,7 +363,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def dedup_lines(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", min_chars: int = 1) -> DataFrame:
+                text_col: str = "text", min_chars: int = 1,
+                persist: bool = True) -> DataFrame:
     """C4-style line-level corpus dedup (Raffel et al. 2020 §2.2: C4
     removes repeated three-sentence spans; the unit here is the LINE,
     the form most webtext pipelines use for boilerplate).
@@ -374,12 +387,22 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
     the hot key) joined back on the line hash, where AQE's skew join
     splits the hot key's probe side. Two linear shuffles total: line
     hash (agg + join) and id (reassembly).
+
+    ``persist`` caches the exploded/hashed line rows, which BOTH the
+    firsts aggregate and the join-back read (plus the short-line
+    branch) — without it the corpus is re-split and re-hashed per
+    consumer (~3× the map work). Same tri-state lifetime contract as
+    lsh_candidate_pairs (bool or plans.caching.CacheScope).
     """
-    lines = df.where(F.col(text_col).isNotNull()).select(
+    from datacanary_spark.plans.caching import maybe_persist
+
+    lines = maybe_persist(df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"))
-    long_ln = lines.where(F.length("ln") >= min_chars) \
-                   .withColumn("key", F.md5("ln"))
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln")),
+        persist)
+    long_ln = maybe_persist(
+        lines.where(F.length("ln") >= min_chars)
+             .withColumn("key", F.md5("ln")), persist)
     firsts = long_ln.groupBy("key").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"))
     kept_long = (long_ln.join(firsts, "key")
@@ -490,12 +513,18 @@ def decontaminate(corpus: DataFrame, reference: DataFrame,
     )
 
     if mode == "exact":
+        # collision-safe temp column: withColumn would silently REPLACE
+        # (and the later drop delete) a pre-existing caller column named
+        # "_fp", breaking the "schema unchanged" return contract
+        fp_col = "_fp"
+        while fp_col in corpus.columns:
+            fp_col += "_"
         ref_fp = reference.select(
-            content_fingerprint(F.col(ref_text_col)).alias("_fp")) \
-            .where(F.col("_fp").isNotNull()).distinct()
+            content_fingerprint(F.col(ref_text_col)).alias(fp_col)) \
+            .where(F.col(fp_col).isNotNull()).distinct()
         keyed = corpus.withColumn(
-            "_fp", content_fingerprint(F.col(text_col)))
-        return keyed.join(ref_fp, "_fp", "left_anti").drop("_fp")
+            fp_col, content_fingerprint(F.col(text_col)))
+        return keyed.join(ref_fp, fp_col, "left_anti").drop(fp_col)
     if mode != "winnow":
         raise ValueError(f"unknown mode: {mode!r} (exact|winnow)")
 
@@ -541,11 +570,14 @@ def lsh_bucket_stats(df: DataFrame, id_col: str = "doc_id",
     b = lsh_bucket_rows(df, id_col, text_col, k_shingle, n_hashes, bands,
                         hash_fn)
     sizes = b.groupBy("band_ix", "band_key").agg(F.count(F.lit(1)).alias("sz"))
+    # coalesce: F.sum over ZERO bucket rows (all-null-text corpus,
+    # empty input) is null — lineage consumers need 0, not None
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum((F.col("sz") > max_bucket).cast("long"))
+        F.coalesce(F.sum((F.col("sz") > max_bucket).cast("long")), F.lit(0))
         .alias("n_oversize_buckets"),
-        F.sum(F.when(F.col("sz") > max_bucket, F.col("sz")).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("sz") > max_bucket,
+                                F.col("sz")).otherwise(0)), F.lit(0))
         .alias("n_rows_dropped"))
 
 
@@ -558,11 +590,24 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     pair side is broadcast (AQE) and the corpus side's shingle sets are
     computed ONCE and persisted (both join roles read the cache — a
     re-derivation per role would double the shingling cost).
+
+    Only docs that actually APPEAR in a pair are shingled: a left-semi
+    join prunes the corpus to candidate ids first, so the persisted
+    shingle cache is O(candidate docs) — shingle arrays are ~5× the
+    text, and caching them for 10^12 docs when the pair list covers a
+    tiny fraction would dwarf the corpus itself.
     """
     from datacanary_spark.plans.caching import maybe_persist
 
-    sh = df.select(F.col(id_col),
-                   char_shingles(F.col(text_col), k_shingle).alias("sh"))
+    # pairs is read three times (id union + two joins) — persist the
+    # tiny pair list so the upstream candidate join isn't re-run per use
+    pairs = maybe_persist(pairs, persist)
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sh = (df.join(cand_ids, id_col, "left_semi")
+            .select(F.col(id_col),
+                    char_shingles(F.col(text_col), k_shingle).alias("sh")))
     sh = maybe_persist(sh, persist)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     bb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -609,7 +654,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 def remove_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 10,
                            min_count: int = 2,
-                           hash_fn: str = "md5") -> DataFrame:
+                           hash_fn: str = "md5",
+                           persist: bool = True) -> DataFrame:
     """Corpus-wide repeated-span removal at token-n-gram granularity —
     the Spark-expressible form of ExactSubstr dedup (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better": remove
@@ -644,11 +690,19 @@ def remove_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
     ``exists`` over the doc's removal starts — bounded by the doc's
     own token count). ``hash_fn="xxhash64"`` is the documented
     10^12-doc swap; md5 keeps DuckDB-oracle parity.
+
+    ``persist`` caches the tokenized docs (read by the occurrence
+    explode AND the rebuild) and the window-hash occurrences (read by
+    the firsts aggregate AND the removal join) — unpersisted, the
+    per-window hashing runs twice over the corpus. Same tri-state
+    lifetime contract as lsh_candidate_pairs.
     """
+    from datacanary_spark.plans.caching import maybe_persist
+
     toks = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda x: x != F.lit(""))
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), toks.alias("_toks"))
+    base = maybe_persist(df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks")), persist)
     n = F.size("_toks")
 
     def _key(gram: Column) -> Column:
@@ -660,8 +714,9 @@ def remove_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
     grams = F.transform(starts,
                         lambda s: _key(F.concat_ws(
                             " ", F.slice(F.col("_toks"), s + 1, k))))
-    occ = base.select(F.col(id_col),
-                      F.posexplode(grams).alias("start", "_key"))
+    occ = maybe_persist(
+        base.select(F.col(id_col),
+                    F.posexplode(grams).alias("start", "_key")), persist)
 
     firsts = occ.groupBy("_key").agg(
         F.count(F.lit(1)).alias("_cnt"),

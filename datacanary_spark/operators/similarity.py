@@ -63,15 +63,23 @@ def _resolve_assignment(assignment: str, n_literals: int) -> str:
     return assignment
 
 
-def _vec_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
-    """(n, dim) float64 matrix; null vectors become zero rows — the
-    zero vector has dot 0 with every plane/centroid, which reproduces
-    the literal path's null semantics for SRP (no bit set → bucket 0)."""
+def _vec_matrix(vecs: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """((n, dim) float64 matrix, (n,) valid mask).
+
+    Null vectors AND ragged vectors (length != dim — one corrupt
+    embedding must degrade that row, never abort the Arrow batch the
+    literal expression path would have survived) become zero rows with
+    valid=False. The zero row has dot 0 with every plane/centroid,
+    which reproduces the literal path's semantics for SRP (no bit set
+    → bucket 0); cell/probe UDFs null out invalid rows instead (the
+    literal path's null-dot → null-argmax)."""
     out = np.zeros((len(vecs), dim), dtype=np.float64)
+    valid = np.zeros(len(vecs), dtype=bool)
     for i, v in enumerate(vecs):
-        if v is not None:
+        if v is not None and len(v) == dim:
             out[i, :] = np.asarray(v, dtype=np.float64)
-    return out
+            valid[i] = True
+    return out, valid
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -91,6 +99,20 @@ def cosine_expr(a: Column, b: Column) -> Column:
 from datacanary_spark.plans.partitioning import spread_to_parallelism as _spread
 
 
+def _topk(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
+    """Shared top-k tail of the three neighbor operators: per-query
+    rank window with the deterministic tie-break (score desc, neighbor
+    id asc) and the 6dp score rounding. ONE definition so a tie-break
+    or rounding change cannot silently diverge the operators' output
+    contracts."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, "neighbor_id", "rank",
+                          F.bround(F.col("score"), 6).alias("score")))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id") -> DataFrame:
@@ -101,15 +123,22 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     explicitly broadcast — the join is a map-side nested loop, no
     corpus shuffle; the only exchange is the per-query top-k window
     (hash on query_id, O(n_queries·k) rows after partial ranking).
+
+    Null vectors are filtered on BOTH sides (a vector-less query has
+    no neighbors; a vector-less doc is never a neighbor) — the same
+    semantics as ann_topk/ivf_topk, so the three operators agree on
+    any input and recall evaluations never count phantom rows.
     """
     # Norms hoisted to the O(n) sides: the naive cosine inside the pair
     # stage evaluates 3 aggregate dot products per (corpus, query) pair;
     # precomputing |v| per vector leaves 1 — bit-identical results,
     # measured ~3× on the near-dup twin of this pattern.
-    q = queries.select(F.col(query_id_col),
+    q = queries.where(F.col(vec_col).isNotNull()) \
+               .select(F.col(query_id_col),
                        F.col(vec_col).alias("_qvec"),
                        norm_expr(F.col(vec_col)).alias("_qnrm"))
-    c = _spread(corpus.select(F.col(id_col), F.col(vec_col),
+    c = _spread(corpus.where(F.col(vec_col).isNotNull())
+                      .select(F.col(id_col), F.col(vec_col),
                               norm_expr(F.col(vec_col)).alias("_cnrm")))
     scored = c.join(F.broadcast(q)).select(
         F.col(query_id_col),
@@ -117,12 +146,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.try_divide(dot_expr(F.col(vec_col), F.col("_qvec")),
                      F.col("_cnrm") * F.col("_qnrm")).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select(query_id_col, "neighbor_id", "rank",
-                          F.bround(F.col("score"), 6).alias("score")))
+    return _topk(scored, query_id_col, k)
 
 
 def random_planes(dim: int, n_bits: int, table: int = 0,
@@ -162,7 +186,7 @@ def make_srp_buckets_udf(df: DataFrame, dim: int, n_bits: int,
     def srp_buckets(vecs: pd.Series) -> pd.Series:
         P = bc.value
         n_b = P.shape[1]
-        M = _vec_matrix(vecs, P.shape[2])
+        M, _ = _vec_matrix(vecs, P.shape[2])  # invalid rows → bucket 0
         dots = np.einsum("nd,tbd->ntb", M, P)          # (n, T, B)
         weights = (np.int64(1) << np.arange(n_b, dtype=np.int64))
         bkts = ((dots > 0) @ weights).astype(np.int32)  # (n, T)
@@ -213,28 +237,41 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     set, so recall < 1 is possible (that's the trade). The equi-join on
     (table, bucket) replaces the all-pairs product — candidate count
     ≈ corpus·n_tables/2^n_bits per query.
+
+    Plan discipline: the bucket join pairs TINY (table, bucket, id)
+    rows and distinct-s the candidate ids BEFORE scoring — a pair
+    sharing buckets in all n_tables tables is scored once, not
+    n_tables times, and the dedup exchange never carries dim-length
+    vectors (the same pairs-then-content shape as dedup.py's
+    lsh_candidate_pairs). Null vectors are filtered on both sides,
+    matching brute_force_topk/ivf_topk.
     """
-    c = with_lsh_buckets(
-        corpus.select(F.col(id_col), F.col(vec_col),
-                      norm_expr(F.col(vec_col)).alias("_cnrm")),
-        dim, vec_col, n_bits, n_tables, seed, assignment)
-    q = with_lsh_buckets(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-                       norm_expr(F.col(vec_col)).alias("_qnrm")),
-        dim, "_qvec", n_bits, n_tables, seed, assignment)
-    cand = (c.join(q, ["table", "bucket"])
-             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
-                     F.try_divide(dot_expr(F.col(vec_col), F.col("_qvec")),
-                                  F.col("_cnrm") * F.col("_qnrm"))
-                     .alias("score"))
-             .groupBy(query_id_col, "neighbor_id")
-             .agg(F.first("score").alias("score")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .select(query_id_col, "neighbor_id", "rank",
-                        F.bround(F.col("score"), 6).alias("score")))
+    c_base = corpus.where(F.col(vec_col).isNotNull()) \
+                   .select(F.col(id_col), F.col(vec_col),
+                           norm_expr(F.col(vec_col)).alias("_cnrm"))
+    q_base = queries.where(F.col(vec_col).isNotNull()) \
+                    .select(F.col(query_id_col),
+                            F.col(vec_col).alias("_qvec"),
+                            norm_expr(F.col(vec_col)).alias("_qnrm"))
+    cb = with_lsh_buckets(c_base.select(id_col, vec_col), dim, vec_col,
+                          n_bits, n_tables, seed, assignment) \
+        .select("table", "bucket", id_col)
+    qb = with_lsh_buckets(q_base.select(query_id_col, "_qvec"), dim, "_qvec",
+                          n_bits, n_tables, seed, assignment) \
+        .select("table", "bucket", query_id_col)
+    cand = (cb.join(qb, ["table", "bucket"])
+              .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+              .dropDuplicates())
+    scored = (cand
+              .join(c_base.select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col), F.col("_cnrm")),
+                    "neighbor_id")
+              .join(F.broadcast(q_base), query_id_col)
+              .select(query_id_col, "neighbor_id",
+                      F.try_divide(dot_expr(F.col(vec_col), F.col("_qvec")),
+                                   F.col("_cnrm") * F.col("_qnrm"))
+                      .alias("score")))
+    return _topk(scored, query_id_col, k)
 
 
 IVF_SEED_TAG = 7777  # distinguishes IVF centroids from SRP planes
@@ -342,10 +379,10 @@ def make_ivf_cell_udf(df: DataFrame, centroids: np.ndarray):
     @pandas_udf("int")
     def ivf_cell(vecs: pd.Series) -> pd.Series:
         C = bc.value
-        M = _vec_matrix(vecs, C.shape[1])
+        M, valid = _vec_matrix(vecs, C.shape[1])
         cells = np.argmax(M @ C.T, axis=1).astype("int32")
         out = pd.Series(cells, index=vecs.index, dtype="Int32")
-        out[vecs.isna()] = None
+        out[~valid] = None  # null OR ragged → null cell (literal parity)
         return out
 
     return ivf_cell
@@ -363,10 +400,10 @@ def make_ivf_probe_udf(df: DataFrame, centroids: np.ndarray, n_probe: int):
     @pandas_udf("array<int>")
     def ivf_probe(vecs: pd.Series) -> pd.Series:
         C = bc.value
-        M = _vec_matrix(vecs, C.shape[1])
+        M, valid = _vec_matrix(vecs, C.shape[1])
         order = np.argsort(-(M @ C.T), axis=1, kind="stable")
         probes = order[:, :n_probe].astype("int32")
-        return pd.Series([None if vecs.iloc[i] is None else probes[i]
+        return pd.Series([probes[i] if valid[i] else None
                           for i in range(len(vecs))], index=vecs.index)
 
     return ivf_probe
@@ -410,17 +447,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         c = c.withColumn("cell", ivf_cell_expr(F.col(vec_col), cents))
         q = q.withColumn("cell", F.explode(
             ivf_probe_cells_expr(F.col("_qvec"), cents, n_probe)))
-    cand = (c.join(q, "cell")
-             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
-                     F.try_divide(dot_expr(F.col(vec_col), F.col("_qvec")),
-                                  F.col("_cnrm") * F.col("_qnrm"))
-                     .alias("score")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .select(query_id_col, "neighbor_id", "rank",
-                        F.bround(F.col("score"), 6).alias("score")))
+    scored = (c.join(q, "cell")
+               .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                       F.try_divide(dot_expr(F.col(vec_col), F.col("_qvec")),
+                                    F.col("_cnrm") * F.col("_qnrm"))
+                       .alias("score")))
+    return _topk(scored, query_id_col, k)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -437,13 +469,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     twin); ``use_lsh=True`` is the cluster path: pairs must share a
     bucket in some table, shrinking the join from n² to sum(bucket²).
 
-    ``persist`` (LSH mode only) caches the bucketed frame so the two
-    self-join sides don't recompute the n_bits·n_tables hyperplane dot
-    products — same persist-lifetime contract as lsh_candidate_pairs:
-    the default leaks one MEMORY_AND_DISK frame per call into a
-    long-lived session; pass a ``plans.caching.CacheScope`` for a
-    deterministic release point, or ``persist=False`` to manage caching
-    yourself if you invoke this repeatedly.
+    ``persist`` (LSH mode only) caches the vector base (read by the
+    bucket pass and both score joins) and the tiny bucket rows (read
+    by both self-join sides, so the n_bits·n_tables hyperplane dot
+    products run once) — same persist-lifetime contract as
+    lsh_candidate_pairs: the default leaks MEMORY_AND_DISK frames per
+    call into a long-lived session; pass a
+    ``plans.caching.CacheScope`` for a deterministic release point, or
+    ``persist=False`` to manage caching yourself if you invoke this
+    repeatedly.
     """
     # Precompute each vector's norm BEFORE the pair join: the naive
     # per-pair cosine evaluates 3 dot products (a·b, a·a, b·b) inside the
@@ -455,20 +489,34 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         from datacanary_spark.plans.caching import maybe_persist
 
         assert dim is not None
-        b = with_lsh_buckets(base, dim, "_v", n_bits, n_tables,
-                             assignment=assignment)
-        # both self-join sides read b; persist so the n_bits·n_tables
-        # hyperplane dot products per vector run once, not per side
-        # (pass a plans.caching.CacheScope for a deterministic release)
+        # the bucket self-join pairs TINY (table, bucket, id) rows and
+        # distinct-s id pairs BEFORE any vector travels: shipping
+        # (va, vb) through the n_tables-duplicated pair rows and the
+        # dropDuplicates exchange would move ~2·dim·8·n_tables bytes
+        # per unique pair of pure payload (the same pairs-then-content
+        # discipline as dedup.py's lsh_candidate_pairs). base is
+        # persisted for its three consumers (bucket pass + two score
+        # joins); the bucket rows are persisted so the hyperplane dot
+        # products run once, not per self-join side.
+        base = maybe_persist(base, persist)
+        b = with_lsh_buckets(base.select(id_col, "_v"), dim, "_v",
+                             n_bits, n_tables, assignment=assignment) \
+            .select("table", "bucket", id_col)
         b = maybe_persist(b, persist)
-        left = b.select("table", "bucket", F.col(id_col).alias("id_a"),
-                        F.col("_v").alias("va"), F.col("_nrm").alias("na"))
-        right = b.select("table", "bucket", F.col(id_col).alias("id_b"),
-                         F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
-        pairs = (left.join(right, ["table", "bucket"])
-                     .where(F.col("id_a") < F.col("id_b"))
-                     .select("id_a", "id_b", "va", "vb", "na", "nb")
-                     .dropDuplicates(["id_a", "id_b"]))
+        cand = (b.select("table", "bucket", F.col(id_col).alias("id_a"))
+                 .join(b.select("table", "bucket",
+                                F.col(id_col).alias("id_b")),
+                       ["table", "bucket"])
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b")
+                 .dropDuplicates())
+        pairs = (cand
+                 .join(base.select(F.col(id_col).alias("id_a"),
+                                   F.col("_v").alias("va"),
+                                   F.col("_nrm").alias("na")), "id_a")
+                 .join(base.select(F.col(id_col).alias("id_b"),
+                                   F.col("_v").alias("vb"),
+                                   F.col("_nrm").alias("nb")), "id_b"))
     else:
         # the left side STREAMS through the nested-loop join — spread it
         # across cores (a one-file test-scale scan is 1 partition, which

@@ -257,7 +257,8 @@ def run_curation_job(
             summary["after_near_dup_clusters"] = stage.count()
 
         if line_dedup:
-            ld = dedup_lines(stage, id_col="url", text_col="text")
+            ld = dedup_lines(stage, id_col="url", text_col="text",
+                             persist=scope)
             stage = scope.persist(stage.drop("text").join(ld, "url")
                                   .where(F.length(F.trim("text")) > 0))
             summary["after_line_dedup"] = stage.count()
@@ -268,7 +269,7 @@ def run_curation_job(
             sd = remove_repeated_ngrams(stage, id_col="url",
                                         text_col="text", k=span_dedup_k,
                                         min_count=span_min_count,
-                                        hash_fn="xxhash64")
+                                        hash_fn="xxhash64", persist=scope)
             stage = scope.persist(stage.drop("text").join(sd, "url")
                                   .where(F.length(F.trim("text")) > 0))
             summary["after_span_dedup"] = stage.count()

@@ -94,7 +94,9 @@ def test_embedding_near_dup_with_scope_leaves_no_blocks(spark, emb_df):
         pairs = embedding_near_dup_pairs(
             emb_df, threshold=0.9, dim=8, use_lsh=True, persist=scope)
         pairs.count()
-        assert _n_cached_rdds(spark) == baseline + 1
+        # two frames by design: the vector base (bucket pass + both
+        # score joins) and the tiny bucket rows (both self-join sides)
+        assert _n_cached_rdds(spark) == baseline + 2
     assert _n_cached_rdds(spark) == baseline
 
 

@@ -974,3 +974,86 @@ def test_semdedup_persist_modes_agree(spark, emb_df):
         scoped = sorted(map(tuple, sim.semdedup(
             df, dim=16, threshold=0.9, persist=scope).collect()))
     assert plain == scoped
+
+
+def test_null_and_ragged_vectors_across_topk_operators(spark, emb_df):
+    """The three top-k operators must AGREE on degenerate inputs: a
+    null query vector yields no rows from any of them, a null corpus
+    vector is never a neighbor, and a ragged corpus vector (wrong
+    length) in UDF-assignment mode degrades that row instead of
+    aborting the Arrow batch."""
+    df, _ = emb_df
+    null_q = spark.createDataFrame(
+        [(900, None)], "query_id: long, embedding: array<double>")
+    for op in (lambda: sim.brute_force_topk(df, null_q, k=3),
+               lambda: sim.ann_topk(df, null_q, 16, k=3),
+               lambda: sim.ivf_topk(df, null_q, 16, k=3)):
+        assert op().count() == 0
+
+    # null corpus vector: never a neighbor in any operator
+    corpus_n = df.unionByName(spark.createDataFrame(
+        [(999, None)], "vec_id: long, embedding: array<double>"))
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    for op in (lambda: sim.brute_force_topk(corpus_n, q, k=40),
+               lambda: sim.ann_topk(corpus_n, q, 16, k=40),
+               lambda: sim.ivf_topk(corpus_n, q, 16, k=40)):
+        assert not [r for r in op().collect() if r["neighbor_id"] == 999]
+
+    # ragged corpus vector, forced UDF assignment: no crash, and the
+    # ragged row degrades (bucket 0 / null cell), never aborts the job
+    corpus_r = df.unionByName(spark.createDataFrame(
+        [(998, [0.5] * 15)], "vec_id: long, embedding: array<double>"))
+    got = sim.ann_topk(corpus_r, q, 16, k=3, assignment="udf").collect()
+    assert got  # job survived; results present
+    got_ivf = sim.ivf_topk(corpus_r, q, 16, k=3, assignment="udf").collect()
+    assert got_ivf
+
+
+def test_ann_topk_udf_and_literal_agree_end_to_end(spark, emb_df):
+    """ann_topk output (not just bucket assignment) is identical under
+    both dispatch modes — pins the dedupe-before-score restructure."""
+    df, _ = emb_df
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    lit_rows = sorted(map(tuple, sim.ann_topk(
+        df, q, 16, k=4, assignment="literal").collect()))
+    udf_rows = sorted(map(tuple, sim.ann_topk(
+        df, q, 16, k=4, assignment="udf").collect()))
+    assert lit_rows == udf_rows
+
+
+def test_band_rows_from_sig_rejects_wrong_length(spark):
+    """A signature table whose array length doesn't match n_hashes must
+    fail fast — silently truncated band keys would collapse the corpus
+    into one quadratic bucket."""
+    good = spark.createDataFrame(
+        [(1, list(range(16)))], "doc_id: long, sig: array<int>")
+    assert dd.band_rows_from_sig(good, n_hashes=16, bands=4).count() == 4
+    bad = spark.createDataFrame(
+        [(1, list(range(8)))], "doc_id: long, sig: array<int>")
+    with pytest.raises(Exception, match="signature length"):
+        dd.band_rows_from_sig(bad, n_hashes=16, bands=4).collect()
+
+
+def test_lsh_bucket_stats_empty_corpus_zeroes(spark):
+    """All-null-text corpus: the stats row must carry 0, not NULL."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id: long, text: string")
+    row = dd.lsh_bucket_stats(df).collect()[0]
+    assert row["n_buckets"] == 0
+    assert row["n_oversize_buckets"] == 0
+    assert row["n_rows_dropped"] == 0
+
+
+def test_decontaminate_preserves_caller_fp_column(spark):
+    """A corpus that already carries a '_fp' column keeps it through
+    exact-mode decontamination (collision-safe temp naming)."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma", "keep-me"), (2, "shared text", "x")],
+        "doc_id: long, text: string, _fp: string")
+    ref = spark.createDataFrame([("shared text",)], "text: string")
+    out = dd.decontaminate(corpus, ref, mode="exact")
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["_fp"] == "keep-me"
