@@ -599,11 +599,13 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     """
     from datacanary_spark.plans.caching import maybe_persist
 
-    # pairs is read three times (id union + two joins) — persist the
-    # tiny pair list so the upstream candidate join isn't re-run per use
+    # pairs is read twice (candidate-id derivation + the final join) —
+    # persist the tiny pair list so the upstream candidate join isn't
+    # re-run per use; explode keeps it to ONE extra reference (a
+    # per-side select union would add two)
     pairs = maybe_persist(pairs, persist)
-    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
-                .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+    cand_ids = (pairs.select(F.explode(F.array("id_a", "id_b"))
+                             .alias(id_col))
                 .distinct())
     sh = (df.join(cand_ids, id_col, "left_semi")
             .select(F.col(id_col),
