@@ -513,6 +513,8 @@ from datacanary_spark import entry_queries_similarity  # noqa: E402,F401
 from datacanary_spark import entry_queries_relational  # noqa: E402,F401
 from datacanary_spark import entry_queries_quality  # noqa: E402,F401
 from datacanary_spark import entry_queries_corpus  # noqa: E402,F401
+from datacanary_spark import entry_queries_lm  # noqa: E402,F401
+from datacanary_spark import entry_queries_webclean  # noqa: E402,F401
 
 # ---- driver-gate rotation ---------------------------------------------------
 # The driver's correctness gate verifies exactly the FIRST 50 registered
@@ -521,6 +523,11 @@ from datacanary_spark import entry_queries_corpus  # noqa: E402,F401
 # coverage; tail queries stay in scripts/check_oracle.py's full sweep.
 # Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
 _TAIL_ROTATION = [
+    "decontaminate_exact_survivors",  # r04d: room for boilerplate_strip_by_host
+    "decontaminate_winnow_survivors",  # r04d: room for pii_hits_by_lang
+    "winnow_fingerprint_stats",  # r04d: room for sb_trigram_logscore_by_lang
+    "winnow_overlap_pairs",  # r04d: room for oov_rate_by_lang
+    "c4_line_dedup",  # r04d: room for dup_span_fraction_by_lang
     "top3_orders_per_customer",  # r04: makes room for near_dup_components
     "setop_long_docs_except_sources",  # r04: room for repeated_ngram_removal_stats
     "insight_outliers",  # r04: room for gopher_repetition_by_lang

@@ -1,0 +1,221 @@
+"""Driver-contract queries: host-scoped boilerplate removal
+(operators/boilerplate.py) and PII detection geometry
+(functions/scrub.py's patterns, counted relationally).
+
+Registered into datacanary_spark.entry_queries.{QUERIES,ORACLE_SQL}.
+The documents table carries neither hosts, shared template lines, nor
+PII, so — like ``c4_line_dedup`` and ``url_canonical_groups`` — both
+queries PLANT deterministic variants identically on the Spark and
+DuckDB sides: a per-host nav line (100% of the host's docs), a cookie
+banner (every 2nd doc), a cross-host promo line (every 3rd), a
+never-qualifying per-doc widget line, and per-doc emails / phones /
+SSNs / IPs on fixed doc_id residues.
+
+The PII query is the oracle-checked half of the scrub surface: the
+REGEXES are shared verbatim with ``functions/scrub.py`` (whose
+byte-identical replacement behavior is golden-tested — Python ``re``
+can't run in SQL, but the detection geometry can: Java regex, RE2 and
+Python ``re`` agree on these ASCII character-class patterns, which this
+query pins continuously).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datacanary_spark.entry_queries import _t, register
+from datacanary_spark.functions.scrub import SCRUB_PATTERNS
+from datacanary_spark.operators import boilerplate as bp
+
+# ---------------------------------------------------------------------------
+# Boilerplate: plant per-host template lines, detect, strip, account
+# ---------------------------------------------------------------------------
+
+_MIN_DOCS, _MIN_FRAC = 2, 0.4
+
+
+def _planted(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    host = F.concat(F.lit("h"), F.col("doc_id") % 10)
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("NAV MENU FOR "), host),
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("COOKIE BANNER "), host))
+         .otherwise(F.lit("Promo of the day")),
+        F.concat(F.lit("WIDGET "), F.col("doc_id")))
+    return d.select("doc_id", host.alias("host"), text.alias("text"))
+
+
+@register(
+    "boilerplate_strip_by_host",
+    f"""
+    WITH d AS (
+      SELECT doc_id, 'h' || (doc_id % 10) AS host,
+             'NAV MENU FOR h' || (doc_id % 10) || chr(10) || text || chr(10)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN 'COOKIE BANNER h' || (doc_id % 10)
+                     ELSE 'Promo of the day' END
+             || chr(10) || 'WIDGET ' || doc_id AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lines AS (
+      SELECT doc_id, host, ln, trim(ln) AS lnt
+      FROM (SELECT doc_id, host, unnest(string_split(text, chr(10))) AS ln
+            FROM d)
+    ),
+    hd AS (SELECT host, count(*) AS host_docs FROM d GROUP BY 1),
+    per_line AS (
+      SELECT host, md5(lnt) AS k, count(DISTINCT doc_id) AS nd
+      FROM lines WHERE lnt <> '' GROUP BY 1, 2
+    ),
+    bl AS (
+      SELECT p.host, p.k, p.nd
+      FROM per_line p JOIN hd USING (host)
+      WHERE p.nd >= {_MIN_DOCS}
+        AND CAST(p.nd AS DOUBLE) / host_docs >= {_MIN_FRAC}
+    ),
+    marked AS (
+      SELECT l.doc_id, l.host, l.ln,
+             (b.k IS NULL) AS keep
+      FROM lines l
+      LEFT JOIN bl b ON b.host = l.host AND l.lnt <> '' AND b.k = md5(l.lnt)
+    ),
+    per_doc AS (
+      SELECT doc_id, host,
+             sum(length(ln)) + count(*) - 1 AS orig_len,
+             coalesce(sum(length(ln)) FILTER (WHERE keep), 0)
+               + greatest(count(*) FILTER (WHERE keep) - 1, 0) AS new_len
+      FROM marked GROUP BY 1, 2
+    )
+    SELECT h.host, h.host_docs,
+           CAST(coalesce(c.n_boiler_lines, 0) AS BIGINT) AS n_boiler_lines,
+           CAST(coalesce(c.max_line_docs, 0) AS BIGINT) AS max_line_docs,
+           CAST(sum(p.orig_len - p.new_len) AS BIGINT) AS chars_removed
+    FROM hd h
+    JOIN per_doc p USING (host)
+    LEFT JOIN (SELECT host, count(*) AS n_boiler_lines, max(nd) AS max_line_docs
+               FROM bl GROUP BY 1) c USING (host)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def boilerplate_strip_by_host(spark, sf_dir):
+    """Detect each synthetic host's template lines (nav 100%, banner
+    ~50%, promo ~50% — the per-doc WIDGET line must NOT qualify), strip
+    them, and account per host: template-line count, widest line, and
+    characters removed by the rewrite. Exercises both halves of the
+    operator (detection table + order-preserving text rebuild) under
+    the oracle."""
+    planted = _planted(spark, sf_dir)
+    b = bp.boilerplate_lines(planted, min_docs=_MIN_DOCS, min_frac=_MIN_FRAC)
+    counts = b.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_boiler_lines"),
+        F.max("n_docs_with_line").alias("max_line_docs"))
+    stripped = bp.strip_boilerplate(
+        planted, min_docs=_MIN_DOCS, min_frac=_MIN_FRAC) \
+        .select("doc_id", F.col("text").alias("_st"))
+    removed = (planted.join(stripped, "doc_id")
+               .groupBy("host")
+               .agg(F.count(F.lit(1)).alias("host_docs"),
+                    F.sum(F.length("text") - F.length("_st"))
+                     .alias("chars_removed")))
+    return (removed.join(counts, "host", "left")
+            .select("host", "host_docs",
+                    F.coalesce("n_boiler_lines", F.lit(0)).cast("long")
+                     .alias("n_boiler_lines"),
+                    F.coalesce("max_line_docs", F.lit(0)).cast("long")
+                     .alias("max_line_docs"),
+                    "chars_removed"))
+
+
+# ---------------------------------------------------------------------------
+# PII detection geometry (shared regexes with functions/scrub.py)
+# ---------------------------------------------------------------------------
+
+_PATS = {name: pat.pattern for name, pat, _ in SCRUB_PATTERNS
+         if name in ("email", "phone", "ssn", "ip")}
+_P_EMAIL, _P_PHONE, _P_SSN, _P_IP = (
+    _PATS["email"], _PATS["phone"], _PATS["ssn"], _PATS["ip"])
+
+
+def _pii_planted_expr():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), (did % 50).cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"), F.lit(".com"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" call 555-867-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0")))
+         .otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" ssn 123-45-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0")))
+         .otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" from 192.168."),
+                        (did % 256).cast("string"), F.lit("."),
+                        (did % 254 + 1).cast("string")))
+         .otherwise(F.lit("")))
+
+
+@register(
+    "pii_hits_by_lang",
+    f"""
+    WITH d AS (
+      SELECT lang,
+             text || ' Contact user' || (doc_id % 50) || '@mail'
+                  || (doc_id % 7) || '.com'
+                  || CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.'
+                            || (doc_id % 256) || '.' || (doc_id % 254 + 1)
+                          ELSE '' END AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    hits AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_P_EMAIL}')) AS emails,
+             len(regexp_extract_all(text, '{_P_PHONE}')) AS phones,
+             len(regexp_extract_all(text, '{_P_SSN}')) AS ssns,
+             len(regexp_extract_all(text, '{_P_IP}')) AS ips
+      FROM d
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(emails) AS BIGINT) AS emails,
+           CAST(sum(phones) AS BIGINT) AS phones,
+           CAST(sum(ssns) AS BIGINT) AS ssns,
+           CAST(sum(ips) AS BIGINT) AS ips,
+           CAST(sum(CASE WHEN emails + phones + ssns + ips > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+    FROM hits GROUP BY lang
+    """,
+)
+def pii_hits_by_lang(spark, sf_dir):
+    """Count scrub-pattern hits per language over deterministically
+    planted PII. ``regexp_count`` stays JVM-side (no UDF) — the scale
+    path for detection-only passes (the byte-rewriting scrub itself is
+    the golden-tested pandas UDF; its patterns and this query's are the
+    same objects)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = _pii_planted_expr()
+    hits = d.select(
+        "lang",
+        F.regexp_count(t, F.lit(_P_EMAIL)).alias("emails"),
+        F.regexp_count(t, F.lit(_P_PHONE)).alias("phones"),
+        F.regexp_count(t, F.lit(_P_SSN)).alias("ssns"),
+        F.regexp_count(t, F.lit(_P_IP)).alias("ips"))
+    total = F.col("emails") + F.col("phones") + F.col("ssns") + F.col("ips")
+    return hits.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("emails").alias("emails"),
+        F.sum("phones").alias("phones"),
+        F.sum("ssns").alias("ssns"),
+        F.sum("ips").alias("ips"),
+        F.sum(F.when(total > 0, 1).otherwise(0)).cast("long")
+         .alias("docs_with_pii"))

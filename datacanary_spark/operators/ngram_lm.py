@@ -1,0 +1,297 @@
+"""Distributed word-n-gram language model with Stupid Backoff scoring.
+
+The classic web-scale LM recipe (Brants et al. 2007, "Large Language
+Models in Machine Translation"): train by counting n-grams with plain
+MapReduce-style aggregation, score with the non-normalized Stupid
+Backoff rule
+
+    S(w_i | w_{i-k+1..i-1}) = count(k-gram) / count(context)   if seen
+                            = alpha * S(w_i | shorter context)  otherwise
+
+instead of a smoothed probability — at corpus scale the backoff constant
+``alpha = 0.4`` matches Kneser-Ney quality at a fraction of the cost,
+and crucially both training and scoring stay pure relational algebra:
+count aggregations and equi-joins, no per-row Python anywhere.
+
+This is the trainable companion to the fixed char-n-gram perplexity
+model in ``functions/models.py`` (the reference repo — a single-process
+pandas profiler, ``/root/reference/src/datacanary`` — has no LM at all;
+this operator belongs to the LLM-data-pipeline surface, SURVEY.md §2):
+CCNet-style quality filtering trains the LM on a trusted target corpus
+and drops documents whose score under that model is poor.
+
+Scale shape (10^12 docs):
+
+* ``ngram_counts`` is one explode + one hash aggregation per order —
+  map-side partial aggregation collapses hot grams before the shuffle,
+  so the shuffle volume is the vocabulary of each order, not the corpus.
+  ``min_count`` pruning (standard for web-scale LMs) bounds the model:
+  at n=5 over Common Crawl the pruned table is ~10^9 rows — a parquet
+  "model table" (write it once, reuse across scoring runs; that is the
+  resumability story, same as ``plans/incremental.py``'s signature
+  store).
+* ``score_stupid_backoff`` joins each scoring position against the
+  count tables on the gram string: ``broadcast_model=True`` makes every
+  join a broadcast hash join (right for pruned models up to ~a few GiB —
+  they ship once per executor); otherwise the positions shuffle on the
+  gram key, and all 2n-1 lookups against the same table reuse one
+  exchange. No window functions: every per-position gram is built
+  LINEARLY doc-side with slice+zip_with (``functions/heuristics.py``'s
+  trigram trick generalized), so cost is O(words · n) per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datacanary_spark.functions.heuristics import words_expr
+
+ALPHA = 0.4  # Brants et al. 2007 §4: a single unoptimized backoff factor
+
+
+def ngrams_expr(words: Column, k: int) -> Column:
+    """Array of space-joined k-grams of ``words``, built linearly.
+
+    Generalizes ``functions/heuristics.trigrams_expr`` to any k: a
+    running ``zip_with`` of shifted slices is O(words·k) per doc,
+    whereas the obvious ``transform(sequence(...), i ->
+    element_at(words, i)...)`` re-evaluates the words subtree per
+    element (O(words²) — benchmarked 100×+ slower there)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k == 1:
+        return words
+    wc = F.size(words)
+    out_len = wc - (k - 1)
+    cur = F.slice(words, 1, out_len)
+    for j in range(1, k):
+        cur = F.zip_with(cur, F.slice(words, 1 + j, out_len),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(wc >= k, cur).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 3,
+                 min_count: int = 1) -> DataFrame:
+    """Train: count every 1..n-gram of the corpus.
+
+    Returns one model table ``(order int, gram string, c long)`` —
+    write it to parquet to persist the model. One explode + one
+    aggregation per order; ``min_count`` prunes each order's tail
+    AFTER counting (counts stay exact for survivors). All orders are
+    needed at scoring time: order j backs off to order j-1, and the
+    context count of a j-gram lookup is an order-(j-1) row.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = words_expr(F.col(text_col))
+    parts = []
+    for k in range(1, n + 1):
+        grams = df.where(F.col(text_col).isNotNull()).select(
+            F.explode(ngrams_expr(words, k)).alias("gram"))
+        parts.append(grams.groupBy("gram")
+                     .agg(F.count(F.lit(1)).alias("c"))
+                     .select(F.lit(k).alias("order"), "gram", "c"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if min_count > 1:
+        out = out.where(F.col("c") >= min_count)
+    return out
+
+
+def _order_table(counts: DataFrame, k: int, broadcast: bool) -> DataFrame:
+    t = counts.where(F.col("order") == k).select("gram", "c")
+    return F.broadcast(t) if broadcast else t
+
+
+def score_stupid_backoff(
+    df: DataFrame,
+    counts: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    text_col: str = "text",
+    n: int = 3,
+    alpha: float = ALPHA,
+    broadcast_model: bool = True,
+    out_col: str = "sb_logscore",
+) -> DataFrame:
+    """Score: mean log10 Stupid-Backoff score per document.
+
+    Each scoring position i (positions n..word_count) carries, doc-side,
+    the j-gram ENDING at i for every order j (the backoff chain) plus
+    the (j-1)-gram context PREFIX of each — all slices of the same
+    linear gram arrays, zipped into one struct array and exploded once.
+    2n-1 left equi-joins against the model table resolve the counts;
+    the score expression is one CASE over the chain:
+
+        s = c_n/ctx_n                      if the n-gram was seen
+          = alpha   * c_{n-1}/ctx_{n-1}    elif the (n-1)-gram was seen
+          ...
+          = alpha^{n-1} * coalesce(c_1, 1)/N     (unigram floor: unseen
+            words score as count 1 — deterministic, and with a pruned
+            model the floor also covers pruned-away tails)
+
+    Both numerator and context guards are checked (with ``min_count``
+    pruning a surviving j-gram's context row can be pruned). Documents
+    with fewer than n words produce no scoring positions and are absent
+    from the result (callers join back if they need them).
+
+    Returns ``(*id_cols, out_col double, n_scored long)``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = words_expr(F.col(text_col))
+    base = (df.where(F.col(text_col).isNotNull())
+              .select(*id_cols, words.alias("_w"))
+              .where(F.size("_w") >= n))
+    wc = F.size(F.col("_w"))
+    out_len = wc - (n - 1)
+    # for the n-gram ending at position i (i = n..wc, out_len of them):
+    #   suffix j-gram  = element i-j+1 of the j-gram array
+    #                  = slice(jgrams, n-j+1, out_len)
+    #   prefix context = the (j-1)-gram ending at i-1
+    #                  = element (i-1)-(j-1)+1 = i-j+1 of the (j-1)-array
+    #                  = slice(j1grams, n-j+1, out_len)   (same offset)
+    fields = {}
+    for j in range(1, n + 1):
+        jg = ngrams_expr(F.col("_w"), j)
+        fields[f"g{j}"] = F.slice(jg, n - j + 1, out_len)
+        if j > 1:
+            j1 = ngrams_expr(F.col("_w"), j - 1)
+            fields[f"x{j}"] = F.slice(j1, n - j + 1, out_len)
+    pos = base.select(
+        *id_cols,
+        F.explode(F.arrays_zip(
+            *[v.alias(k) for k, v in fields.items()])).alias("p"))
+    pos = pos.select(*id_cols,
+                     *[F.col(f"p.{k}").alias(k) for k in fields])
+
+    # total token count N: 1-row frame, broadcast cross join (no collect)
+    totals = counts.where(F.col("order") == 1).agg(
+        F.sum("c").cast("double").alias("_N"))
+    pos = pos.crossJoin(F.broadcast(totals))
+
+    for j in range(1, n + 1):
+        t = _order_table(counts, j, broadcast_model)
+        pos = pos.join(t.withColumnRenamed("gram", f"g{j}")
+                        .withColumnRenamed("c", f"c{j}"),
+                       on=f"g{j}", how="left")
+        if j > 1:
+            t = _order_table(counts, j - 1, broadcast_model)
+            pos = pos.join(t.withColumnRenamed("gram", f"x{j}")
+                            .withColumnRenamed("c", f"cx{j}"),
+                           on=f"x{j}", how="left")
+
+    # backoff weights as driver-computed Python floats (alpha**k), not a
+    # runtime pow() — Math.pow is only 1-ulp-accurate, and the DuckDB
+    # oracle twin materializes the SAME repr() literals, so both engines
+    # multiply by bit-identical doubles
+    score = (F.lit(alpha ** (n - 1))
+             * F.coalesce(F.col("c1"), F.lit(1)).cast("double")
+             / F.col("_N"))
+    for j in range(2, n + 1):
+        seen = F.col(f"c{j}").isNotNull() & F.col(f"cx{j}").isNotNull()
+        # association matches the oracle's left-to-right `a * c / ctx`:
+        # (a * c) / ctx — a different grouping differs in the last bit
+        w = F.col(f"c{j}").cast("double")
+        if j < n:
+            w = F.lit(alpha ** (n - j)) * w
+        w = w / F.col(f"cx{j}")
+        score = F.when(seen, w).otherwise(score)
+
+    return (pos.select(*id_cols, F.log10(score).alias("_ls"))
+               .groupBy(*id_cols)
+               .agg(F.avg("_ls").alias(out_col),
+                    F.count(F.lit(1)).alias("n_scored")))
+
+
+def oov_stats(df: DataFrame, group_col: str = "lang",
+              text_col: str = "text", id_col: str = "doc_id",
+              min_count: int = 5, broadcast_vocab: bool = True) -> DataFrame:
+    """Per-group out-of-vocabulary rate under a frequency-thresholded
+    vocabulary (the classic LM-side quality signal: a document whose
+    tokens are mostly outside the corpus vocabulary is boilerplate,
+    encoding noise, or the wrong language).
+
+    The vocabulary is per group: tokens seen ``>= min_count`` times
+    within the group — a count threshold rather than a top-k so
+    membership is deterministic without tie-breaking, and so the build
+    is one aggregation (no global sort). Per doc, the OOV fraction is
+    the share of token POSITIONS (not distinct tokens) outside the
+    vocabulary; per group the mean of doc fractions.
+
+    Scale: the vocab frame is an aggregated (group, token) table —
+    broadcast when pruned small, else the join shuffles on the token.
+    Null-safe on the group key: a null group is still a group (same
+    contract as ``cap_per_group`` / ``mad_approx``).
+
+    Returns ``(group_col, n_docs long, mean_oov_frac double)``.
+    """
+    words = words_expr(F.col(text_col))
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(id_col, group_col, F.explode(words).alias("w")))
+    vocab = (toks.groupBy(group_col, "w")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .where(F.col("c") >= min_count)
+                 .select(F.col(group_col).alias("_g"),
+                         F.col("w").alias("_vw"),
+                         F.lit(1).alias("_in")))
+    joined = toks.join(
+        F.broadcast(vocab) if broadcast_vocab else vocab,
+        F.col(group_col).eqNullSafe(F.col("_g")) & (F.col("w") == F.col("_vw")),
+        "left")
+    per_doc = (joined.groupBy(id_col, group_col)
+               .agg(F.avg(F.when(F.col("_in").isNull(), 1.0)
+                          .otherwise(0.0)).alias("_oov")))
+    return (per_doc.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("_oov").alias("mean_oov_frac")))
+
+
+def duplicate_span_stats(df: DataFrame, group_col: str = "lang",
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 5) -> DataFrame:
+    """Cross-document duplicated-span fraction (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): a k-token span is *duplicated* when the
+    identical span occurs in >= 2 distinct documents; per document, the
+    fraction of k-gram positions covered by a duplicated span; per
+    group, the mean fraction and how many docs contain any.
+
+    This is the MEASUREMENT twin of ``dedup.remove_repeated_ngrams``
+    (which rewrites text, keeping each repeated window's canonical
+    first occurrence): run this first to decide whether span dedup is
+    worth a rewrite pass, and after to verify the rewrite converged.
+
+    Plan: one explode to (md5(k-gram), doc) rows; distinct pairs (so a
+    span repeated WITHIN one doc doesn't count as cross-doc); count
+    docs per span; join the verdict back to the positions on the
+    fixed-width hash key and aggregate per doc then per group — two
+    shuffles on the span hash plus the group aggregations, never a
+    doc×doc comparison. (``winnow_overlap_pairs`` answers the
+    *pairwise* version of this question from sampled fingerprints;
+    this is the per-corpus coverage metric over ALL spans.)
+
+    Hash note: md5 collisions (2^-128) can only over-count duplication
+    by a hair; the 16-byte fixed key is what makes the shuffle cheap at
+    10^12 spans — the exact-span variant just drops the md5.
+
+    Returns ``(group_col, n_docs long, mean_dup_frac double,
+    docs_with_dup long)``.
+    """
+    words = words_expr(F.col(text_col))
+    spans = (df.where(F.col(text_col).isNotNull())
+               .select(id_col, group_col,
+                       F.explode(ngrams_expr(words, k)).alias("_s"))
+               .select(id_col, group_col, F.md5(F.col("_s")).alias("h")))
+    span_docs = (spans.select("h", id_col).distinct()
+                 .groupBy("h").agg(F.count(F.lit(1)).alias("nd")))
+    marked = spans.join(span_docs, "h")
+    per_doc = (marked.groupBy(id_col, group_col)
+               .agg(F.avg(F.when(F.col("nd") >= 2, 1.0).otherwise(0.0))
+                    .alias("_frac")))
+    return (per_doc.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("_frac").alias("mean_dup_frac"),
+                 F.sum(F.when(F.col("_frac") > 0, 1).otherwise(0))
+                  .cast("long").alias("docs_with_dup")))
