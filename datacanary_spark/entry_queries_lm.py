@@ -18,6 +18,7 @@ from datacanary_spark.operators import ngram_lm as nl
 
 _A1 = repr(nl.ALPHA)          # 0.4
 _A2 = repr(nl.ALPHA ** 2)     # 0.16000000000000003 (exact double of 0.4**2)
+_OOV_MIN_COUNT = 5            # one constant, interpolated into BOTH twins
 
 _TOKS = r"""
     docs AS (
@@ -106,7 +107,8 @@ def sb_trigram_logscore_by_lang(spark, sf_dir):
     f"""
     WITH {_TOKS},
     vocab AS (
-      SELECT lang, w FROM toks GROUP BY lang, w HAVING count(*) >= 5
+      SELECT lang, w FROM toks GROUP BY lang, w
+      HAVING count(*) >= {_OOV_MIN_COUNT}
     ),
     j AS (
       SELECT t.doc_id, t.lang,
@@ -121,12 +123,12 @@ def sb_trigram_logscore_by_lang(spark, sf_dir):
     """,
 )
 def oov_rate_by_lang(spark, sf_dir):
-    """Per-language out-of-vocabulary rate under a min_count=5
+    """Per-language out-of-vocabulary rate under a frequency-thresholded
     per-language vocabulary: mean over docs of the fraction of token
     positions outside the vocabulary. The LM-side junk detector: high
     OOV means boilerplate, encoding noise, or misrouted language."""
     d = _t(spark, sf_dir, "documents")
-    s = nl.oov_stats(d, min_count=5)
+    s = nl.oov_stats(d, min_count=_OOV_MIN_COUNT)
     return s.select("lang", "n_docs",
                     F.bround("mean_oov_frac", 4).alias("mean_oov_frac"))
 

@@ -6,10 +6,17 @@ Registered into datacanary_spark.entry_queries.{QUERIES,ORACLE_SQL}.
 The documents table carries neither hosts, shared template lines, nor
 PII, so — like ``c4_line_dedup`` and ``url_canonical_groups`` — both
 queries PLANT deterministic variants identically on the Spark and
-DuckDB sides: a per-host nav line (100% of the host's docs), a cookie
-banner (every 2nd doc), a cross-host promo line (every 3rd), a
-never-qualifying per-doc widget line, and per-doc emails / phones /
-SSNs / IPs on fixed doc_id residues.
+DuckDB sides. The boilerplate plant (host = doc_id % 10, so a host's
+doc_ids share their last digit) exercises every branch of the
+template predicate: a nav line in 100% of the host's docs; a cookie
+banner on even doc_ids and a promo line on odd ones (host determines
+doc parity, so each is 100% of its hosts' docs and absent from the
+rest); a social footer on doc_id % 20 < 10 (~50% of every host's
+docs — above min_frac, template); a survey ad on doc_id % 40 < 10
+(~25% of every host's docs — enough distinct docs to pass min_docs
+but BELOW min_frac=0.4, so the fraction test alone must reject it);
+and a per-doc widget line (fails min_docs). The PII plant appends
+per-doc emails / phones / SSNs / IPs on fixed doc_id residues.
 
 The PII query is the oracle-checked half of the scrub surface: the
 REGEXES are shared verbatim with ``functions/scrub.py`` (whose
@@ -37,6 +44,9 @@ _MIN_DOCS, _MIN_FRAC = 2, 0.4
 def _planted(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     host = F.concat(F.lit("h"), F.col("doc_id") % 10)
+    # conditional lines yield NULL when absent — concat_ws skips a NULL
+    # element AND its separator, matching the SQL twin's
+    # CASE ... THEN chr(10) || line ELSE '' END form
     text = F.concat_ws(
         "\n",
         F.concat(F.lit("NAV MENU FOR "), host),
@@ -44,6 +54,10 @@ def _planted(spark, sf_dir):
         F.when(F.col("doc_id") % 2 == 0,
                F.concat(F.lit("COOKIE BANNER "), host))
          .otherwise(F.lit("Promo of the day")),
+        F.when(F.col("doc_id") % 20 < 10,
+               F.concat(F.lit("SOCIAL FOOTER "), host)),
+        F.when(F.col("doc_id") % 40 < 10,
+               F.concat(F.lit("SURVEY AD "), host)),
         F.concat(F.lit("WIDGET "), F.col("doc_id")))
     return d.select("doc_id", host.alias("host"), text.alias("text"))
 
@@ -57,6 +71,12 @@ def _planted(spark, sf_dir):
              || CASE WHEN doc_id % 2 = 0
                      THEN 'COOKIE BANNER h' || (doc_id % 10)
                      ELSE 'Promo of the day' END
+             || CASE WHEN doc_id % 20 < 10
+                     THEN chr(10) || 'SOCIAL FOOTER h' || (doc_id % 10)
+                     ELSE '' END
+             || CASE WHEN doc_id % 40 < 10
+                     THEN chr(10) || 'SURVEY AD h' || (doc_id % 10)
+                     ELSE '' END
              || chr(10) || 'WIDGET ' || doc_id AS text
       FROM documents WHERE text IS NOT NULL
     ),
@@ -101,19 +121,22 @@ def _planted(spark, sf_dir):
     """,
 )
 def boilerplate_strip_by_host(spark, sf_dir):
-    """Detect each synthetic host's template lines (nav 100%, banner
-    ~50%, promo ~50% — the per-doc WIDGET line must NOT qualify), strip
-    them, and account per host: template-line count, widest line, and
-    characters removed by the rewrite. Exercises both halves of the
-    operator (detection table + order-preserving text rebuild) under
-    the oracle."""
+    """Detect each synthetic host's template lines (nav 100% of host
+    docs, banner/promo 100% of even/odd hosts, social footer ~50%;
+    the ~25% survey ad has min_docs distinct docs but sits below
+    min_frac so the FRACTION test alone must reject it, and the
+    per-doc WIDGET line fails min_docs), strip them, and account per
+    host: template-line count, widest line, and characters removed by
+    the rewrite. Exercises both halves of the operator (detection
+    table + order-preserving text rebuild) under the oracle; the strip
+    REUSES the detection table (``templates=``) so the corpus pays one
+    detection aggregation, not two."""
     planted = _planted(spark, sf_dir)
     b = bp.boilerplate_lines(planted, min_docs=_MIN_DOCS, min_frac=_MIN_FRAC)
     counts = b.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_boiler_lines"),
         F.max("n_docs_with_line").alias("max_line_docs"))
-    stripped = bp.strip_boilerplate(
-        planted, min_docs=_MIN_DOCS, min_frac=_MIN_FRAC) \
+    stripped = bp.strip_boilerplate(planted, templates=b) \
         .select("doc_id", F.col("text").alias("_st"))
     removed = (planted.join(stripped, "doc_id")
                .groupBy("host")

@@ -81,18 +81,32 @@ def words_expr(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
 
 
-def trigrams_expr(words: Column) -> Column:
-    """Word trigrams joined with single spaces — built LINEARLY with
-    slice+zip_with so cost is O(words) per doc. (The obvious
-    ``transform(sequence(1, n-2), i -> element_at(words, i)…)`` form
+def ngrams_expr(words: Column, k: int) -> Column:
+    """Array of space-joined k-grams of ``words``, built LINEARLY with a
+    running ``zip_with`` of shifted slices — O(words·k) per doc even
+    when ``words`` is an unbound subtree, because each slice evaluates
+    the subtree once per ROW, not once per element. (The obvious
+    ``transform(sequence(...), i -> element_at(words, i)…)`` form
     re-evaluates the ``words`` subtree for every element inside the
-    lambda — O(words²) per document; it benchmarked 100×+ slower.)"""
+    lambda — O(words²) per document; it benchmarked 100×+ slower.
+    ``functions/repetition.ngrams_expr`` is the transform form, safe
+    only for bound column refs; this one has no such precondition.)"""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k == 1:
+        return words
     wc = F.size(words)
-    pair = F.zip_with(F.slice(words, 1, wc - 2), F.slice(words, 2, wc - 2),
-                      lambda a, b: F.concat_ws(" ", a, b))
-    tri = F.zip_with(pair, F.slice(words, 3, wc - 2),
-                     lambda ab, c: F.concat_ws(" ", ab, c))
-    return F.when(wc >= 3, tri).otherwise(F.array().cast("array<string>"))
+    out_len = wc - (k - 1)
+    cur = F.slice(words, 1, out_len)
+    for j in range(1, k):
+        cur = F.zip_with(cur, F.slice(words, 1 + j, out_len),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(wc >= k, cur).otherwise(F.array().cast("array<string>"))
+
+
+def trigrams_expr(words: Column) -> Column:
+    """Word trigrams joined with single spaces (``ngrams_expr(words, 3)``)."""
+    return ngrams_expr(words, 3)
 
 
 def with_text_stats(df, text_col: str = "text", prefix: str = "stat_"):

@@ -84,9 +84,18 @@ def boilerplate_lines(df: DataFrame, host_col: str = "host",
 def strip_boilerplate(df: DataFrame, host_col: str = "host",
                       id_col: str = "doc_id", text_col: str = "text",
                       min_docs: int = 2, min_frac: float = 0.5,
-                      broadcast_table: bool = True) -> DataFrame:
+                      broadcast_table: bool = True,
+                      templates: DataFrame | None = None) -> DataFrame:
     """Rewrite ``text_col`` with each host's boilerplate lines removed,
     remaining lines re-joined with newlines in original order.
+
+    ``templates`` accepts a precomputed ``boilerplate_lines`` frame
+    (any frame with the ``host_col`` and ``lnkey`` columns) so callers
+    that already built the detection table — for reporting, or reuse
+    across several strip passes — don't pay the full explode +
+    count_distinct detection aggregation a second time; when given,
+    ``min_docs``/``min_frac`` are ignored (they were baked into the
+    table).
 
     Line order is restored with ``array_sort(collect_list(struct(pos,
     ln)))`` — an aggregation, not a window, so there is no per-doc sort
@@ -100,9 +109,11 @@ def strip_boilerplate(df: DataFrame, host_col: str = "host",
     relative to the corpus (it is: one row per DISTINCT template line
     per host); otherwise the anti-join shuffles on (host, lnkey).
     """
-    bl = boilerplate_lines(df, host_col, id_col, text_col,
-                           min_docs, min_frac) \
-        .select(F.col(host_col).alias("_bh"), F.col("lnkey").alias("_bk"))
+    if templates is None:
+        templates = boilerplate_lines(df, host_col, id_col, text_col,
+                                      min_docs, min_frac)
+    bl = templates.select(F.col(host_col).alias("_bh"),
+                          F.col("lnkey").alias("_bk"))
     if broadcast_table:
         bl = F.broadcast(bl)
     rows = _line_rows(df, host_col, id_col, text_col)

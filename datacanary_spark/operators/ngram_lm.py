@@ -42,33 +42,15 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datacanary_spark.functions.heuristics import words_expr
+from datacanary_spark.functions.heuristics import ngrams_expr, words_expr
+
+__all__ = ["ALPHA", "ngrams_expr", "ngram_counts", "score_stupid_backoff",
+           "oov_stats", "duplicate_span_stats"]
 
 ALPHA = 0.4  # Brants et al. 2007 §4: a single unoptimized backoff factor
-
-
-def ngrams_expr(words: Column, k: int) -> Column:
-    """Array of space-joined k-grams of ``words``, built linearly.
-
-    Generalizes ``functions/heuristics.trigrams_expr`` to any k: a
-    running ``zip_with`` of shifted slices is O(words·k) per doc,
-    whereas the obvious ``transform(sequence(...), i ->
-    element_at(words, i)...)`` re-evaluates the words subtree per
-    element (O(words²) — benchmarked 100×+ slower there)."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if k == 1:
-        return words
-    wc = F.size(words)
-    out_len = wc - (k - 1)
-    cur = F.slice(words, 1, out_len)
-    for j in range(1, k):
-        cur = F.zip_with(cur, F.slice(words, 1 + j, out_len),
-                         lambda a, b: F.concat_ws(" ", a, b))
-    return F.when(wc >= k, cur).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 3,
@@ -81,22 +63,35 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 3,
     AFTER counting (counts stay exact for survivors). All orders are
     needed at scoring time: order j backs off to order j-1, and the
     context count of a j-gram lookup is an order-(j-1) row.
+
+    The table also carries one ``(order=0, gram=NULL, c=N)`` row with
+    the UNPRUNED corpus token count — the Brants f(w)/N unigram-floor
+    denominator. It is exempt from ``min_count`` (pruning the model
+    must not inflate floor scores; with the pruned survivors' sum as N,
+    floor scores would silently grow with ``min_count`` and stop being
+    comparable across pruning settings on the same corpus).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     words = words_expr(F.col(text_col))
+    live = df.where(F.col(text_col).isNotNull())
+    # corpus token count: one narrow agg over size(words), no explode
+    total = live.agg(
+        F.coalesce(F.sum(F.size(words)), F.lit(0)).cast("long").alias("c")
+    ).select(F.lit(0).alias("order"),
+             F.lit(None).cast("string").alias("gram"), "c")
     parts = []
     for k in range(1, n + 1):
-        grams = df.where(F.col(text_col).isNotNull()).select(
-            F.explode(ngrams_expr(words, k)).alias("gram"))
-        parts.append(grams.groupBy("gram")
-                     .agg(F.count(F.lit(1)).alias("c"))
-                     .select(F.lit(k).alias("order"), "gram", "c"))
-    out = parts[0]
-    for p in parts[1:]:
+        grams = live.select(F.explode(ngrams_expr(words, k)).alias("gram"))
+        counted = (grams.groupBy("gram")
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .select(F.lit(k).alias("order"), "gram", "c"))
+        if min_count > 1:
+            counted = counted.where(F.col("c") >= min_count)
+        parts.append(counted)
+    out = total
+    for p in parts:
         out = out.unionByName(p)
-    if min_count > 1:
-        out = out.where(F.col("c") >= min_count)
     return out
 
 
@@ -129,7 +124,10 @@ def score_stupid_backoff(
           ...
           = alpha^{n-1} * coalesce(c_1, 1)/N     (unigram floor: unseen
             words score as count 1 — deterministic, and with a pruned
-            model the floor also covers pruned-away tails)
+            model the floor also covers pruned-away tails; N is the
+            UNPRUNED corpus token count from the model's order-0 row,
+            per Brants' f(w)/N, so scores stay comparable across
+            min_count settings)
 
     Both numerator and context guards are checked (with ``min_count``
     pruning a surviving j-gram's context row can be pruned). Documents
@@ -152,13 +150,19 @@ def score_stupid_backoff(
     #   prefix context = the (j-1)-gram ending at i-1
     #                  = element (i-1)-(j-1)+1 = i-j+1 of the (j-1)-array
     #                  = slice(j1grams, n-j+1, out_len)   (same offset)
+    # bind each order's gram array ONCE as a named column (staged
+    # project, the with_text_stats trick): order j-1's array feeds both
+    # its own suffix slice g{j-1} and order j's context slice x{j} —
+    # zip_with lambdas get fresh variable IDs per call, so rebuilding
+    # the array per consumer would defeat Catalyst CSE and double the
+    # per-document gram-construction work
+    base = base.withColumns(
+        {f"_a{j}": ngrams_expr(F.col("_w"), j) for j in range(1, n + 1)})
     fields = {}
     for j in range(1, n + 1):
-        jg = ngrams_expr(F.col("_w"), j)
-        fields[f"g{j}"] = F.slice(jg, n - j + 1, out_len)
+        fields[f"g{j}"] = F.slice(F.col(f"_a{j}"), n - j + 1, out_len)
         if j > 1:
-            j1 = ngrams_expr(F.col("_w"), j - 1)
-            fields[f"x{j}"] = F.slice(j1, n - j + 1, out_len)
+            fields[f"x{j}"] = F.slice(F.col(f"_a{j-1}"), n - j + 1, out_len)
     pos = base.select(
         *id_cols,
         F.explode(F.arrays_zip(
@@ -166,9 +170,15 @@ def score_stupid_backoff(
     pos = pos.select(*id_cols,
                      *[F.col(f"p.{k}").alias(k) for k in fields])
 
-    # total token count N: 1-row frame, broadcast cross join (no collect)
-    totals = counts.where(F.col("order") == 1).agg(
-        F.sum("c").cast("double").alias("_N"))
+    # unigram-floor denominator N: the UNPRUNED corpus token count that
+    # ngram_counts stores as the (order=0, gram=NULL) row; model tables
+    # written before that row existed fall back to the sum of surviving
+    # order-1 counts (exact when the model was built with min_count=1).
+    # 1-row frame, broadcast cross join (no collect).
+    totals = counts.agg(
+        F.max(F.when(F.col("order") == 0, F.col("c"))).alias("_t0"),
+        F.sum(F.when(F.col("order") == 1, F.col("c"))).alias("_t1"),
+    ).select(F.coalesce("_t0", "_t1").cast("double").alias("_N"))
     pos = pos.crossJoin(F.broadcast(totals))
 
     for j in range(1, n + 1):

@@ -32,6 +32,36 @@ def test_detects_host_scoped_template_lines(spark):
     assert r["frac"] == pytest.approx(1.0)
 
 
+def test_min_frac_alone_rejects_a_frequent_line(spark):
+    # footer in 2 of 5 host docs: nd=2 passes min_docs=2, but
+    # frac=0.4 < min_frac=0.5 — the FRACTION test must be the one that
+    # rejects it (a regression dropping the frac predicate would keep it)
+    rows = [
+        ("a", f"one\n{FOOTER}"),
+        ("a", f"two\n{FOOTER}"),
+        ("a", "three"),
+        ("a", "four"),
+        ("a", "five"),
+    ]
+    df = _df(spark, rows)
+    assert bp.boilerplate_lines(df, min_docs=2, min_frac=0.5).count() == 0
+    # same corpus, threshold at the boundary: 2/5 = 0.4 qualifies
+    kept = bp.boilerplate_lines(df, min_docs=2, min_frac=0.4).collect()
+    assert [(r["ln"], r["n_docs_with_line"]) for r in kept] == [(FOOTER, 2)]
+
+
+def test_strip_accepts_precomputed_templates(spark):
+    rows = [("a", f"first\n{FOOTER}"), ("a", f"{FOOTER}\nsecond"),
+            ("b", "keep me")]
+    df = _df(spark, rows)
+    tpl = bp.boilerplate_lines(df, min_docs=2, min_frac=0.5)
+    a = {r["doc_id"]: r["text"]
+         for r in bp.strip_boilerplate(df, templates=tpl).collect()}
+    b = {r["doc_id"]: r["text"]
+         for r in bp.strip_boilerplate(df, min_docs=2, min_frac=0.5).collect()}
+    assert a == b == {0: "first", 1: "second", 2: "keep me"}
+
+
 def test_frequency_counts_docs_not_occurrences(spark):
     # one doc repeating the line 5x must not cross min_docs=2
     rows = [("a", "\n".join([FOOTER] * 5)), ("a", "plain content")]

@@ -59,6 +59,7 @@ def test_ngram_counts_exact_and_pruned(spark):
     df = _docs(spark, [("en", "a b a b c"), ("en", "a b")])
     counts = {(r["order"], r["gram"]): r["c"]
               for r in nl.ngram_counts(df, n=2).collect()}
+    assert counts[(0, None)] == 7  # corpus token count (order-0 row)
     assert counts[(1, "a")] == 3
     assert counts[(1, "b")] == 3
     assert counts[(1, "c")] == 1
@@ -69,6 +70,7 @@ def test_ngram_counts_exact_and_pruned(spark):
               for r in nl.ngram_counts(df, n=2, min_count=2).collect()}
     assert (1, "c") not in pruned and (2, "b c") not in pruned
     assert (2, "a b") in pruned
+    assert (0, None) in pruned  # the N row is exempt from min_count
 
 
 def test_ngram_counts_ignores_null_text(spark):
@@ -76,7 +78,7 @@ def test_ngram_counts_ignores_null_text(spark):
                                 Row(doc_id=1, text="x y")])
     rows = nl.ngram_counts(df, n=2).collect()
     assert {(r["order"], r["gram"]) for r in rows} == {
-        (1, "x"), (1, "y"), (2, "x y")}
+        (0, None), (1, "x"), (1, "y"), (2, "x y")}
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +146,26 @@ def test_stupid_backoff_pruned_context_guard(spark):
     row = out.first()
     assert row.sb_logscore is not None
     assert not math.isnan(row.sb_logscore)
+
+
+def test_stupid_backoff_floor_uses_unpruned_corpus_n(spark):
+    # 9 training tokens; min_count=2 prunes everything but a:3, b:3.
+    # The unigram floor must divide by the CORPUS token count (9, the
+    # order-0 row), not the pruned survivors' sum (6) — Brants f(w)/N;
+    # otherwise floor scores inflate as min_count grows.
+    train = _docs(spark, [("en", "a b c"), ("en", "a b d"), ("en", "a b e")])
+    counts = nl.ngram_counts(train, n=3, min_count=2)
+    s = nl.score_stupid_backoff(
+        _docs(spark, [("en", "a b zzz")]), counts, n=3).first()
+    assert s.sb_logscore == pytest.approx(
+        math.log10(0.4 ** 2 * (1 / 9)), abs=1e-12)
+    # legacy model table without the order-0 row: documented fallback
+    # to the surviving order-1 sum (here 6)
+    legacy = counts.where(F.col("order") >= 1)
+    s = nl.score_stupid_backoff(
+        _docs(spark, [("en", "a b zzz")]), legacy, n=3).first()
+    assert s.sb_logscore == pytest.approx(
+        math.log10(0.4 ** 2 * (1 / 6)), abs=1e-12)
 
 
 def test_stupid_backoff_shuffle_join_mode_matches_broadcast(spark):
