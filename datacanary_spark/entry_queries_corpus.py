@@ -724,3 +724,55 @@ def epoch_upsample_by_lang(spark, sf_dir):
         F.count_distinct("doc_id").alias("n_src_docs"),
         F.max("epoch").cast("int").alias("max_epoch"),
         F.sum("doc_id").alias("sum_ids"))
+
+
+_ZIPF_MIN_COUNT, _ZIPF_MAX_RANK = 2, 10000
+
+
+@register(
+    "zipf_slope_by_lang",
+    rf"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+      SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2
+      HAVING count(*) >= {_ZIPF_MIN_COUNT}
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, w ASC) AS r
+      FROM counts
+    ),
+    xy AS (
+      SELECT lang, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE r <= {_ZIPF_MAX_RANK}
+    ),
+    agg AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_types,
+           round(CASE WHEN n * sxx - sx * sx <> 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 4) AS zipf_slope
+    FROM agg
+    """,
+)
+def zipf_slope_by_lang(spark, sf_dir):
+    """Per-language Zipf rank-frequency slope (least-squares fit of
+    ln(count) on ln(rank) over the min_count-pruned vocabulary head):
+    natural text sits near -1; spam/boilerplate/noise drift away. The
+    only corpus-sized stage is the (lang, token) count; the rank
+    window runs over the aggregated vocabulary (bounded by vocab size,
+    not doc count) with deterministic (count desc, token asc) order."""
+    d = _t(spark, sf_dir, "documents")
+    s = cs.zipf_slope(d, min_count=_ZIPF_MIN_COUNT, max_rank=_ZIPF_MAX_RANK)
+    return s.select("lang", "n_types",
+                    F.bround("zipf_slope", 4).alias("zipf_slope"))

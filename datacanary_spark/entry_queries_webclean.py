@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from datacanary_spark.entry_queries import _t, register
 from datacanary_spark.functions.scrub import SCRUB_PATTERNS
 from datacanary_spark.operators import boilerplate as bp
+from datacanary_spark.operators import text_analysis as ta
 
 # ---------------------------------------------------------------------------
 # Boilerplate: plant per-host template lines, detect, strip, account
@@ -242,3 +243,82 @@ def pii_hits_by_lang(spark, sf_dir):
         F.sum("ips").alias("ips"),
         F.sum(F.when(total > 0, 1).otherwise(0)).cast("long")
          .alias("docs_with_pii"))
+
+
+# ---------------------------------------------------------------------------
+# Character entropy + encoding noise (text_analysis.char_entropy_expr)
+# ---------------------------------------------------------------------------
+
+_P_CTRL = ta.CONTROL_CHAR_PATTERN
+_LN2 = repr(ta.LN2)
+
+
+def _noise_planted_expr():
+    # plant a BEL control char on doc_id % 6 == 0 and U+FFFD on
+    # doc_id % 9 == 0 — the corpus itself carries no encoding damage
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(did % 6 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit("�")).otherwise(F.lit("")))
+
+
+@register(
+    "char_entropy_noise_by_lang",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             text || CASE WHEN doc_id % 6 = 0 THEN chr(7) ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0 THEN chr(65533) ELSE '' END
+               AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cc AS (
+      SELECT doc_id, lang, ch, count(*) AS c
+      FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(text, '')) AS ch
+            FROM d)
+      WHERE ch <> '' GROUP BY 1, 2, 3
+    ),
+    ent AS (
+      SELECT doc_id, (ln(CAST(sum(c) AS DOUBLE))
+                      - sum(c * ln(CAST(c AS DOUBLE)))
+                        / CAST(sum(c) AS DOUBLE)) / {_LN2} AS ent
+      FROM cc GROUP BY 1
+    ),
+    noise AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '{_P_CTRL}'))
+                            AS DOUBLE) / length(text) END AS cf,
+             CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS repl
+      FROM d
+    )
+    SELECT n.lang, count(*) AS n_docs,
+           round(avg(e.ent), 4) AS mean_entropy_bits,
+           round(avg(n.cf), 6) AS mean_ctrl_frac,
+           CAST(sum(n.repl) AS BIGINT) AS docs_with_replacement
+    FROM noise n LEFT JOIN ent e USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def char_entropy_noise_by_lang(spark, sf_dir):
+    """Per-language character-entropy and encoding-noise profile over
+    deterministically planted damage: mean Shannon entropy (bits) of
+    each doc's char distribution, mean control-char fraction, and how
+    many docs carry a U+FFFD replacement char. The entropy is a
+    ZERO-SHUFFLE doc-side fold (sorted char array + one F.aggregate),
+    so the whole query is one scan + one group-by — the shape that
+    survives 10^12 docs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = _noise_planted_expr()
+    per = d.select(
+        "lang",
+        ta.char_entropy_expr(t).alias("ent"),
+        ta.control_char_frac_expr(t).alias("cf"),
+        F.when(t.contains("�"), 1).otherwise(0).alias("repl"))
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bround(F.avg("ent"), 4).alias("mean_entropy_bits"),
+        F.bround(F.avg("cf"), 6).alias("mean_ctrl_frac"),
+        F.sum("repl").cast("long").alias("docs_with_replacement"))

@@ -555,3 +555,56 @@ def epoch_upsample(df: DataFrame, strata_col: str,
               .withColumn(epoch_col,
                           F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
               .drop("_n"))
+
+
+def zipf_slope(df: DataFrame, group_col: str = "lang",
+               text_col: str = "text", min_count: int = 2,
+               max_rank: int = 10000) -> DataFrame:
+    """Per-group Zipf rank-frequency slope: least-squares fit of
+    ln(count) against ln(rank) over the group's vocabulary.
+
+    Natural language sits near −1 (Zipf's law); keyword-stuffed spam,
+    templated boilerplate, and random-token noise flatten toward 0 or
+    steepen well past −1 — a cheap corpus-level quality/anomaly signal
+    (used this way in web-corpus audits, e.g. CCNet's per-shard
+    diagnostics).
+
+    Plan shape: one explode + one (group, token) count aggregation —
+    the only corpus-sized stage, with map-side partial aggregation —
+    then ``row_number`` over a per-group window ORDERED BY (count
+    desc, token asc) for deterministic ranks. The window's input is
+    the AGGREGATED vocabulary, already ``min_count``-pruned (≪ corpus;
+    bounded by vocab size, not doc count), and ``max_rank`` caps the
+    fit to the head where Zipf behavior lives, so the regression
+    reduces to five per-group sums. Slope is NULL for groups with
+    fewer than two ranked types (the denominator is exactly 0 there).
+
+    Returns ``(group_col, n_types long, zipf_slope double)`` where
+    ``n_types`` counts the ranked (fitted) types.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_rank < 1:
+        raise ValueError(f"max_rank must be >= 1, got {max_rank}")
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(group_col,
+                      F.explode(words_expr(F.col(text_col))).alias("w")))
+    counts = (toks.groupBy(group_col, "w")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .where(F.col("c") >= min_count))
+    win = Window.partitionBy(group_col).orderBy(F.col("c").desc(),
+                                                F.col("w").asc())
+    ranked = (counts.withColumn("r", F.row_number().over(win))
+                    .where(F.col("r") <= max_rank))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"), F.sum(x * x).alias("_sxx"))
+    n = F.col("n_types").cast("double")
+    denom = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        denom != 0,
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom)
+    return agg.select(group_col, "n_types", slope.alias("zipf_slope"))

@@ -35,6 +35,80 @@ def token_count_ws(text_col: Column) -> Column:
     return F.size(words_expr(text_col)).cast("long")
 
 
+# control codepoints that signal encoding damage — everything below
+# 0x20 except tab/newline/CR, plus DEL; shared verbatim with the
+# DuckDB oracle twin (ASCII class, Java regex ≡ RE2 ≡ Python re)
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+LN2 = 0.6931471805599453  # repr(math.log(2.0)) — shared literal, no runtime log(2)
+
+
+def char_entropy_expr(text_col: Column) -> Column:
+    """Shannon entropy (bits) of the document's character unigram
+    distribution — the classic encoding-noise / randomness signal:
+    natural text sits ~3.5–4.5 bits, base64 blobs and binary spew sit
+    near 6, single-char runs near 0.
+
+    Zero-shuffle by design: sort the char array doc-side, then ONE
+    ``F.aggregate`` fold over the sorted array accumulates each run's
+    ``c·ln(c)`` plus the total N, and the finish step emits
+    ``(ln(N) − Σc·ln(c)/N) / ln2`` — identical algebra to the grouped
+    form but with no explode and no per-doc shuffle, so at 10^12 docs
+    it rides the same scan as every other per-doc expression. Empty
+    text (no chars after dropping split artifacts) → NULL.
+
+    Characters are Unicode BMP codepoints on both engines (Spark
+    splits UTF-16 — astral chars would split into surrogate halves;
+    DuckDB splits UTF-8 codepoints — the fixture corpus is BMP-only
+    and real web text makes astral chars statistically irrelevant to
+    a 4dp mean).
+    """
+    chars = F.array_sort(
+        F.filter(F.split(text_col, ""), lambda c: c != F.lit("")))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("tot"),
+        F.lit(0.0).alias("s"))
+
+    def flush(acc):
+        # close the open run: s += run·ln(run)  (run==0 or 1 adds 0.0)
+        r = acc["run"].cast("double")
+        return acc["s"] + F.when(acc["run"] > 1, r * F.log(r)) \
+                           .otherwise(F.lit(0.0))
+
+    def step(acc, ch):
+        return F.when(
+            acc["prev"].eqNullSafe(ch),
+            F.struct(acc["prev"].alias("prev"),
+                     (acc["run"] + 1).alias("run"),
+                     (acc["tot"] + 1).alias("tot"),
+                     acc["s"].alias("s"))
+        ).otherwise(
+            F.struct(ch.alias("prev"),
+                     F.lit(1).cast("long").alias("run"),
+                     (acc["tot"] + 1).alias("tot"),
+                     flush(acc).alias("s")))
+
+    def finish(acc):
+        n = acc["tot"].cast("double")
+        return F.when(
+            acc["tot"] > 0,
+            (F.log(n) - flush(acc) / n) / F.lit(LN2)
+        ).otherwise(F.lit(None).cast("double"))
+
+    return F.aggregate(chars, acc0, step, finish)
+
+
+def control_char_frac_expr(text_col: Column) -> Column:
+    """Fraction of characters that are damaged-encoding control
+    codepoints (``CONTROL_CHAR_PATTERN``); NULL for empty text."""
+    n = F.length(text_col)
+    return F.when(
+        n > 0,
+        F.regexp_count(text_col, F.lit(CONTROL_CHAR_PATTERN))
+         .cast("double") / n.cast("double"))
+
+
 def token_count_bpe(text_col: Column) -> Column:
     """BPE-ish token count: alnum runs + individual symbol codepoints.
 

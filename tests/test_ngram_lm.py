@@ -179,6 +179,24 @@ def test_stupid_backoff_shuffle_join_mode_matches_broadcast(spark):
     assert a == b
 
 
+def test_lm_model_table_parquet_roundtrip(spark, tmp_path):
+    # the resumability story: train once, persist the model table as
+    # parquet, score later runs from the loaded table — scores must be
+    # bit-identical to scoring from the in-memory frame (incl. the
+    # order-0 corpus-N row surviving the roundtrip)
+    train = _docs(spark, [("en", "a b c d e a b c"), ("en", "b c d f")])
+    counts = nl.ngram_counts(train, n=3, min_count=2)
+    path = str(tmp_path / "lm_model")
+    counts.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    test = _docs(spark, [("en", "a b c d"), ("en", "f f f f")])
+    a = {r.doc_id: r.sb_logscore
+         for r in nl.score_stupid_backoff(test, counts, n=3).collect()}
+    b = {r.doc_id: r.sb_logscore
+         for r in nl.score_stupid_backoff(test, loaded, n=3).collect()}
+    assert a == b
+
+
 def test_lm_path_has_no_python_udf(spark):
     train = _docs(spark, [("en", "a b c d")])
     counts = nl.ngram_counts(train, n=3)
