@@ -523,6 +523,7 @@ from datacanary_spark import entry_queries_webclean  # noqa: E402,F401
 # coverage; tail queries stay in scripts/check_oracle.py's full sweep.
 # Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
 _TAIL_ROTATION = [
+    "fingerprint_groups",  # r04e: room for rule_ablation_by_lang
     "heuristic_rule_hits_by_lang",  # r04e: room for char_entropy_noise_by_lang
     "token_counts_by_lang",  # r04e: room for zipf_slope_by_lang
     "decontaminate_exact_survivors",  # r04d: room for boilerplate_strip_by_host

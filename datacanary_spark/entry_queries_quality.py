@@ -470,3 +470,51 @@ def gopher_repetition_by_lang(spark, sf_dir):
         F.bround(F.avg(dup10), 6).alias("avg_dup10_chars"),
         F.sum(hit.cast("int")).cast("long").alias("n_repetition_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule ablation (text_analysis.rule_ablation): Dolma/DCLM-style per-rule
+# keep-rate deltas. Reuses entry_queries._DUCK_RULE_STATS (the pinned
+# SQL twin of heuristic_hit_exprs) so the two queries can never drift.
+# ---------------------------------------------------------------------------
+
+def _ablation_sql():
+    from datacanary_spark.entry_queries import _DUCK_RULE_STATS
+    from datacanary_spark.functions.heuristics import FilterConfig
+
+    rules = FilterConfig().heuristic_rule_names
+    nh = " + ".join(rules)
+    per_rule = " UNION ALL ".join(
+        f"""SELECT lang, '{r}' AS rule,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN nh = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_all,
+               CAST(sum({r}) AS BIGINT) AS blocked,
+               CAST(sum(CASE WHEN {r} = 1 AND nh = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS uniquely_blocked,
+               round((sum(CASE WHEN nh = 0 THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN {r} = 1 AND nh = 1 THEN 1 ELSE 0 END))
+                     / CAST(count(*) AS DOUBLE), 6) AS keep_rate_without
+           FROM t GROUP BY lang"""
+        for r in rules)
+    return (_DUCK_RULE_STATS
+            + f", t AS (SELECT lang, {nh} AS nh, "
+            + ", ".join(rules) + " FROM h) "
+            + per_rule)
+
+
+@register("rule_ablation_by_lang", _ablation_sql())
+def rule_ablation_by_lang(spark, sf_dir):
+    """Per-(lang, rule) ablation report for the 9-rule heuristic
+    filter: docs blocked, docs UNIQUELY blocked (recoverable by
+    dropping the rule), and the keep rate with the rule removed — the
+    threshold-tuning report, computed in ONE pass (one scan + one hash
+    aggregate + a stack), not one pipeline run per rule."""
+    from datacanary_spark.operators.text_analysis import rule_ablation
+
+    d = _t(spark, sf_dir, "documents")
+    out = rule_ablation(d)
+    return out.select("lang", "rule", "n_docs", "kept_all", "blocked",
+                      "uniquely_blocked",
+                      F.bround("keep_rate_without", 6)
+                       .alias("keep_rate_without"))
