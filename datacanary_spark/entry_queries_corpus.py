@@ -776,3 +776,64 @@ def zipf_slope_by_lang(spark, sf_dir):
     s = cs.zipf_slope(d, min_count=_ZIPF_MIN_COUNT, max_rank=_ZIPF_MAX_RANK)
     return s.select("lang", "n_types",
                     F.bround("zipf_slope", 4).alias("zipf_slope"))
+
+
+# ---------------------------------------------------------------------------
+# Recrawl snapshot dedup (latest fetch per URL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recrawl_latest_by_lang",
+    """
+    WITH raw AS (
+      SELECT doc_id, lang,
+             'https://example' || (doc_id % 20) || '.com/page/' ||
+             (doc_id % 50) AS url,
+             1700000000 + (doc_id % 7) * 86400 + (doc_id % 13) * 3600
+               AS crawl_ts
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY crawl_ts DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY url) AS n_snapshots
+      FROM raw
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(doc_id) AS BIGINT) AS sum_survivor_ids,
+           CAST(sum(n_snapshots) AS BIGINT) AS n_docs_covered,
+           CAST(max(crawl_ts) AS BIGINT) AS max_survivor_ts
+    FROM ranked WHERE rn = 1 GROUP BY lang
+    """,
+)
+def recrawl_latest_by_lang(spark, sf_dir):
+    """Recrawl snapshot dedup (`dedup.latest_snapshot_dedup`): one
+    row per URL survives — the latest crawl_ts, ties to min doc_id —
+    via a single max(struct) aggregate, no window. URLs and fetch
+    timestamps are constructed deterministically from doc_id
+    (identically in the oracle): 100 URL groups, each recrawled
+    n/100 times with varying timestamps. sum_survivor_ids pins the
+    exact survivor set; n_docs_covered pins the per-group snapshot
+    counts; the oracle's row_number form is the semantic twin of the
+    engine's shuffle-lean aggregate."""
+    from datacanary_spark.operators.dedup import latest_snapshot_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id", "lang",
+        F.concat(F.lit("https://example"),
+                 (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".com/page/"),
+                 (F.col("doc_id") % 50).cast("string")).alias("url"),
+        (F.lit(1700000000) + (F.col("doc_id") % 7) * 86400
+         + (F.col("doc_id") % 13) * 3600).alias("crawl_ts"))
+    s = latest_snapshot_dedup(d, url_col="url", ts_col="crawl_ts",
+                              count_col="n_snapshots")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("doc_id").alias("sum_survivor_ids"),
+        F.sum("n_snapshots").alias("n_docs_covered"),
+        F.max("crawl_ts").alias("max_survivor_ts"))

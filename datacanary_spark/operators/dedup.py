@@ -747,3 +747,50 @@ def remove_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
     null_docs = df.where(F.col(text_col).isNull()).select(
         F.col(id_col), F.col(text_col).cast("string").alias(text_col))
     return rebuilt.unionByName(null_docs)
+
+
+def latest_snapshot_dedup(df: DataFrame, url_col: str = "url",
+                          ts_col: str = "warc_ts",
+                          id_col: str = "doc_id",
+                          count_col: str | None = None) -> DataFrame:
+    """Recrawl dedup: keep the LATEST crawl snapshot per URL.
+
+    Common Crawl re-fetches the same page across snapshots, so a raw
+    multi-snapshot corpus holds one row per (url, fetch); training
+    pipelines keep exactly one — the freshest. The survivor per URL is
+    the row with the maximum ``ts_col``, ties broken by MINIMUM
+    ``id_col`` (numeric), so the kept set is a pure function of the
+    data — identical on any engine, partitioning, or cluster size.
+
+    ONE shuffle on ``url_col``, via a single ``max(struct(ts, -id,
+    row))`` aggregate — no window, so a pathological URL recrawled
+    millions of times partially aggregates map-side instead of
+    funnelling every snapshot through one task. Canonicalize first
+    (``text_analysis.canonical_url_expr``) when raw URLs vary in
+    case/params; this operator dedups on string equality of whatever
+    key it is given.
+
+    NULL handling: rows with a NULL ``url_col`` are exempt (passed
+    through unchanged — an unparseable URL is not evidence two docs are
+    the same page). A NULL ``ts_col`` sorts below every dated snapshot
+    (Spark struct ordering puts nulls first ascending), so undated rows
+    lose to dated ones; an all-undated group falls back to min-id.
+
+    ``count_col``: when set, the output gains a long column counting
+    the snapshots the survivor replaced (1 for exempt null-URL rows).
+    """
+    cols = df.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    picked = (df.where(F.col(url_col).isNotNull())
+                .groupBy(url_col)
+                .agg(F.max(F.struct(
+                        F.col(ts_col).alias("_ts"),
+                        (-F.col(id_col)).alias("_nid"),
+                        row.alias("_row"))).alias("_m"),
+                     F.count(F.lit(1)).alias("_n")))
+    extra = [F.col("_n").alias(count_col)] if count_col else []
+    out = picked.select("_m._row.*", *extra)
+    exempt = df.where(F.col(url_col).isNull())
+    if count_col:
+        exempt = exempt.withColumn(count_col, F.lit(1).cast("long"))
+    return out.unionByName(exempt)
