@@ -301,6 +301,8 @@ def cmd_filter(args) -> int:
         n_chunks=args.chunks,
         repartition_buckets=args.buckets,
         extract_from_html=args.from_html,
+        input_format=args.input_format,
+        extractor=args.extractor,
     )
     print(json.dumps(summary))
     return 0
@@ -657,6 +659,16 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--chunks", type=int, default=4)
     f.add_argument("--buckets", type=int, default=None)
     f.add_argument("--from-html", action="store_true")
+    f.add_argument("--input-format", choices=["parquet", "warc", "wet"],
+                   default="parquet",
+                   help="pages parquet (default), raw WARC crawls "
+                        "(response bodies -> html; use --from-html "
+                        "--extractor real), or WET extracted text")
+    f.add_argument("--extractor", choices=["wrapper", "real"],
+                   default="wrapper",
+                   help="html->text UDF for --from-html: the fixture "
+                        "byte-identity wrapper or the real tag/entity "
+                        "extractor (functions/htmltext.py)")
     f.set_defaults(fn=cmd_filter)
 
     d = sub.add_parser("dedup", help="corpus dedup (exact/lines/near)")

@@ -515,6 +515,7 @@ from datacanary_spark import entry_queries_quality  # noqa: E402,F401
 from datacanary_spark import entry_queries_corpus  # noqa: E402,F401
 from datacanary_spark import entry_queries_lm  # noqa: E402,F401
 from datacanary_spark import entry_queries_webclean  # noqa: E402,F401
+from datacanary_spark import entry_queries_websrc  # noqa: E402,F401
 
 # ---- driver-gate rotation ---------------------------------------------------
 # The driver's correctness gate verifies exactly the FIRST 50 registered
@@ -523,6 +524,9 @@ from datacanary_spark import entry_queries_webclean  # noqa: E402,F401
 # coverage; tail queries stay in scripts/check_oracle.py's full sweep.
 # Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
 _TAIL_ROTATION = [
+    "asof_click_to_view",  # r04f: room for warc_ingest_by_lang
+    "range_click_view_within_10m",  # r04f: room for html_extract_roundtrip
+    "setop_long_docs_intersect_sources",  # r04f: room for char_entropy_noise_by_lang
     "fingerprint_groups",  # r04e: room for rule_ablation_by_lang
     "heuristic_rule_hits_by_lang",  # r04e: room for char_entropy_noise_by_lang
     "token_counts_by_lang",  # r04e: room for zipf_slope_by_lang

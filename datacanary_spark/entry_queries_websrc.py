@@ -1,0 +1,145 @@
+"""Driver-contract queries: WARC/WET ingestion (sources/warc.py) and
+real HTML -> text extraction (functions/htmltext.py).
+
+Registered into datacanary_spark.entry_queries.{QUERIES,ORACLE_SQL}.
+Neither WARC container framing nor HTML parsing is expressible in
+DuckDB SQL, so both queries use the fixture-construction pattern
+(like ``incremental_ingest_accepted``): the INPUT is built
+deterministically from the documents table by a formula both sides
+share, the Spark side runs the real operator end-to-end over that
+input, and the oracle computes what a correct run must produce
+directly from the formula. A parser/extractor bug surfaces as a
+count/byte mismatch, not a trivially-true comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datacanary_spark.entry_queries import _t, register
+from datacanary_spark.functions.htmltext import (
+    encode_html_entities,
+    make_html_to_text_udf,
+)
+
+# ---------------------------------------------------------------------------
+# WARC ingest: docs -> WET-style conversion records -> parse -> account
+# ---------------------------------------------------------------------------
+
+_WARC_DOCS = 300      # fixture slice (every sf has >= 300 docs)
+_DOCS_PER_FILE = 50   # multi-record files; odd files gzipped per-record
+
+_WARC_SQL = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(strlen(text)) AS BIGINT) AS sum_payload_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    WHERE doc_id < {_WARC_DOCS} AND text IS NOT NULL
+    GROUP BY lang
+"""
+
+
+@register("warc_ingest_by_lang", _WARC_SQL)
+def warc_ingest_by_lang(spark, sf_dir):
+    """End-to-end WARC source: pack the first {N} docs into multi-record
+    WARC files (a warcinfo header record plus one WET ``conversion``
+    record per doc; every odd file per-record-gzipped, Common-Crawl
+    style), split them back out with ``parse_warc_records``, recover
+    doc ids from WARC-Target-URI, and account per language via a
+    broadcast join to the documents table. The oracle computes the
+    same accounting straight from the table — equal counts and payload
+    BYTES prove framing, type filtering, gzip members, and UTF-8
+    payload integrity in one pass. Fixture packing is driver-side by
+    construction (it builds the input, like incremental ingest's temp
+    store); the parse itself is the distributed mapInPandas path.
+    """
+    from datacanary_spark.sources.warc import build_warc, parse_warc_records
+
+    d = _t(spark, sf_dir, "documents")
+    docs = (d.where((F.col("doc_id") < _WARC_DOCS)
+                    & F.col("text").isNotNull())
+             .select("doc_id", "text").orderBy("doc_id").collect())
+    files = []
+    for fx in range(0, len(docs), _DOCS_PER_FILE):
+        chunk = docs[fx:fx + _DOCS_PER_FILE]
+        recs = [{"warc_type": "warcinfo",
+                 "content_type": "application/warc-fields",
+                 "payload": b"software: datacanary-spark\r\n"}]
+        recs += [{"warc_type": "conversion",
+                  "target_uri": f"https://corpus.example/doc/{r.doc_id}",
+                  "warc_date": "2026-01-01T00:00:00Z",
+                  "content_type": "text/plain",
+                  "payload": r.text} for r in chunk]
+        gz = (fx // _DOCS_PER_FILE) % 2 == 1
+        name = f"crawl-{fx // _DOCS_PER_FILE:05d}.warc" + (".gz" if gz else "")
+        files.append((name, build_warc(recs, compress=gz)))
+    fdf = spark.createDataFrame(files, "path string, content binary") \
+               .repartition(8)
+    recs = parse_warc_records(fdf, warc_types=("conversion",))
+    ids = recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+         .cast("long").alias("doc_id"),
+        F.length("payload").alias("_bytes"))
+    langs = d.where(F.col("doc_id") < _WARC_DOCS).select("doc_id", "lang")
+    return (ids.join(F.broadcast(langs), "doc_id")
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_records"),
+                    F.sum("_bytes").alias("sum_payload_bytes"),
+                    F.min("doc_id").alias("min_doc"),
+                    F.max("doc_id").alias("max_doc")))
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction round-trip: text -> realistic page -> extract -> text
+# ---------------------------------------------------------------------------
+
+_HTML_SQL = """
+    WITH n AS (
+      SELECT lang, doc_id,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip,
+           CAST(sum(strlen('Doc ' || doc_id || chr(10) || norm))
+                AS BIGINT) AS sum_bytes
+    FROM n WHERE norm <> '' GROUP BY lang
+"""
+
+
+@register("html_extract_roundtrip", _HTML_SQL)
+def html_extract_roundtrip(spark, sf_dir):
+    """Real extractor over realistic pages: each doc's text (whitespace-
+    normalized so the round-trip is well-defined) is entity-encoded and
+    embedded in a full page — head with title and a script containing a
+    bare ``<``, an ``<h1>``, the ``<p>`` body, an HTML comment — then
+    extracted back with the pure-Python ``html_to_text`` pandas UDF.
+    The oracle asserts EVERY doc round-trips (n_roundtrip == n_docs)
+    and pins the exact output byte count, so any drift in tag
+    stripping, entity decoding, whitespace policy, or head/script/
+    comment removal shows up as a value mismatch. Distributed
+    end-to-end: one narrow projection + one Arrow-batched UDF + one
+    aggregate — the 100-TB extraction plan shape.
+    """
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = d.withColumn(
+        "_norm", F.trim(F.regexp_replace("text", r"\s+", " "))) \
+         .where(F.col("_norm") != "")
+    page = F.concat(
+        F.lit("<html><head><title>Title</title>"
+              "<script>if (1 < 2) track();</script></head>"
+              "<body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), encode_html_entities(F.col("_norm")),
+        F.lit("</p><!-- hidden --></body></html>"))
+    d = d.withColumn("_html", F.encode(page, "utf-8"))
+    d = d.withColumn("_extracted", make_html_to_text_udf()(F.col("_html")))
+    expected = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
+                        F.lit("\n"), F.col("_norm"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("_extracted") == expected).cast("long"))
+         .alias("n_roundtrip"),
+        F.sum(F.octet_length("_extracted")).alias("sum_bytes"))

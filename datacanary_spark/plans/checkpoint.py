@@ -37,10 +37,27 @@ from datacanary_spark.plans.lineage import partition_lineage
 from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
 
 
-def _chunk_files(input_path: str, n_chunks: int) -> list[list[str]]:
-    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+_FORMAT_GLOBS = {
+    "parquet": ("*.parquet",),
+    # raw crawls and their text-extracted twins; .gz variants are the
+    # Common-Crawl publication format (multi-member gzip, one per record)
+    "warc": ("*.warc", "*.warc.gz"),
+    "wet": ("*.wet", "*.wet.gz", "*.warc.wet.gz"),
+}
+
+
+def _chunk_files(input_path: str, n_chunks: int,
+                 input_format: str = "parquet") -> list[list[str]]:
+    try:
+        patterns = _FORMAT_GLOBS[input_format]
+    except KeyError:
+        raise ValueError(f"unknown input_format {input_format!r} "
+                         f"(expected one of {sorted(_FORMAT_GLOBS)})")
+    files = sorted({f for p in patterns
+                    for f in glob.glob(os.path.join(input_path, p))})
     if not files:
-        raise FileNotFoundError(f"no parquet files under {input_path}")
+        raise FileNotFoundError(
+            f"no {input_format} files under {input_path}")
     n_chunks = min(n_chunks, len(files))
     return [files[i::n_chunks] for i in range(n_chunks)]
 
@@ -65,8 +82,18 @@ def run_filter_job(
     repartition_buckets: int | None = None,
     extract_from_html: bool = False,
     models=None,
+    input_format: str = "parquet",
+    extractor: str = "wrapper",
 ) -> dict:
-    """Run (or resume) the filter job. Returns a run summary dict."""
+    """Run (or resume) the filter job. Returns a run summary dict.
+
+    ``input_format``: ``parquet`` (pages tables), ``warc`` (raw crawl —
+    response records' HTTP bodies land in ``html``; pass
+    ``extract_from_html=True`` with ``extractor="real"``), or ``wet``
+    (pre-extracted text in ``conversion`` records). WARC/WET chunks
+    read via ``pages_from_warc``; checkpoint/resume semantics are
+    format-independent (chunks are file lists either way).
+    """
     cfg = cfg or FilterConfig()
     ckpt_dir = os.path.join(output_path, "_checkpoint")
     metrics_dir = os.path.join(output_path, "metrics")
@@ -82,7 +109,8 @@ def run_filter_job(
     meta_path = os.path.join(ckpt_dir, "job_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            recorded_buckets = json.load(f)["repartition_buckets"]
+            meta = json.load(f)
+        recorded_buckets = meta["repartition_buckets"]
         if repartition_buckets is None:
             repartition_buckets = recorded_buckets
         elif repartition_buckets != recorded_buckets:
@@ -92,14 +120,23 @@ def run_filter_job(
                 f"the lineage bucket key space must stay stable across "
                 f"resumes. Omit the argument to reuse the recorded value, "
                 f"or start a fresh output dir.")
+        # pre-input_format metas (older runs) recorded parquet implicitly
+        recorded_format = meta.get("input_format", "parquet")
+        if input_format != recorded_format:
+            raise RuntimeError(
+                f"input_format={input_format!r} conflicts with the format "
+                f"this job started with ({recorded_format!r}); the chunk "
+                f"file assignment is format-dependent. Resume with the "
+                f"original format or start a fresh output dir.")
     else:
         if repartition_buckets is None:
             repartition_buckets = max(spark.sparkContext.defaultParallelism, 4)
         with open(meta_path, "w") as f:
-            json.dump({"repartition_buckets": repartition_buckets}, f)
+            json.dump({"repartition_buckets": repartition_buckets,
+                       "input_format": input_format}, f)
 
     models_bc = broadcast_models(spark, models)
-    chunks = _chunk_files(input_path, n_chunks)
+    chunks = _chunk_files(input_path, n_chunks, input_format)
 
     summary = {"chunks_total": len(chunks), "chunks_skipped": 0,
                "chunks_run": 0, "docs": 0, "kept": 0, "wall_sec": 0.0}
@@ -141,10 +178,18 @@ def run_filter_job(
         if os.path.exists(_done_path(ckpt_dir, k)):
             summary["chunks_skipped"] += 1
             continue
-        df = spark.read.parquet(*files)
+        if input_format == "parquet":
+            df = spark.read.parquet(*files)
+        else:
+            from datacanary_spark.plans.pipeline import pages_from_warc
+
+            kinds = ("conversion",) if input_format == "wet" \
+                else ("response",)
+            df = pages_from_warc(spark, files, record_types=kinds)
         verdicts = filter_pages(df, models_bc, cfg,
                                 extract_from_html=extract_from_html,
-                                repartition_buckets=repartition_buckets)
+                                repartition_buckets=repartition_buckets,
+                                extractor=extractor)
         chunk_out = os.path.join(data_dir, f"chunk={k}")
         verdicts.write.mode("overwrite").parquet(chunk_out)
 

@@ -55,6 +55,36 @@ from datacanary_spark.schema import VERDICT_FIELDS
 VERDICT_COLUMNS = [f.name for f in VERDICT_FIELDS]
 
 
+def pages_from_warc(spark, paths, record_types=("conversion", "response")):
+    """Read WARC/WET files into the pages contract schema.
+
+    One row per kept record: ``url`` from WARC-Target-URI, ``warc_ts``
+    parsed from WARC-Date (NULL when absent/malformed — try-cast, never
+    an ANSI throw mid-crawl), WET ``conversion`` records land in
+    ``text`` (their block is already extracted UTF-8), WARC ``response``
+    records land in ``html`` (raw body bytes; pair with
+    ``extract_from_html=True``). ``lang`` is NULL — language-ID is the
+    pipeline's job, not the container's.
+
+    Parallelism is per-file (Common-Crawl granularity: ~1 GiB gzipped
+    segments, tens of thousands per crawl), so a 1000-executor cluster
+    saturates on file count; the record fan-out happens executor-side
+    in ``parse_warc_records``'s Arrow-batched mapInPandas.
+    """
+    from datacanary_spark.sources.warc import parse_warc_records
+
+    files = spark.read.format("binaryFile").load(paths)
+    recs = parse_warc_records(files, warc_types=tuple(record_types))
+    is_conv = F.col("warc_type") == "conversion"
+    return recs.select(
+        F.col("target_uri").alias("url"),
+        F.try_to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.when(~is_conv, F.col("payload")).alias("html"),
+        F.when(is_conv, F.decode(F.col("payload"), "utf-8")).alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def broadcast_models(spark, models=None):
     """Broadcast the (default) QualityModels bundle once per job."""
     from datacanary_spark.functions.models import build_default_models
@@ -71,16 +101,35 @@ def filter_pages(
     extract_from_html: bool = False,
     repartition_buckets: int | None = None,
     keep_stats: bool = False,
+    extractor: str = "wrapper",
 ) -> DataFrame:
     """Attach per-document verdicts to a pages DataFrame.
 
     Returns columns: url, warc_ts, lang, keep, rule_hits map, lang_pred,
     lang_conf, ppl, scrubbed_text, scrub_count (+ stat_* if keep_stats).
+
+    ``extractor`` picks the html→text UDF when ``extract_from_html``:
+    ``"wrapper"`` (udfs.make_extract_udf — the fixture's byte-identity
+    twin) or ``"real"`` (htmltext.make_html_to_text_udf — full tag/
+    entity extraction for raw crawl pages). Rows whose ``html`` is NULL
+    (e.g. WET conversion records that arrive as text) keep their
+    existing ``text_col`` via coalesce.
     """
     cfg = cfg or FilterConfig()
 
     if extract_from_html:
-        df = df.withColumn(text_col, make_extract_udf()(F.col("html")))
+        if extractor == "real":
+            from datacanary_spark.functions.htmltext import (
+                make_html_to_text_udf,
+            )
+            ex = make_html_to_text_udf()
+        elif extractor == "wrapper":
+            ex = make_extract_udf()
+        else:
+            raise ValueError(f"unknown extractor {extractor!r} "
+                             f"(expected 'wrapper' or 'real')")
+        df = df.withColumn(
+            text_col, F.coalesce(ex(F.col("html")), F.col(text_col)))
 
     # stats attached via staged projects: words/lines/trigram arrays are
     # bound to columns once per row (not re-inlined per consumer) — this

@@ -1,0 +1,122 @@
+"""WARC/WET end-to-end through run_filter_job: container-format parity.
+
+The same fixture corpus is presented three ways — pages parquet, raw
+WARC (response records carrying the html bytes), WET (conversion
+records carrying the text) — and the filter job must produce identical
+per-url verdicts and scrubbed text from all three.
+"""
+
+from __future__ import annotations
+
+import os
+
+from datacanary_spark.plans import checkpoint as cp
+from datacanary_spark.sources.fixtures import (
+    generate_pages_pandas,
+    write_pages_parquet,
+)
+from datacanary_spark.sources.warc import build_warc
+
+N_DOCS = 60
+FILES = 3
+
+
+def _warc_date(ts) -> str:
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _write_corpora(tmp_path):
+    pdf = generate_pages_pandas(N_DOCS, seed=42)
+    pq = tmp_path / "pages"
+    write_pages_parquet(str(pq), n_docs=N_DOCS, seed=42)
+
+    warc_dir, wet_dir = tmp_path / "warc", tmp_path / "wet"
+    warc_dir.mkdir(), wet_dir.mkdir()
+    per = (len(pdf) + FILES - 1) // FILES
+    for fx in range(FILES):
+        chunk = pdf.iloc[fx * per:(fx + 1) * per]
+        warc_recs, wet_recs = [], []
+        for r in chunk.itertuples(index=False):
+            meta = {"target_uri": r.url, "warc_date": _warc_date(r.warc_ts)}
+            warc_recs.append({"warc_type": "response", "http_status": 200,
+                              "content_type": "application/http",
+                              "payload": bytes(r.html), **meta})
+            wet_recs.append({"warc_type": "conversion",
+                             "content_type": "text/plain",
+                             "payload": r.text.encode("utf-8"), **meta})
+        gz = fx % 2 == 1  # exercise both plain and gzipped files
+        suffix = ".gz" if gz else ""
+        (warc_dir / f"seg-{fx}.warc{suffix}").write_bytes(
+            build_warc(warc_recs, compress=gz))
+        (wet_dir / f"seg-{fx}.warc.wet{suffix}").write_bytes(
+            build_warc(wet_recs, compress=gz))
+    return pq, warc_dir, wet_dir
+
+
+def _verdicts(spark, out):
+    rows = spark.read.parquet(os.path.join(out, "data")).select(
+        "url", "keep", "scrubbed_text").collect()
+    return {r.url: (r.keep, r.scrubbed_text) for r in rows}
+
+
+def test_warc_and_wet_match_parquet_pipeline(spark, tmp_path):
+    pq, warc_dir, wet_dir = _write_corpora(tmp_path)
+
+    s_pq = cp.run_filter_job(spark, str(pq), str(tmp_path / "out_pq"),
+                             n_chunks=2)
+    s_warc = cp.run_filter_job(
+        spark, str(warc_dir), str(tmp_path / "out_warc"), n_chunks=2,
+        input_format="warc", extract_from_html=True, extractor="wrapper")
+    s_wet = cp.run_filter_job(
+        spark, str(wet_dir), str(tmp_path / "out_wet"), n_chunks=2,
+        input_format="wet")
+    assert s_pq["docs"] == s_warc["docs"] == s_wet["docs"] == N_DOCS
+
+    v_pq = _verdicts(spark, str(tmp_path / "out_pq"))
+    v_warc = _verdicts(spark, str(tmp_path / "out_warc"))
+    v_wet = _verdicts(spark, str(tmp_path / "out_wet"))
+    assert v_pq == v_warc == v_wet
+    assert len(v_pq) == N_DOCS
+
+
+def test_warc_ts_parsed_and_format_recorded(spark, tmp_path):
+    _, warc_dir, _ = _write_corpora(tmp_path)
+    out = str(tmp_path / "out")
+    cp.run_filter_job(spark, warc_dir.as_posix(), out, n_chunks=1,
+                      input_format="warc", extract_from_html=True)
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.where("warc_ts IS NULL").count() == 0
+
+    # resume with a different format is refused (chunk assignment is
+    # format-dependent)
+    import pytest
+    with pytest.raises(RuntimeError, match="input_format"):
+        cp.run_filter_job(spark, warc_dir.as_posix(), out, n_chunks=1)
+
+
+def test_real_extractor_through_filter_job(spark, tmp_path):
+    """WARC of realistic pages (wrapper + entities) through the REAL
+    extractor: scrubbed output must match running the plain text."""
+    texts = ["a & b < c", "plain words here", "x > y"]
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    recs = []
+    for i, t in enumerate(texts):
+        enc = (t.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+        html = (f"<html><head><script>no()</script></head>"
+                f"<body><p>{enc}</p></body></html>").encode()
+        recs.append({"warc_type": "response", "http_status": 200,
+                     "target_uri": f"https://r.example/{i}",
+                     "warc_date": "2026-01-01T00:00:00Z",
+                     "payload": html})
+    (warc_dir / "f.warc").write_bytes(build_warc(recs))
+    out = str(tmp_path / "out")
+    cp.run_filter_job(spark, str(warc_dir), out, n_chunks=1,
+                      input_format="warc", extract_from_html=True,
+                      extractor="real")
+    got = {r.url: r.scrubbed_text for r in
+           spark.read.parquet(os.path.join(out, "data"))
+                .select("url", "scrubbed_text").collect()}
+    assert got == {f"https://r.example/{i}": t
+                   for i, t in enumerate(texts)}
