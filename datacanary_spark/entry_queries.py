@@ -516,6 +516,7 @@ from datacanary_spark import entry_queries_corpus  # noqa: E402,F401
 from datacanary_spark import entry_queries_lm  # noqa: E402,F401
 from datacanary_spark import entry_queries_webclean  # noqa: E402,F401
 from datacanary_spark import entry_queries_websrc  # noqa: E402,F401
+from datacanary_spark import entry_queries_linkgraph  # noqa: E402,F401
 
 # ---- driver-gate rotation ---------------------------------------------------
 # The driver's correctness gate verifies exactly the FIRST 50 registered
@@ -524,6 +525,9 @@ from datacanary_spark import entry_queries_websrc  # noqa: E402,F401
 # coverage; tail queries stay in scripts/check_oracle.py's full sweep.
 # Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
 _TAIL_ROTATION = [
+    "profile_rounded_percentages",  # r04g: room for outlink_host_edges
+    "profile_sample_values",  # r04g: room for host_pagerank
+    "pattern_match_rule_fulldata",  # r04g: room for multimodal_decode_stats
     "asof_click_to_view",  # r04f: room for warc_ingest_by_lang
     "range_click_view_within_10m",  # r04f: room for html_extract_roundtrip
     "setop_long_docs_intersect_sources",  # r04f: room for char_entropy_noise_by_lang

@@ -14,6 +14,7 @@ count/byte mismatch, not a trivially-true comparison.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from datacanary_spark.entry_queries import _t, register
@@ -143,3 +144,76 @@ def html_extract_roundtrip(spark, sf_dir):
         F.sum((F.col("_extracted") == expected).cast("long"))
          .alias("n_roundtrip"),
         F.sum(F.octet_length("_extracted")).alias("sum_bytes"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode: real PGM bytes -> Netpbm codec -> per-lang accounting
+# ---------------------------------------------------------------------------
+
+_MM_DOCS = 240
+
+_MM_SQL = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN doc_id % 10 = 7 THEN NULL
+                         ELSE 4 + doc_id % 5 END) AS BIGINT) AS sum_width,
+           CAST(sum(CASE WHEN doc_id % 10 = 7 THEN NULL
+                         ELSE 3 + doc_id % 4 END) AS BIGINT) AS sum_height,
+           CAST(sum(CASE WHEN doc_id % 10 = 7 THEN NULL
+                         ELSE (4 + doc_id % 5) * (3 + doc_id % 4) END)
+                AS BIGINT) AS sum_bytes
+    FROM documents WHERE doc_id < {_MM_DOCS} GROUP BY lang
+"""
+
+
+@register("multimodal_decode_stats", _MM_SQL)
+def multimodal_decode_stats(spark, sf_dir):
+    """End-to-end REAL image decode through the multimodal seam: each
+    doc becomes a genuine binary PGM (P5) image — width ``4 + id%5``,
+    height ``3 + id%4``, uniform gray ``id % 251`` — built as real
+    bytes in an Arrow-batched pandas UDF; every ``id % 10 == 7`` image
+    has its raster truncated by one byte. ``decode_media`` (the
+    mapInPandas path used for crawl media) runs the pure-Python Netpbm
+    codec over them; corrupt rows must surface as contained ok=false
+    rows, never task failures. The oracle recomputes the accounting
+    (count, ok-count, decoded width/height/byte sums) straight from
+    the construction formula, so a header-parse, truncation-detect, or
+    batching bug shows up as a value mismatch. Plan shape: narrow
+    projection -> one pandas UDF -> mapInPandas -> broadcast join ->
+    one aggregate — the 100-TB media-ingest shape.
+    """
+    from datacanary_spark.operators.multimodal import (
+        NetpbmImageCodec,
+        decode_media,
+    )
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < _MM_DOCS).select("doc_id", "lang"))
+
+    @F.pandas_udf("binary")
+    def _pgm(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h, v = 4 + i % 5, 3 + i % 4, i % 251
+            body = bytes([v]) * (w * h)
+            if i % 10 == 7:
+                body = body[:-1]  # truncated raster -> decode error
+            out.append(b"P5 %d %d 255\n" % (w, h) + body)
+        return pd.Series(out)
+
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("image").alias("kind"),
+                     _pgm(F.col("doc_id")).alias("payload")).repartition(8)
+    dec = decode_media(media, codec=NetpbmImageCodec())
+    langs = d.select(F.col("doc_id").alias("media_id"), "lang")
+    ok = F.col("ok")
+    return (dec.join(F.broadcast(langs), "media_id")
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_media"),
+                    F.sum(ok.cast("long")).alias("n_ok"),
+                    F.sum(F.when(ok, F.col("width"))).alias("sum_width"),
+                    F.sum(F.when(ok, F.col("height"))).alias("sum_height"),
+                    F.sum(F.when(ok, F.col("n_bytes"))).alias("sum_bytes")))

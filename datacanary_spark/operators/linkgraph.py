@@ -1,0 +1,174 @@
+"""Host-level link graph: outlink extraction, host edges, PageRank.
+
+Web-scale curation pipelines use link structure as a quality prior
+(host-level ranks computed from the crawl's own hyperlinks): extract
+``href``s from raw HTML, collapse page->page links into a host->host
+graph, then score hosts with a few PageRank power iterations. The
+scores feed per-host filtering/weighting the same way
+``operators/corpus_stats.py`` host reputation does.
+
+Scale shape (10^12 pages, ~10^8 hosts):
+
+- **extraction** is pure Column expressions (``regexp_extract_all`` +
+  ``explode`` + ``parse_url``) — whole-stage codegen, no UDFs, and the
+  url/html projection prunes the parquet scan to two columns.
+- **host edges** is one shuffle keyed on the (src_host, dst_host)
+  pair; the output graph is orders of magnitude smaller than the page
+  table, so everything downstream runs on the reduced graph.
+- **PageRank** is K rounds of (join + groupBy) over the host graph.
+  Each round is ``localCheckpoint``-ed like
+  ``graph.connected_components`` so the logical plan stays flat
+  instead of doubling per iteration; per-round state is O(hosts).
+  Dangling mass (hosts with no outlinks) is redistributed uniformly by
+  default via one scalar aggregate per round — a driver-side pull of a
+  single number, not data.
+
+No counterpart exists in the reference (a single-table pandas tool,
+`/root/reference/src/datacanary/__main__.py`); this belongs to the
+LLM-pipeline extension surface alongside host reputation and the
+domain blocklist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "extract_outlinks",
+    "host_edges",
+    "host_degree_stats",
+    "pagerank",
+]
+
+# href values; [^"#] keeps fragment-only links out while still catching
+# "page.html#sec" prefixes via the capture ending at the quote.
+_HREF_PATTERN = r'href="([^"#][^"]*)"'
+
+
+def extract_outlinks(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host) rows, one per absolute outlink.
+
+    ``html_col`` may be string or binary (cast to string — crawl HTML
+    is stored as bytes). Relative links (``/about``) and malformed
+    URLs resolve to a NULL host via ``parse_url`` and are dropped —
+    the same null-key exemption discipline as
+    ``text_analysis.canonical_url_expr``. Hosts are lowercased.
+    """
+    html = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(html, F.lit(_HREF_PATTERN), F.lit(1))
+    src = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    out = (pages
+           .select(src.alias("src_host"), F.explode(hrefs).alias("_href"))
+           .select("src_host",
+                   F.lower(F.parse_url(F.col("_href"),
+                                       F.lit("HOST"))).alias("dst_host")))
+    return out.where(F.col("src_host").isNotNull()
+                     & (F.col("src_host") != "")
+                     & F.col("dst_host").isNotNull()
+                     & (F.col("dst_host") != ""))
+
+
+def host_edges(outlinks: DataFrame, keep_self: bool = False) -> DataFrame:
+    """Collapse page-level outlinks to weighted host->host edges.
+
+    One shuffle on the host pair. ``keep_self`` retains same-host
+    (intra-site) links, which dominate raw crawls; the default drops
+    them because ranking cares about cross-host endorsement.
+    """
+    e = outlinks
+    if not keep_self:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    return (e.groupBy("src_host", "dst_host")
+             .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def host_degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-host degree summary over weighted host edges: distinct
+    out/in neighbor counts and total out/in link weight (full outer
+    join so pure sources and pure sinks both appear)."""
+    outd = (edges.groupBy(F.col("src_host").alias("host"))
+                 .agg(F.count(F.lit(1)).alias("out_deg"),
+                      F.sum("weight").alias("out_weight")))
+    ind = (edges.groupBy(F.col("dst_host").alias("host"))
+                .agg(F.count(F.lit(1)).alias("in_deg"),
+                     F.sum("weight").alias("in_weight")))
+    joined = outd.join(ind, "host", "full_outer")
+    return joined.select(
+        "host",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("out_deg", "out_weight", "in_deg", "in_weight")])
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3,
+             dangling: str = "redistribute", iter_round: int | None = None,
+             checkpoint: bool = True) -> DataFrame:
+    """PageRank over host edges via K join+groupBy power iterations.
+
+    rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u)/outdeg(u)
+                                   + dangling_mass_t / N)
+
+    Edges are deduplicated and self-loop-free (endorsement graph);
+    contributions split evenly over distinct out-neighbors.
+    ``dangling="redistribute"`` (default) spreads the rank mass of
+    hosts with no outlinks uniformly — one scalar aggregate per round
+    — keeping sum(rank) == 1; ``"lose"`` skips that job and lets the
+    mass decay (cheaper, fine for relative ordering).
+
+    ``iter_round`` brounds each iteration's ranks to that many
+    decimals. The driver-contract query pins 12 so the DuckDB oracle
+    twin (same formula, different summation order) stays bit-aligned
+    through the iterations; library callers leave it None.
+
+    Each round is ``localCheckpoint``-ed (see module docstring) so the
+    plan for round t+1 is a flat scan of round t's O(hosts) result,
+    not a t-deep join tree.
+    """
+    if dangling not in ("redistribute", "lose"):
+        raise ValueError(f"unknown dangling mode: {dangling!r}")
+    e = (edges.select("src_host", "dst_host")
+              .where(F.col("src_host").isNotNull()
+                     & F.col("dst_host").isNotNull()
+                     & (F.col("src_host") != F.col("dst_host")))
+              .distinct())
+    nodes = (e.select(F.col("src_host").alias("host"))
+              .unionByName(e.select(F.col("dst_host").alias("host")))
+              .distinct())
+    if checkpoint:
+        e = e.localCheckpoint()
+        nodes = nodes.localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("host", F.lit(0.0).alias("rank"))
+    outd = (e.groupBy(F.col("src_host").alias("host"))
+             .agg(F.count(F.lit(1)).cast("double").alias("outdeg")))
+
+    def _rnd(c):
+        return F.bround(c, iter_round) if iter_round is not None else c
+
+    ranks = nodes.select("host", _rnd(F.lit(1.0 / n)).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        if dangling == "redistribute":
+            d_mass = (ranks.join(outd, "host", "left_anti")
+                           .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                           .first()[0])
+        else:
+            d_mass = 0.0
+        contrib = (e.join(ranks.withColumnRenamed("host", "src_host"),
+                          "src_host")
+                    .join(outd.withColumnRenamed("host", "src_host"),
+                          "src_host")
+                    .groupBy(F.col("dst_host").alias("host"))
+                    .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                          .alias("_in")))
+        ranks = (nodes.join(contrib, "host", "left")
+                      .select("host",
+                              _rnd(F.lit(teleport)
+                                   + F.lit(damping)
+                                   * (F.coalesce(F.col("_in"), F.lit(0.0))
+                                      + F.lit(d_mass / n))).alias("rank")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks

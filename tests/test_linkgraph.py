@@ -1,0 +1,141 @@
+"""Host link graph: extraction, host edges, degree stats, PageRank."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacanary_spark.operators.linkgraph import (
+    extract_outlinks,
+    host_degree_stats,
+    host_edges,
+    pagerank,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_extract_outlinks_drops_relative_fragment_and_nulls(spark):
+    pages = _pages(spark, [
+        ("https://A.example/p1",
+         '<a href="https://b.example/x">1</a>'
+         '<a href="/about">rel</a>'
+         '<a href="#top">frag</a>'
+         '<a href="https://b.example/y">2</a>'
+         '<a href="https://C.EXAMPLE/z#sec">3</a>'),
+        ("https://a.example/p2", None),          # null html
+        (None, '<a href="https://b.example/q">4</a>'),  # null url
+    ])
+    got = sorted(
+        extract_outlinks(pages).collect(),
+        key=lambda r: (r.src_host, r.dst_host))
+    # hosts lowercased; relative/fragment links and null rows dropped
+    assert [(r.src_host, r.dst_host) for r in got] == [
+        ("a.example", "b.example"),
+        ("a.example", "b.example"),
+        ("a.example", "c.example"),
+    ]
+
+
+def test_extract_outlinks_accepts_binary_html(spark):
+    pages = spark.createDataFrame(
+        [("https://a.example/p", bytearray(
+            b'<a href="https://b.example/x">1</a>'))],
+        "url string, html binary")
+    assert extract_outlinks(pages).collect()[0].dst_host == "b.example"
+
+
+def test_host_edges_weights_and_self_loop_policy(spark):
+    pages = _pages(spark, [
+        ("https://a.example/1",
+         '<a href="https://b.example/x">.</a>'
+         '<a href="https://b.example/y">.</a>'
+         '<a href="https://a.example/self">.</a>'),
+    ])
+    links = extract_outlinks(pages)
+    e = {(r.src_host, r.dst_host): r.weight
+         for r in host_edges(links).collect()}
+    assert e == {("a.example", "b.example"): 2}
+    e_self = {(r.src_host, r.dst_host): r.weight
+              for r in host_edges(links, keep_self=True).collect()}
+    assert e_self[("a.example", "a.example")] == 1
+
+
+def test_host_degree_stats_full_outer(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 2)],
+        "src_host string, dst_host string, weight long")
+    got = {r.host: r for r in host_degree_stats(edges).collect()}
+    assert (got["a"].out_deg, got["a"].out_weight,
+            got["a"].in_deg, got["a"].in_weight) == (2, 4, 0, 0)
+    # pure sink appears with zero out-degree
+    assert (got["c"].out_deg, got["c"].in_deg, got["c"].in_weight) == (0, 2, 3)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(u, v, 1) for u, v in pairs],
+        "src_host string, dst_host string, weight long")
+
+
+def test_pagerank_cycle_stays_uniform(spark):
+    # a->b->c->a: uniform 1/3 is the fixed point at any damping
+    ranks = {r.host: r.rank for r in pagerank(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")]),
+        iterations=4).collect()}
+    for v in ranks.values():
+        assert math.isclose(v, 1 / 3, rel_tol=1e-12)
+
+
+def test_pagerank_one_iteration_matches_hand_computation(spark):
+    # star: a->c, b->c (c dangling, mass redistributed)
+    # r0 = 1/3 each; dangling mass = 1/3
+    # c: 0.05 + 0.85*(1/3 + 1/3 + (1/3)/3)
+    # a,b: 0.05 + 0.85*((1/3)/3)
+    ranks = {r.host: r.rank for r in pagerank(
+        _edges(spark, [("a", "c"), ("b", "c")]), iterations=1).collect()}
+    third = 1 / 3
+    assert math.isclose(ranks["c"], 0.05 + 0.85 * (2 * third + third / 3),
+                        rel_tol=1e-12)
+    assert math.isclose(ranks["a"], 0.05 + 0.85 * (third / 3),
+                        rel_tol=1e-12)
+    assert ranks["a"] == ranks["b"]
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("d", "a")])
+    ranks = pagerank(e, iterations=5)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
+    # "lose" mode leaks the dangling mass instead (strictly less)
+    lost = pagerank(e, iterations=5, dangling="lose") \
+        .agg(F.sum("rank")).first()[0]
+    assert lost < total
+
+
+def test_pagerank_dedups_edges_and_ignores_self_loops(spark):
+    base = _edges(spark, [("a", "b"), ("b", "a")])
+    noisy = _edges(spark, [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")])
+    want = {r.host: r.rank for r in pagerank(base, iterations=3).collect()}
+    got = {r.host: r.rank for r in pagerank(noisy, iterations=3).collect()}
+    assert got == want
+
+
+def test_pagerank_rejects_unknown_dangling_mode(spark):
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(_edges(spark, [("a", "b")]), dangling="wat")
+
+
+def test_extraction_plan_is_expression_only(spark):
+    """href harvest + host resolution stay JVM-side: no Python
+    boundary anywhere, one Exchange (the host-pair aggregation)."""
+    pages = _pages(spark, [("https://a.example/p",
+                            '<a href="https://b.example/x">1</a>')])
+    plan = host_edges(extract_outlinks(pages)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
