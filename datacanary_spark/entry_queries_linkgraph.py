@@ -32,6 +32,7 @@ _LINKS_CTE = f"""
     links AS (
       SELECT 'h' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.example'
                  AS src_host,
+             (doc_id * 7 + 13 * k + 1) % {_N_PAGES} AS j,
              'h' || CAST(((doc_id * 7 + 13 * k + 1) % {_N_PAGES})
                          % {_N_HOSTS} AS VARCHAR) || '.example'
                  AS dst_host
@@ -56,12 +57,16 @@ def _pages(spark, sf_dir):
 
     def link(k: int):
         j = (i * 7 + 13 * k + 1) % _N_PAGES
+        # anchor text "<b>T{j%13}</b>  Go": nested markup, mixed case,
+        # and doubled whitespace — extract_anchors must normalize it
+        # to the two terms "t{j%13}" and "go".
         return F.when(
             i % 4 >= k,
             F.concat(F.lit('<a href="https://h'),
                      (j % _N_HOSTS).cast("string"),
                      F.lit(".example/doc/"), j.cast("string"),
-                     F.lit('">l</a>'))).otherwise(F.lit(""))
+                     F.lit('"><b>T'), (j % 13).cast("string"),
+                     F.lit("</b>  Go</a>"))).otherwise(F.lit(""))
 
     html = F.concat(
         F.lit('<html><body><a href="/about">about</a>'
@@ -140,3 +145,39 @@ def host_pagerank(spark, sf_dir):
     ranks = pagerank(edges, damping=_DAMPING, iterations=_PR_ITERS,
                      iter_round=12)
     return ranks.select("host", F.bround(F.col("rank"), 6).alias("rank"))
+
+
+_ANCHOR_TERMS_SQL = f"""
+    WITH {_LINKS_CTE},
+    crossh AS (SELECT * FROM links WHERE src_host <> dst_host),
+    terms AS (
+      SELECT src_host, dst_host,
+             't' || CAST(j % 13 AS VARCHAR) AS term FROM crossh
+      UNION ALL
+      SELECT src_host, dst_host, 'go' FROM crossh
+    )
+    SELECT dst_host, term,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+    FROM terms GROUP BY dst_host, term
+"""
+
+
+@register("anchor_terms_by_host", _ANCHOR_TERMS_SQL)
+def anchor_terms_by_host(spark, sf_dir):
+    """Anchor-text harvest end-to-end: every page's ``<a>`` elements
+    carry nested-markup, mixed-case, doubly-spaced anchor text
+    (``<b>T{j%13}</b>  Go``); ``extract_anchors`` must strip the inner
+    tags, collapse whitespace, and lowercase, and ``anchor_terms``
+    tokenizes into (dst_host, term) reference counts with distinct
+    referring-host breadth — the "what other sites call this host"
+    signal. The oracle replays the link + anchor-text formula, so a
+    markup-stripping, tokenization, or self-link-exclusion bug is a
+    value mismatch. Expression-only; one (dst_host, term) shuffle.
+    """
+    from datacanary_spark.operators.linkgraph import (
+        anchor_terms,
+        extract_anchors,
+    )
+
+    return anchor_terms(extract_anchors(_pages(spark, sf_dir)))

@@ -322,3 +322,72 @@ def char_entropy_noise_by_lang(spark, sf_dir):
         F.bround(F.avg("ent"), 4).alias("mean_entropy_bits"),
         F.bround(F.avg("cf"), 6).alias("mean_ctrl_frac"),
         F.sum("repl").cast("long").alias("docs_with_replacement"))
+
+
+# ---------------------------------------------------------------------------
+# URL-structure features: formula-built urls -> parse_url feature rollup
+# ---------------------------------------------------------------------------
+
+_UF_DOCS = 400
+
+_UF_SQL = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(doc_id % 4) AS BIGINT) AS sum_depth,
+           CAST(sum(doc_id % 3) AS BIGINT) AS sum_params,
+           CAST(sum(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS sum_host_labels,
+           CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_index,
+           round(avg(CASE WHEN doc_id % 4 = 0 THEN 0.0
+                          ELSE CAST(doc_id % 4 AS DOUBLE)
+                               / (3 * (doc_id % 4)) END), 6)
+               AS avg_digit_frac
+    FROM documents WHERE doc_id < {_UF_DOCS} GROUP BY lang
+"""
+
+
+@register("url_features_by_lang", _UF_SQL)
+def url_features_by_lang(spark, sf_dir):
+    """URL-structure prior end-to-end (text_analysis.url_features):
+    each doc gets a formula url — ``www.`` on every 5th host, depth
+    ``id % 4`` with one digit per 3-char segment, ``id % 3`` query
+    params, root path when depth is 0 — and the REAL parse_url-based
+    feature expressions compute depth / param count / host labels /
+    path digit fraction / index-page flag from the string. The oracle
+    replays the construction arithmetic, so a parse, split, or
+    null-handling bug in the feature expressions is a value mismatch.
+    Expression-only; the only Exchange is the lang rollup.
+    """
+    from datacanary_spark.operators.text_analysis import url_features
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < _UF_DOCS).select("doc_id", "lang"))
+    i = F.col("doc_id")
+
+    def seg(k: int):
+        return F.when(i % 4 >= k,
+                      F.concat(F.lit("/d"), ((i + k) % 10).cast("string"))) \
+                .otherwise(F.lit(""))
+
+    host = F.concat(
+        F.when(i % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (i % 17).cast("string"), F.lit(".example"))
+    path = F.when(i % 4 == 0, F.lit("/")) \
+            .otherwise(F.concat(seg(1), seg(2), seg(3)))
+    query = F.when(i % 3 == 0, F.lit("")) \
+             .when(i % 3 == 1, F.lit("?a0=1")) \
+             .otherwise(F.lit("?a0=1&a1=1"))
+    url = F.concat(F.lit("https://"), host, path, query)
+    feats = url_features(d.select("lang", url.alias("url")))
+    return (feats.groupBy("lang")
+                 .agg(F.count(F.lit(1)).alias("n_urls"),
+                      F.sum(F.col("path_depth").cast("long"))
+                       .alias("sum_depth"),
+                      F.sum(F.col("n_params").cast("long"))
+                       .alias("sum_params"),
+                      F.sum(F.col("n_host_labels").cast("long"))
+                       .alias("sum_host_labels"),
+                      F.sum(F.col("is_index").cast("long")).alias("n_index"),
+                      F.bround(F.avg("digit_frac"), 6)
+                       .alias("avg_digit_frac")))

@@ -217,3 +217,83 @@ def multimodal_decode_stats(spark, sf_dir):
                     F.sum(F.when(ok, F.col("width"))).alias("sum_width"),
                     F.sum(F.when(ok, F.col("height"))).alias("sum_height"),
                     F.sum(F.when(ok, F.col("n_bytes"))).alias("sum_bytes")))
+
+
+# ---------------------------------------------------------------------------
+# HTML page-structure signals: formula-built pages -> expression signals
+# ---------------------------------------------------------------------------
+
+_SIG_DOCS = 300
+
+_SIG_ANCHOR = "((doc_id % 4) * ((doc_id % 4) + 3)) // 2"
+_SIG_TEXT = (f"4 + length(CAST(doc_id AS VARCHAR)) + {_SIG_ANCHOR}"
+             " + 1 + doc_id % 9")
+
+_SIG_SQL = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_noindex,
+           CAST(sum(doc_id % 4) AS BIGINT) AS sum_links,
+           CAST(sum({_SIG_ANCHOR}) AS BIGINT) AS sum_anchor_chars,
+           CAST(sum({_SIG_TEXT}) AS BIGINT) AS sum_text_chars,
+           CAST(sum(8 * (doc_id % 3)) AS BIGINT) AS sum_script_chars,
+           round(avg(CAST({_SIG_ANCHOR} AS DOUBLE) / ({_SIG_TEXT})), 6)
+               AS avg_link_density
+    FROM documents WHERE doc_id < {_SIG_DOCS} GROUP BY lang
+"""
+
+
+@register("html_signals_by_lang", _SIG_SQL)
+def html_signals_by_lang(spark, sf_dir):
+    """Page-structure signals end-to-end (operators/html_signals.py):
+    each doc renders as real binary HTML — title ``Doc {id}``, a
+    robots-noindex meta on every 7th page, ``id % 4`` anchors with
+    anchor texts of length ``k+1``, an ``(1 + id % 9)``-char body
+    paragraph, and an ``8 * (id % 3)``-char inline script. The REAL
+    regex signal expressions (title/robots/anchor/visible-text/script
+    extraction) run over those bytes; the oracle recomputes every
+    aggregate straight from the construction arithmetic, so a regex,
+    stripping, or null-handling bug surfaces as a value mismatch.
+    Expression-only plan: narrow scan -> codegen projection -> one
+    group-by Exchange — the per-page signal shape at crawl scale.
+    """
+    from datacanary_spark.operators.html_signals import page_signals
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < _SIG_DOCS).select("doc_id", "lang"))
+    i = F.col("doc_id")
+
+    def anchor(k: int):
+        host = ((i * 3 + k) % 11).cast("string")
+        return F.when(
+            i % 4 >= k,
+            F.concat(F.lit('<a href="https://h'), host,
+                     F.lit('.example/">'), F.lit("a" * (k + 1)),
+                     F.lit("</a>"))).otherwise(F.lit(""))
+
+    meta = F.when(i % 7 == 0,
+                  F.lit('<meta name="robots" content="noindex">')) \
+            .otherwise(F.lit(""))
+    body = F.concat(F.lit("<p>"),
+                    F.lit("x" * 9).substr(F.lit(1), i % 9 + 1),
+                    F.lit("</p>"))
+    script = F.concat(F.lit("<script>"),
+                      F.lit("v" * 16).substr(F.lit(1), (i % 3) * 8),
+                      F.lit("</script>"))
+    html = F.concat(F.lit("<html><head><title>Doc "), i.cast("string"),
+                    F.lit("</title>"), meta, F.lit("</head><body>"),
+                    anchor(1), anchor(2), anchor(3), body, script,
+                    F.lit("</body></html>"))
+    pages = d.select("lang", F.encode(html, "utf-8").alias("html"))
+    sig = page_signals(pages)
+    return (sig.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_pages"),
+                    F.sum(F.col("has_noindex").cast("long"))
+                     .alias("n_noindex"),
+                    F.sum(F.col("n_links").cast("long")).alias("sum_links"),
+                    F.sum("anchor_chars").alias("sum_anchor_chars"),
+                    F.sum("text_chars").alias("sum_text_chars"),
+                    F.sum("script_chars").alias("sum_script_chars"),
+                    F.bround(F.avg("link_density"), 6)
+                     .alias("avg_link_density")))

@@ -1,0 +1,154 @@
+"""Per-page HTML structure signals: title, robots directives, link
+density, markup/script mass — jusText/Boilerpipe-style page-quality
+features computed as pure Column expressions over raw crawl HTML.
+
+Web-curation pipelines use page *structure* (not just extracted text)
+as keep/drop evidence: a page that is mostly anchors is a nav/link
+farm, a ``<meta name="robots" content="noindex">`` page asked not to
+be indexed, and a page that is mostly ``<script>`` payload carries no
+prose. The reference has no HTML handling at all (it profiles flat
+parquet columns, `/root/reference/src/datacanary/analysers/
+statistical_analyser.py`); this module belongs to the web-text
+extension surface next to ``functions/htmltext.py`` (which extracts
+the prose) and ``operators/linkgraph.py`` (which harvests the links).
+
+Scale shape (10^12 pages): everything here is ``regexp_extract_all`` /
+``regexp_replace`` / ``transform`` / ``aggregate`` Column expressions
+— whole-stage codegen, zero Python boundaries, and the url/html
+projection prunes the parquet scan to the two columns used. Signals
+are per-row (no shuffle); the only Exchange in a signal rollup is the
+final group-by, identical to any other per-doc heuristic.
+
+Caveats (documented, deliberate): regex-level HTML parsing — no
+entity decoding (``&amp;`` counts as 5 visible chars, same policy as
+``functions/htmltext.html_to_text``'s entity step handles separately),
+and pathological markup (unclosed ``<a>``, comments containing tags)
+degrades gracefully to under/over-counting rather than erroring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "title_expr",
+    "robots_content_expr",
+    "has_noindex_expr",
+    "visible_text_expr",
+    "anchor_texts_expr",
+    "link_density_expr",
+    "script_char_count_expr",
+    "tag_count_expr",
+    "page_signals",
+]
+
+# (?is): case-insensitive + DOTALL — crawl HTML spans lines freely.
+_SCRIPT_STYLE = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+_TAG = r"(?s)<[^>]*>"
+_TITLE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+_SCRIPT = r"(?is)<script\b[^>]*>(.*?)</script\s*>"
+# robots meta: attribute order varies in the wild, so try name-first
+# and content-first forms and take whichever matched.
+_ROBOTS_NAME_FIRST = (r'(?is)<meta\s[^>]*name\s*=\s*["\']robots["\']'
+                      r'[^>]*content\s*=\s*["\']([^"\']*)["\']')
+_ROBOTS_CONTENT_FIRST = (r'(?is)<meta\s[^>]*content\s*=\s*["\']([^"\']*)'
+                         r'["\'][^>]*name\s*=\s*["\']robots["\']')
+
+
+def _s(html_col: Column) -> Column:
+    """Crawl HTML is stored as bytes; signals work on the string view."""
+    return html_col.cast("string")
+
+
+def _strip_tags(col: Column) -> Column:
+    return F.regexp_replace(col, _TAG, "")
+
+
+def title_expr(html_col: Column) -> Column:
+    """``<title>`` inner text with nested tags stripped and whitespace
+    trimmed; NULL when absent or empty."""
+    raw = F.regexp_extract(_s(html_col), _TITLE, 1)
+    return F.nullif(F.trim(_strip_tags(raw)), F.lit(""))
+
+
+def robots_content_expr(html_col: Column) -> Column:
+    """content attribute of the robots ``<meta>`` tag (either attribute
+    order); NULL when the page declares none."""
+    h = _s(html_col)
+    return F.coalesce(
+        F.nullif(F.regexp_extract(h, _ROBOTS_NAME_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, _ROBOTS_CONTENT_FIRST, 1), F.lit("")))
+
+
+def has_noindex_expr(html_col: Column) -> Column:
+    """True iff a robots meta directive contains ``noindex`` — pages
+    that asked to stay out of indexes get dropped by polite pipelines.
+    False (not NULL) when no robots meta exists, so the column can be
+    summed directly."""
+    return F.coalesce(
+        F.lower(robots_content_expr(html_col)).contains("noindex"),
+        F.lit(False))
+
+
+def visible_text_expr(html_col: Column) -> Column:
+    """Markup-free character stream: script/style blocks removed first
+    (their payload is code, not prose), then all tags. No entity
+    decoding — this is a *signal* denominator, not extraction (use
+    ``functions/htmltext.html_to_text`` for byte-exact text)."""
+    return _strip_tags(F.regexp_replace(_s(html_col), _SCRIPT_STYLE, ""))
+
+
+def anchor_texts_expr(html_col: Column) -> Column:
+    """Array of anchor inner texts (nested tags inside each ``<a>``
+    stripped), in document order."""
+    inner = F.regexp_extract_all(_s(html_col), F.lit(_ANCHOR), F.lit(1))
+    return F.transform(inner, _strip_tags)
+
+
+def _char_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x))
+
+
+def link_density_expr(html_col: Column) -> Column:
+    """anchor-text chars / visible-text chars — the jusText link-farm
+    signal. NULL when the page has no visible text (try_divide: ANSI
+    mode would throw on /0)."""
+    return F.try_divide(
+        _char_sum(anchor_texts_expr(html_col)).cast("double"),
+        F.length(visible_text_expr(html_col)).cast("double"))
+
+
+def script_char_count_expr(html_col: Column) -> Column:
+    """Total chars inside ``<script>`` bodies — inline-payload mass."""
+    return _char_sum(
+        F.regexp_extract_all(_s(html_col), F.lit(_SCRIPT), F.lit(1)))
+
+
+def tag_count_expr(html_col: Column) -> Column:
+    """Number of opening/closing tags (markup density numerator)."""
+    return F.regexp_count(_s(html_col), F.lit(r"(?s)</?[a-zA-Z]"))
+
+
+def page_signals(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append the per-page signal columns to ``pages`` (all input
+    columns pass through, so callers keep url/lang/... without a join):
+    ``title``, ``has_noindex``, ``n_links``, ``anchor_chars``,
+    ``text_chars``, ``script_chars``, ``tag_count``, ``link_density``.
+    NULL html yields NULL signals except ``has_noindex`` (False) and
+    ``n_links`` (0) so rollups stay sum-able."""
+    h = F.col(html_col)
+    anchors = anchor_texts_expr(h)
+    return pages.select(
+        "*",
+        title_expr(h).alias("title"),
+        has_noindex_expr(h).alias("has_noindex"),
+        F.coalesce(F.size(anchors), F.lit(0)).alias("n_links"),
+        _char_sum(anchors).alias("anchor_chars"),
+        F.length(visible_text_expr(h)).cast("long").alias("text_chars"),
+        script_char_count_expr(h).alias("script_chars"),
+        tag_count_expr(h).cast("long").alias("tag_count"),
+        link_density_expr(h).alias("link_density"),
+    )

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "extract_outlinks",
+    "extract_anchors",
+    "anchor_terms",
     "host_edges",
     "host_degree_stats",
     "pagerank",
@@ -44,6 +46,9 @@ __all__ = [
 # href values; [^"#] keeps fragment-only links out while still catching
 # "page.html#sec" prefixes via the capture ending at the quote.
 _HREF_PATTERN = r'href="([^"#][^"]*)"'
+# full <a> elements (DOTALL: anchors span lines); href + inner text are
+# re-extracted per element because regexp_extract_all returns ONE group.
+_ANCHOR_ELEM = r'(?is)<a\b[^>]*href="([^"#][^"]*)"[^>]*>(.*?)</a\s*>'
 
 
 def extract_outlinks(pages: DataFrame, url_col: str = "url",
@@ -58,16 +63,73 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
     """
     html = F.col(html_col).cast("string")
     hrefs = F.regexp_extract_all(html, F.lit(_HREF_PATTERN), F.lit(1))
-    src = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    src = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     out = (pages
            .select(src.alias("src_host"), F.explode(hrefs).alias("_href"))
            .select("src_host",
-                   F.lower(F.parse_url(F.col("_href"),
+                   F.lower(F.try_parse_url(F.col("_href"),
                                        F.lit("HOST"))).alias("dst_host")))
     return out.where(F.col("src_host").isNotNull()
                      & (F.col("src_host") != "")
                      & F.col("dst_host").isNotNull()
                      & (F.col("dst_host") != ""))
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host, anchor) rows — the link text the web uses
+    to describe each target host (anchor text is a classic relevance /
+    quality signal: it names a host in OTHER sites' words).
+
+    Same null-host discipline as :func:`extract_outlinks`; anchor
+    inner markup is stripped, whitespace collapsed, text lowercased.
+    Expression-only: each ``<a>`` element is harvested once with
+    ``regexp_extract_all`` (group 0) and href/text are re-extracted
+    per element, so the page body is scanned a bounded number of
+    times regardless of link count.
+    """
+    html = F.col(html_col).cast("string")
+    elems = F.regexp_extract_all(html, F.lit(_ANCHOR_ELEM), F.lit(0))
+    src = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    e = (pages
+         .select(src.alias("src_host"), F.explode(elems).alias("_a"))
+         .select(
+             "src_host",
+             F.lower(F.try_parse_url(
+                 F.regexp_extract(F.col("_a"), _ANCHOR_ELEM, 1),
+                 F.lit("HOST"))).alias("dst_host"),
+             F.lower(F.trim(F.regexp_replace(
+                 F.regexp_replace(
+                     F.regexp_extract(F.col("_a"), _ANCHOR_ELEM, 2),
+                     r"(?s)<[^>]*>", ""),
+                 r"\s+", " "))).alias("anchor")))
+    return e.where(F.col("src_host").isNotNull()
+                   & (F.col("src_host") != "")
+                   & F.col("dst_host").isNotNull()
+                   & (F.col("dst_host") != ""))
+
+
+def anchor_terms(anchors: DataFrame, cross_host_only: bool = True,
+                 min_term_len: int = 2) -> DataFrame:
+    """Collapse anchor rows to (dst_host, term, n_refs, n_src_hosts):
+    how often each term describes a target host, and from how many
+    DISTINCT referring hosts (endorsement breadth — spam farms repeat
+    one source, organic reputation spans many).
+
+    One shuffle keyed on (dst_host, term); the distinct-source count
+    rides the same aggregate. ``cross_host_only`` drops self-referring
+    anchors (site nav) before the shuffle.
+    """
+    a = anchors
+    if cross_host_only:
+        a = a.where(F.col("src_host") != F.col("dst_host"))
+    terms = (a.select(
+        "src_host", "dst_host",
+        F.explode(F.split(F.col("anchor"), r"[^0-9a-z]+")).alias("term"))
+        .where(F.length("term") >= min_term_len))
+    return (terms.groupBy("dst_host", "term")
+                 .agg(F.count(F.lit(1)).alias("n_refs"),
+                      F.countDistinct("src_host").alias("n_src_hosts")))
 
 
 def host_edges(outlinks: DataFrame, keep_self: bool = False) -> DataFrame:

@@ -502,3 +502,36 @@ def rule_ablation(df, cfg=None, group_col: str = "lang",
         / F.col("n_docs").cast("double")
     return out.select(group_col, "rule", "n_docs", "kept_all", "blocked",
                       "uniquely_blocked", rate.alias("keep_rate_without"))
+
+
+def url_features(df, url_col: str = "url"):
+    """Append URL-structure quality features — the URL-only prior used
+    by web-curation pipelines when page content is expensive or absent
+    (crawl frontier scoring, pre-fetch filtering): ``path_depth``,
+    ``n_params``, ``n_host_labels``, ``digit_frac`` (digits over path
+    chars — ids/hashes in paths correlate with boilerplate listings),
+    ``is_index`` (root or index.* page), ``url_len``.
+
+    Pure Column expressions over ``parse_url`` — per-row, no shuffle;
+    all input columns pass through. Null or non-hierarchical urls get
+    NULL features (same unknown-identity convention as
+    ``canonical_url_expr``) except booleans/counts, which stay NULL
+    too so rollups can exempt them explicitly.
+    """
+    u = F.col(url_col)
+    path = F.try_parse_url(u, F.lit("PATH"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    host = F.try_parse_url(u, F.lit("HOST"))
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    n_params = F.when(query.isNull() | (query == ""), F.lit(0)) \
+                .otherwise(F.size(F.split(query, "&")))
+    return df.select(
+        "*",
+        depth.alias("path_depth"),
+        F.when(host.isNotNull(), n_params).alias("n_params"),
+        F.size(F.split(host, r"\.")).alias("n_host_labels"),
+        F.try_divide(F.regexp_count(path, F.lit("[0-9]")).cast("double"),
+                     F.length(path).cast("double")).alias("digit_frac"),
+        path.rlike(r"^/?(index\.(html?|php))?$").alias("is_index"),
+        F.length(u).cast("long").alias("url_len"),
+    )

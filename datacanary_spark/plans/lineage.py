@@ -109,7 +109,7 @@ def host_metrics_salted(verdicts: DataFrame, n_salts: int = 16) -> DataFrame:
     agg (collect/sketch) and demonstrates the north-rule technique.
     """
     salted = verdicts.select(
-        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"),
         F.col("keep"),
         F.pmod(F.xxhash64("url", F.lit(42)), F.lit(n_salts)).alias("salt"),
     )

@@ -204,7 +204,7 @@ def _enriched_pages_stream(spark: SparkSession, input_dir: str,
     # the golden twin via functions/heuristics.py)
     words = words_expr(F.col("text"))
     return pages.select(
-        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"),
         (F.size(words) >= min_words).alias("keep"))
 
 

@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from datacanary_spark.operators.linkgraph import (
+    anchor_terms,
+    extract_anchors,
     extract_outlinks,
     host_degree_stats,
     host_edges,
@@ -139,3 +141,58 @@ def test_extraction_plan_is_expression_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_extract_anchors_normalizes_text(spark):
+    pages = _pages(spark, [
+        ("https://a.example/p",
+         '<a href="https://B.example/x"><b>Big</b>\n  News</a>'
+         '<a href="/rel">skip</a>'
+         '<a href="https://c.example/y"></a>'),
+    ])
+    got = sorted(extract_anchors(pages).collect(),
+                 key=lambda r: r.dst_host)
+    assert [(r.src_host, r.dst_host, r.anchor) for r in got] == [
+        ("a.example", "b.example", "big news"),   # tags stripped, ws collapsed
+        ("a.example", "c.example", ""),           # empty anchor kept as row
+    ]
+
+
+def test_anchor_terms_counts_and_source_breadth(spark):
+    rows = [("a", "z", "fast news"), ("b", "z", "news site"),
+            ("a", "z", "news"), ("z", "z", "self nav"),
+            ("a", "y", "x")]                      # 1-char term filtered
+    anchors = spark.createDataFrame(
+        rows, "src_host string, dst_host string, anchor string")
+    got = {(r.dst_host, r.term): (r.n_refs, r.n_src_hosts)
+           for r in anchor_terms(anchors).collect()}
+    assert got[("z", "news")] == (3, 2)           # a twice, b once
+    assert got[("z", "fast")] == (1, 1)
+    assert ("z", "self") not in got               # cross-host only
+    assert ("y", "x") not in got                  # min_term_len
+    keep_self = {(r.dst_host, r.term) for r in anchor_terms(
+        anchors, cross_host_only=False).collect()}
+    assert ("z", "self") in keep_self
+
+
+def test_anchor_plan_is_expression_only(spark):
+    pages = _pages(spark, [("https://a.example/p",
+                            '<a href="https://b.example/x">hi there</a>')])
+    plan = anchor_terms(extract_anchors(pages)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_malformed_hrefs_drop_instead_of_throwing(spark):
+    # real crawls contain hrefs with spaces/illegal chars; ANSI
+    # parse_url would THROW — try_parse_url must null them out
+    pages = _pages(spark, [
+        ("https://a.example/p",
+         '<a href="not a url">x</a>'
+         '<a href="https://b.example/ok">y</a>'),
+        ("no scheme url", '<a href="https://c.example/z">z</a>'),
+    ])
+    got = [(r.src_host, r.dst_host)
+           for r in extract_outlinks(pages).collect()]
+    assert got == [("a.example", "b.example")]
+    assert extract_anchors(pages).count() == 1
