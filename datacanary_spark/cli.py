@@ -303,6 +303,7 @@ def cmd_filter(args) -> int:
         extract_from_html=args.from_html,
         input_format=args.input_format,
         extractor=args.extractor,
+        structure_rules=args.structure_rules,
     )
     print(json.dumps(summary))
     return 0
@@ -669,6 +670,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="html->text UDF for --from-html: the fixture "
                         "byte-identity wrapper or the real tag/entity "
                         "extractor (functions/htmltext.py)")
+    f.add_argument("--structure-rules", action="store_true",
+                   help="add page-structure rules from raw html to the "
+                        "verdict (robots noindex, link-farm density; "
+                        "operators/html_signals.py)")
     f.set_defaults(fn=cmd_filter)
 
     d = sub.add_parser("dedup", help="corpus dedup (exact/lines/near)")

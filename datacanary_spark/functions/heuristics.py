@@ -56,15 +56,25 @@ class FilterConfig:
     min_lang_conf: float = 0.60
     allowed_langs: tuple[str, ...] = ("en", "fr", "es", "de", "zh")
 
+    # structure rules (opt-in via filter_pages(structure_rules=True);
+    # need raw html, so they never fire on text-only corpora): drop
+    # pages that asked not to be indexed, and link farms whose anchor
+    # text dominates the visible text (jusText-style threshold).
+    max_link_density: float = 0.5
+
     heuristic_rule_names: tuple[str, ...] = (
         "too_few_words", "too_many_words", "mean_word_length",
         "symbol_ratio", "stopword_fraction", "dup_lines", "dup_trigrams",
         "bullet_lines", "ellipsis_lines",
     )
     model_rule_names: tuple[str, ...] = ("perplexity", "langid")
+    structure_rule_names: tuple[str, ...] = ("noindex", "link_density")
 
     @property
     def rule_names(self) -> tuple[str, ...]:
+        """Rules of the text-only pipeline (structure rules join only
+        when filter_pages runs with structure_rules=True, keeping the
+        golden rule_hits map byte-identical by default)."""
         return self.heuristic_rule_names + self.model_rule_names
 
 

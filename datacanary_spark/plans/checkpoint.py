@@ -84,6 +84,7 @@ def run_filter_job(
     models=None,
     input_format: str = "parquet",
     extractor: str = "wrapper",
+    structure_rules: bool = False,
 ) -> dict:
     """Run (or resume) the filter job. Returns a run summary dict.
 
@@ -189,7 +190,8 @@ def run_filter_job(
         verdicts = filter_pages(df, models_bc, cfg,
                                 extract_from_html=extract_from_html,
                                 repartition_buckets=repartition_buckets,
-                                extractor=extractor)
+                                extractor=extractor,
+                                structure_rules=structure_rules)
         chunk_out = os.path.join(data_dir, f"chunk={k}")
         verdicts.write.mode("overwrite").parquet(chunk_out)
 

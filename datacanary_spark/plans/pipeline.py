@@ -102,6 +102,7 @@ def filter_pages(
     repartition_buckets: int | None = None,
     keep_stats: bool = False,
     extractor: str = "wrapper",
+    structure_rules: bool = False,
 ) -> DataFrame:
     """Attach per-document verdicts to a pages DataFrame.
 
@@ -114,8 +115,35 @@ def filter_pages(
     entity extraction for raw crawl pages). Rows whose ``html`` is NULL
     (e.g. WET conversion records that arrive as text) keep their
     existing ``text_col`` via coalesce.
+
+    ``structure_rules`` (opt-in; requires an ``html`` column) adds two
+    page-STRUCTURE rules from the raw crawl bytes to the verdict:
+    ``noindex`` (a robots meta asked to stay out of indexes) and
+    ``link_density`` (anchor chars / visible chars >
+    ``cfg.max_link_density`` — link farm). Both are pure Column
+    expressions (operators/html_signals.py) riding the scan stage's
+    codegen span — no new Python boundary, no shuffle. NULL html or
+    no-visible-text density is exempt (hit 0): text-only rows are the
+    text rules' job, and the default-off flag keeps the golden
+    rule_hits map byte-identical for text corpora.
     """
     cfg = cfg or FilterConfig()
+
+    structure_hits = {}
+    if structure_rules:
+        if "html" not in df.columns:
+            raise ValueError(
+                "structure_rules=True requires an 'html' column "
+                f"(got {df.columns})")
+        from datacanary_spark.operators.html_signals import (
+            has_noindex_expr,
+            link_density_expr,
+        )
+        h = F.col("html")
+        structure_hits["noindex"] = has_noindex_expr(h).cast("int")
+        structure_hits["link_density"] = F.coalesce(
+            (link_density_expr(h) > cfg.max_link_density).cast("int"),
+            F.lit(0))
 
     if extract_from_html:
         if extractor == "real":
@@ -155,9 +183,10 @@ def filter_pages(
         (~(F.array_contains(allowed, F.col("lang_pred"))
            & (F.col("lang_conf") >= cfg.min_lang_conf))).cast("int"), F.lit(1))
 
+    hit_cols.update(structure_hits)
     df = df.withColumns({f"hit_{k}": v for k, v in hit_cols.items()})
 
-    rule_names = list(cfg.rule_names)
+    rule_names = list(cfg.rule_names) + list(structure_hits)
     df = df.withColumn(
         "rule_hits",
         F.map_from_arrays(
