@@ -297,3 +297,86 @@ def html_signals_by_lang(spark, sf_dir):
                     F.sum("script_chars").alias("sum_script_chars"),
                     F.bround(F.avg("link_density"), 6)
                      .alias("avg_link_density")))
+
+
+# ---------------------------------------------------------------------------
+# canonical-link dedup: formula-declared <link rel=canonical> -> collapse
+# ---------------------------------------------------------------------------
+
+_CD_DOCS = 300
+
+_CD_SQL = f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+                 || CAST(doc_id AS VARCHAR) AS url,
+             CASE
+               WHEN doc_id % 5 = 4 THEN NULL
+               WHEN doc_id % 3 <> 0 AND doc_id % 7 = 6
+                 THEN 'https://ext.example/e'
+                      || CAST(doc_id - doc_id % 3 AS VARCHAR)
+               ELSE 'https://h' || CAST((doc_id - doc_id % 3) % 7 AS VARCHAR)
+                    || '.example/p' || CAST(doc_id - doc_id % 3 AS VARCHAR)
+             END AS decl
+      FROM documents WHERE doc_id < {_CD_DOCS}),
+    k AS (SELECT *, COALESCE(decl, url) AS ckey FROM m),
+    g AS (SELECT ckey, CAST(count(*) AS BIGINT) AS n,
+                 max(CASE WHEN url = ckey THEN 1 ELSE 0 END) AS has_self,
+                 min(CASE WHEN url = ckey THEN doc_id END) AS self_id,
+                 min(doc_id) AS min_id
+          FROM k GROUP BY ckey),
+    s AS (SELECT ckey, n,
+                 CASE WHEN has_self = 1 THEN self_id ELSE min_id END AS sid
+          FROM g)
+    SELECT k.lang,
+           CAST(count(*) AS BIGINT) AS n_survivors,
+           CAST(sum(s.sid) AS BIGINT) AS sum_survivor_ids,
+           CAST(sum(s.n) AS BIGINT) AS n_pages_absorbed
+    FROM s JOIN k ON k.doc_id = s.sid
+    GROUP BY k.lang
+"""
+
+
+@register("canonical_dedup_by_lang", _CD_SQL)
+def canonical_dedup_by_lang(spark, sf_dir):
+    """Publisher-declared duplicate collapse end-to-end
+    (``operators/dedup.canonical_dedup``): each doc renders real HTML
+    whose ``<link rel="canonical">`` (attribute order alternating by
+    parity, exercising both regex forms) points at its 3-group base
+    doc; every 5th doc declares nothing (own-url identity) and the
+    ``%7=6`` non-base docs point at an EXTERNAL never-crawled target
+    (min-id fallback — no self row in the group). The oracle replays
+    the declaration formula and the survivor rule (self row wins, else
+    min id), so an extraction-regex, grouping, fallback, or
+    variant-count bug is a value mismatch. One shuffle on the
+    canonical key; sum_survivor_ids pins the exact survivor SET.
+    """
+    from datacanary_spark.operators.dedup import canonical_dedup
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < _CD_DOCS).select("doc_id", "lang"))
+    i = F.col("doc_id")
+    base = i - i % 3
+    url = F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                   F.lit(".example/p"), i.cast("string"))
+    base_url = F.concat(F.lit("https://h"), (base % 7).cast("string"),
+                        F.lit(".example/p"), base.cast("string"))
+    ext = F.concat(F.lit("https://ext.example/e"), base.cast("string"))
+    decl = F.when(i % 5 == 4, F.lit(None).cast("string")) \
+            .when((i % 3 != 0) & (i % 7 == 6), ext) \
+            .otherwise(base_url)
+    rel_first = F.concat(F.lit('<link rel="canonical" href="'), decl,
+                         F.lit('">'))
+    href_first = F.concat(F.lit('<link href="'), decl,
+                          F.lit('" rel="canonical">'))
+    link = F.when(decl.isNull(), F.lit("")) \
+            .otherwise(F.when(i % 2 == 0, rel_first).otherwise(href_first))
+    html = F.concat(F.lit("<html><head>"), link,
+                    F.lit("</head><body>x</body></html>"))
+    pages = d.select("doc_id", "lang", url.alias("url"),
+                     F.encode(html, "utf-8").alias("html"))
+    out = canonical_dedup(pages, count_col="n_variants")
+    return (out.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_survivors"),
+                    F.sum("doc_id").alias("sum_survivor_ids"),
+                    F.sum("n_variants").alias("n_pages_absorbed")))

@@ -794,3 +794,50 @@ def latest_snapshot_dedup(df: DataFrame, url_col: str = "url",
     if count_col:
         exempt = exempt.withColumn(count_col, F.lit(1).cast("long"))
     return out.unionByName(exempt)
+
+
+def canonical_dedup(df: DataFrame, url_col: str = "url",
+                    html_col: str = "html", id_col: str = "doc_id",
+                    count_col: str | None = None) -> DataFrame:
+    """Collapse pages that DECLARE the same ``<link rel="canonical">``
+    target — the publisher's own statement that N urls are one page
+    (print views, tracking-param variants, syndicated mirrors).
+
+    Group key = the page's declared absolute canonical target
+    (``html_signals.canonical_link_expr``), falling back to its own
+    url when it declares none — so undeclared pages group only with
+    pages that point AT them. Survivor per group: the canonical page
+    itself when present (its url equals the target), else the minimum
+    ``id_col`` — deterministic under any partitioning.
+
+    ONE shuffle on the canonical key via a single ``max(struct)``
+    aggregate (no window — a target pointed at by millions of variants
+    partially aggregates map-side). Rows where both the declaration
+    and ``url_col`` are NULL are exempt (no identity evidence).
+    Complements, not replaces, ``latest_snapshot_dedup``: run that
+    first to collapse refetches of the SAME url, this to collapse
+    DIFFERENT urls the publisher unified.
+
+    ``count_col``: when set, the output gains a long column counting
+    the variant pages each survivor absorbed (1 for exempt rows).
+    """
+    from datacanary_spark.operators.html_signals import canonical_link_expr
+
+    cols = df.columns
+    key = F.coalesce(canonical_link_expr(F.col(html_col)), F.col(url_col))
+    keyed = df.select(key.alias("_ckey"), *[F.col(c) for c in cols])
+    row = F.struct(*[F.col(c) for c in cols])
+    is_canon = F.coalesce(F.col(url_col) == F.col("_ckey"), F.lit(False))
+    picked = (keyed.where(F.col("_ckey").isNotNull())
+                   .groupBy("_ckey")
+                   .agg(F.max(F.struct(
+                           is_canon.alias("_self"),
+                           (-F.col(id_col)).alias("_nid"),
+                           row.alias("_row"))).alias("_m"),
+                        F.count(F.lit(1)).alias("_n")))
+    extra = [F.col("_n").alias(count_col)] if count_col else []
+    out = picked.select("_m._row.*", *extra)
+    exempt = keyed.where(F.col("_ckey").isNull()).select(*cols)
+    if count_col:
+        exempt = exempt.withColumn(count_col, F.lit(1).cast("long"))
+    return out.unionByName(exempt)

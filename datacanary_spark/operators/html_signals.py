@@ -35,6 +35,7 @@ __all__ = [
     "title_expr",
     "robots_content_expr",
     "has_noindex_expr",
+    "canonical_link_expr",
     "visible_text_expr",
     "anchor_texts_expr",
     "link_density_expr",
@@ -55,6 +56,11 @@ _ROBOTS_NAME_FIRST = (r'(?is)<meta\s[^>]*name\s*=\s*["\']robots["\']'
                       r'[^>]*content\s*=\s*["\']([^"\']*)["\']')
 _ROBOTS_CONTENT_FIRST = (r'(?is)<meta\s[^>]*content\s*=\s*["\']([^"\']*)'
                          r'["\'][^>]*name\s*=\s*["\']robots["\']')
+# <link rel="canonical">: same attribute-order split as the robots meta.
+_CANON_REL_FIRST = (r'(?is)<link\s[^>]*rel\s*=\s*["\']canonical["\']'
+                    r'[^>]*href\s*=\s*["\']([^"\']+)["\']')
+_CANON_HREF_FIRST = (r'(?is)<link\s[^>]*href\s*=\s*["\']([^"\']+)["\']'
+                     r'[^>]*rel\s*=\s*["\']canonical["\']')
 
 
 def _s(html_col: Column) -> Column:
@@ -90,6 +96,24 @@ def has_noindex_expr(html_col: Column) -> Column:
     return F.coalesce(
         F.lower(robots_content_expr(html_col)).contains("noindex"),
         F.lit(False))
+
+
+def canonical_link_expr(html_col: Column) -> Column:
+    """href of the page's ``<link rel="canonical">`` declaration (either
+    attribute order), or NULL when the page declares none.
+
+    Only ABSOLUTE http(s) targets are honored; relative canonical hrefs
+    would need base-URL resolution (page URL + ``<base>`` tag), which a
+    per-column expression can't see — they return NULL (unknown), the
+    same exempt-from-grouping convention as ``canonical_url_expr``'s
+    malformed-URL rule. Dedup semantics live in
+    ``operators/dedup.canonical_dedup``.
+    """
+    h = _s(html_col)
+    raw = F.coalesce(
+        F.nullif(F.regexp_extract(h, _CANON_REL_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, _CANON_HREF_FIRST, 1), F.lit("")))
+    return F.when(raw.rlike(r"(?i)^https?://"), raw)
 
 
 def visible_text_expr(html_col: Column) -> Column:
