@@ -49,10 +49,16 @@ _HREF_PATTERN = r'href="([^"#][^"]*)"'
 # full <a> elements (DOTALL: anchors span lines); href + inner text are
 # re-extracted per element because regexp_extract_all returns ONE group.
 _ANCHOR_ELEM = r'(?is)<a\b[^>]*href="([^"#][^"]*)"[^>]*>(.*?)</a\s*>'
+# rel="... nofollow ..." in the OPENING tag only ([^>]* cannot cross the
+# tag end, so a literal "rel=nofollow" in anchor text never matches);
+# covers either attribute order, both quote styles, and multi-value
+# rel lists ("nofollow ugc sponsored").
+_NOFOLLOW = r'(?is)<a\b[^>]*\brel\s*=\s*["\'][^"\']*\bnofollow\b'
 
 
 def extract_outlinks(pages: DataFrame, url_col: str = "url",
-                     html_col: str = "html") -> DataFrame:
+                     html_col: str = "html",
+                     honor_nofollow: bool = False) -> DataFrame:
     """(src_host, dst_host) rows, one per absolute outlink.
 
     ``html_col`` may be string or binary (cast to string — crawl HTML
@@ -60,7 +66,17 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
     URLs resolve to a NULL host via ``parse_url`` and are dropped —
     the same null-key exemption discipline as
     ``text_analysis.canonical_url_expr``. Hosts are lowercased.
+
+    ``honor_nofollow=False`` (default) harvests every ``href`` in the
+    page — ``<a>``, ``<link>``, ``<area>`` alike — the raw GRAPH
+    structure. Set True for ENDORSEMENT semantics (PageRank input):
+    extraction narrows to ``<a>`` elements and skips those whose
+    ``rel`` disclaims endorsement (``nofollow``, incl. multi-value
+    lists), per the convention the rel attribute exists for.
     """
+    if honor_nofollow:
+        a = extract_anchors(pages, url_col, html_col, honor_nofollow=True)
+        return a.select("src_host", "dst_host")
     html = F.col(html_col).cast("string")
     hrefs = F.regexp_extract_all(html, F.lit(_HREF_PATTERN), F.lit(1))
     src = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
@@ -76,7 +92,8 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
 
 
 def extract_anchors(pages: DataFrame, url_col: str = "url",
-                    html_col: str = "html") -> DataFrame:
+                    html_col: str = "html",
+                    honor_nofollow: bool = True) -> DataFrame:
     """(src_host, dst_host, anchor) rows — the link text the web uses
     to describe each target host (anchor text is a classic relevance /
     quality signal: it names a host in OTHER sites' words).
@@ -87,12 +104,22 @@ def extract_anchors(pages: DataFrame, url_col: str = "url",
     ``regexp_extract_all`` (group 0) and href/text are re-extracted
     per element, so the page body is scanned a bounded number of
     times regardless of link count.
+
+    ``honor_nofollow`` (default True — anchors measure ENDORSEMENT):
+    skip anchors whose opening tag carries ``rel="nofollow"`` (either
+    attribute order, either quote style, multi-value lists) — the
+    publisher explicitly disclaimed the vote that anchor_terms /
+    PageRank would otherwise count.
     """
     html = F.col(html_col).cast("string")
     elems = F.regexp_extract_all(html, F.lit(_ANCHOR_ELEM), F.lit(0))
     src = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    e = (pages
-         .select(src.alias("src_host"), F.explode(elems).alias("_a"))
+    exploded = pages.select(src.alias("src_host"),
+                            F.explode(elems).alias("_a"))
+    if honor_nofollow:
+        exploded = exploded.where(
+            F.regexp_extract(F.col("_a"), _NOFOLLOW, 0) == "")
+    e = (exploded
          .select(
              "src_host",
              F.lower(F.try_parse_url(

@@ -196,3 +196,26 @@ def test_malformed_hrefs_drop_instead_of_throwing(spark):
            for r in extract_outlinks(pages).collect()]
     assert got == [("a.example", "b.example")]
     assert extract_anchors(pages).count() == 1
+
+
+def test_nofollow_anchors_are_disclaimed_votes(spark):
+    pages = _pages(spark, [
+        ("https://a.example/p",
+         '<a href="https://b.example/x" rel="nofollow">paid</a>'
+         '<a rel="NOFOLLOW UGC" href="https://c.example/y">comment</a>'
+         "<a href=\"https://d.example/z\" rel='nofollow'>sq</a>"
+         '<a href="https://e.example/w" rel="noopener">fine</a>'
+         '<a href="https://f.example/v">rel=nofollow in text</a>'),
+    ])
+    # default: endorsement semantics — all three disclaimer forms skip
+    got = sorted(r.dst_host for r in extract_anchors(pages).collect())
+    assert got == ["e.example", "f.example"]
+    # raw-structure mode keeps every anchor
+    raw = extract_anchors(pages, honor_nofollow=False)
+    assert raw.count() == 5
+    # outlinks: href harvest keeps all by default; endorsement mode
+    # routes through the element extraction and drops the nofollows
+    assert extract_outlinks(pages).count() == 5
+    endorse = sorted(r.dst_host for r in
+                     extract_outlinks(pages, honor_nofollow=True).collect())
+    assert endorse == ["e.example", "f.example"]
