@@ -36,6 +36,7 @@ __all__ = [
     "robots_content_expr",
     "has_noindex_expr",
     "canonical_link_expr",
+    "error_page_expr",
     "visible_text_expr",
     "anchor_texts_expr",
     "link_density_expr",
@@ -96,6 +97,24 @@ def has_noindex_expr(html_col: Column) -> Column:
     return F.coalesce(
         F.lower(robots_content_expr(html_col)).contains("noindex"),
         F.lit(False))
+
+
+# soft-404 titles: servers that return 200 for missing pages usually
+# say so in the <title>. Conservative list — status-code prefixes and
+# the unambiguous English phrases; curation pipelines tune per-corpus.
+_ERROR_TITLE = (r"(?i)(^\s*(40[134]|410|50[023])\b"
+                r"|not\s+found|page\s+unavailable|access\s+denied"
+                r"|forbidden|site\s+maintenance)")
+
+
+def error_page_expr(html_col: Column) -> Column:
+    """True iff the page's title reads like an error / soft-404 page —
+    crawls are full of 200-status "Page Not Found" responses that
+    carry no content worth training on. False (not NULL) when the
+    title is absent, so the column sums directly; pages with no title
+    at all are the text rules' problem, not this signal's."""
+    return F.coalesce(title_expr(html_col).rlike(_ERROR_TITLE),
+                      F.lit(False))
 
 
 def canonical_link_expr(html_col: Column) -> Column:
@@ -159,16 +178,18 @@ def tag_count_expr(html_col: Column) -> Column:
 def page_signals(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Append the per-page signal columns to ``pages`` (all input
     columns pass through, so callers keep url/lang/... without a join):
-    ``title``, ``has_noindex``, ``n_links``, ``anchor_chars``,
-    ``text_chars``, ``script_chars``, ``tag_count``, ``link_density``.
-    NULL html yields NULL signals except ``has_noindex`` (False) and
-    ``n_links`` (0) so rollups stay sum-able."""
+    ``title``, ``has_noindex``, ``is_error_page``, ``n_links``,
+    ``anchor_chars``, ``text_chars``, ``script_chars``, ``tag_count``,
+    ``link_density``. NULL html yields NULL signals except
+    ``has_noindex``/``is_error_page`` (False) and ``n_links`` (0) so
+    rollups stay sum-able."""
     h = F.col(html_col)
     anchors = anchor_texts_expr(h)
     return pages.select(
         "*",
         title_expr(h).alias("title"),
         has_noindex_expr(h).alias("has_noindex"),
+        error_page_expr(h).alias("is_error_page"),
         F.coalesce(F.size(anchors), F.lit(0)).alias("n_links"),
         _char_sum(anchors).alias("anchor_chars"),
         F.length(visible_text_expr(h)).cast("long").alias("text_chars"),

@@ -89,3 +89,21 @@ def test_signals_plan_is_expression_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
     assert "Exchange" not in plan          # per-row signals: no shuffle
+
+
+def test_error_page_detection(spark):
+    for title, want in [
+        ("404 Not Found", True),
+        ("404", True),
+        ("  403 Forbidden", True),
+        ("Oops — page not found", True),
+        ("Access Denied", True),
+        ("503 Service Unavailable", True),
+        ("4040 parts in stock", False),     # \b guards the status code
+        ("My holiday in 2024", False),
+        ("Not Found Films — official site", True),  # known FP class, doc'd
+    ]:
+        r = _signals(spark, f"<title>{title}</title><p>body</p>")
+        assert r.is_error_page is want, title
+    # absent title -> False (summable), never NULL
+    assert _signals(spark, "<p>untitled</p>").is_error_page is False
