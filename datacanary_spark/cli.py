@@ -304,6 +304,7 @@ def cmd_filter(args) -> int:
         input_format=args.input_format,
         extractor=args.extractor,
         structure_rules=args.structure_rules,
+        http_ok_only=not args.keep_http_errors,
     )
     print(json.dumps(summary))
     return 0
@@ -674,6 +675,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="add page-structure rules from raw html to the "
                         "verdict (robots noindex, link-farm density; "
                         "operators/html_signals.py)")
+    f.add_argument("--keep-http-errors", action="store_true",
+                   help="warc/wet input: keep records whose HTTP status "
+                        "is not 2xx (default drops them — a crawl's "
+                        "404/500 bodies are not corpus pages)")
     f.set_defaults(fn=cmd_filter)
 
     d = sub.add_parser("dedup", help="corpus dedup (exact/lines/near)")

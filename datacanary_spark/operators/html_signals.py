@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "strip_tags_expr",
     "title_expr",
     "robots_content_expr",
     "has_noindex_expr",
@@ -69,8 +70,16 @@ def _s(html_col: Column) -> Column:
     return html_col.cast("string")
 
 
-def _strip_tags(col: Column) -> Column:
+def strip_tags_expr(col: Column) -> Column:
+    """Remove every ``<...>`` span — the ONE tag-stripping policy shared
+    by the signal expressions here and ``operators/linkgraph``'s anchor
+    normalization (``functions/htmltext`` keeps its own variant because
+    its byte-exact extraction contract also decodes entities)."""
     return F.regexp_replace(col, _TAG, "")
+
+
+# module-internal alias (public name added when linkgraph began sharing it)
+_strip_tags = strip_tags_expr
 
 
 def title_expr(html_col: Column) -> Column:
@@ -100,11 +109,17 @@ def has_noindex_expr(html_col: Column) -> Column:
 
 
 # soft-404 titles: servers that return 200 for missing pages usually
-# say so in the <title>. Conservative list — status-code prefixes and
-# the unambiguous English phrases; curation pipelines tune per-corpus.
+# say so in the <title>. Conservative list — status-code prefixes,
+# QUALIFIED phrases ("page not found", not bare "not found", which
+# matches real titles like "The Lost and Not Found"), and whole-title
+# forms for the single words; curation pipelines tune per-corpus.
 _ERROR_TITLE = (r"(?i)(^\s*(40[134]|410|50[023])\b"
-                r"|not\s+found|page\s+unavailable|access\s+denied"
-                r"|forbidden|site\s+maintenance)")
+                r"|\b(page|file|document|article|url)\s+not\s+found\b"
+                r"|^\s*not\s+found\s*$"
+                r"|\bpage\s+(temporarily\s+)?unavailable\b"
+                r"|\baccess\s+(denied|forbidden)\b"
+                r"|^\s*forbidden\s*$"
+                r"|\b(site|down\s+for|under)\s+maintenance\b)")
 
 
 def error_page_expr(html_col: Column) -> Column:

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datacanary_spark.operators.html_signals import strip_tags_expr
+
 __all__ = [
     "extract_outlinks",
     "extract_anchors",
@@ -43,12 +45,22 @@ __all__ = [
     "pagerank",
 ]
 
-# href values; [^"#] keeps fragment-only links out while still catching
-# "page.html#sec" prefixes via the capture ending at the quote.
-_HREF_PATTERN = r'href="([^"#][^"]*)"'
-# full <a> elements (DOTALL: anchors span lines); href + inner text are
-# re-extracted per element because regexp_extract_all returns ONE group.
-_ANCHOR_ELEM = r'(?is)<a\b[^>]*href="([^"#][^"]*)"[^>]*>(.*?)</a\s*>'
+# href values — real HTML uses double quotes, single quotes, AND bare
+# (unquoted) attribute values, so each style gets its own pattern (one
+# regexp_extract_all per style; the arrays concat). The leading [^"#]
+# / [^'#] / [^"'\s>#] keeps fragment-only links (#top) out while still
+# catching "page.html#sec" prefixes via the capture running to the
+# closing delimiter.
+_HREF_DQ = r'(?i)href\s*=\s*"([^"#][^"]*)"'
+_HREF_SQ = r"(?i)href\s*=\s*'([^'#][^']*)'"
+_HREF_UQ = r"""(?i)href\s*=\s*([^"'\s>#][^\s>]*)"""
+# full <a> elements (DOTALL: anchors span lines) in any href quote
+# style; inner text is group 1, the href is re-extracted from the
+# opening tag per element because regexp_extract_all returns ONE group.
+_ANCHOR_ELEM = (r"(?is)<a\b[^>]*href\s*=\s*"
+                r"""(?:"[^"#][^"]*"|'[^'#][^']*'|[^"'\s>#][^\s>]*)"""
+                r"[^>]*>(.*?)</a\s*>")
+_ANCHOR_OPEN_TAG = r"(?is)^<a\b[^>]*>"
 # rel="... nofollow ..." in the OPENING tag only ([^>]* cannot cross the
 # tag end, so a literal "rel=nofollow" in anchor text never matches);
 # covers either attribute order, both quote styles, and multi-value
@@ -78,7 +90,10 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
         a = extract_anchors(pages, url_col, html_col, honor_nofollow=True)
         return a.select("src_host", "dst_host")
     html = F.col(html_col).cast("string")
-    hrefs = F.regexp_extract_all(html, F.lit(_HREF_PATTERN), F.lit(1))
+    hrefs = F.concat(
+        F.regexp_extract_all(html, F.lit(_HREF_DQ), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_HREF_SQ), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_HREF_UQ), F.lit(1)))
     src = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     out = (pages
            .select(src.alias("src_host"), F.explode(hrefs).alias("_href"))
@@ -119,16 +134,19 @@ def extract_anchors(pages: DataFrame, url_col: str = "url",
     if honor_nofollow:
         exploded = exploded.where(
             F.regexp_extract(F.col("_a"), _NOFOLLOW, 0) == "")
+    # href comes from the OPENING tag only (never nested markup in the
+    # anchor text), in whichever quote style the page used
+    opening = F.regexp_extract(F.col("_a"), _ANCHOR_OPEN_TAG, 0)
+    href = F.coalesce(
+        *[F.nullif(F.regexp_extract(opening, p, 1), F.lit(""))
+          for p in (_HREF_DQ, _HREF_SQ, _HREF_UQ)])
     e = (exploded
          .select(
              "src_host",
-             F.lower(F.try_parse_url(
-                 F.regexp_extract(F.col("_a"), _ANCHOR_ELEM, 1),
-                 F.lit("HOST"))).alias("dst_host"),
+             F.lower(F.try_parse_url(href, F.lit("HOST"))).alias("dst_host"),
              F.lower(F.trim(F.regexp_replace(
-                 F.regexp_replace(
-                     F.regexp_extract(F.col("_a"), _ANCHOR_ELEM, 2),
-                     r"(?s)<[^>]*>", ""),
+                 strip_tags_expr(
+                     F.regexp_extract(F.col("_a"), _ANCHOR_ELEM, 1)),
                  r"\s+", " "))).alias("anchor")))
     return e.where(F.col("src_host").isNotNull()
                    & (F.col("src_host") != "")
@@ -150,9 +168,12 @@ def anchor_terms(anchors: DataFrame, cross_host_only: bool = True,
     a = anchors
     if cross_host_only:
         a = a.where(F.col("src_host") != F.col("dst_host"))
+    # split on anything that is not a Unicode letter/digit — most of the
+    # web's anchor text is not ASCII English, and [^0-9a-z] would shred
+    # accented Latin and drop CJK/Cyrillic terms entirely
     terms = (a.select(
         "src_host", "dst_host",
-        F.explode(F.split(F.col("anchor"), r"[^0-9a-z]+")).alias("term"))
+        F.explode(F.split(F.col("anchor"), r"[^\p{L}\p{N}]+")).alias("term"))
         .where(F.length("term") >= min_term_len))
     return (terms.groupBy("dst_host", "term")
                  .agg(F.count(F.lit(1)).alias("n_refs"),

@@ -85,6 +85,7 @@ def run_filter_job(
     input_format: str = "parquet",
     extractor: str = "wrapper",
     structure_rules: bool = False,
+    http_ok_only: bool = True,
 ) -> dict:
     """Run (or resume) the filter job. Returns a run summary dict.
 
@@ -94,6 +95,9 @@ def run_filter_job(
     (pre-extracted text in ``conversion`` records). WARC/WET chunks
     read via ``pages_from_warc``; checkpoint/resume semantics are
     format-independent (chunks are file lists either way).
+    ``http_ok_only`` (warc/wet only): drop records whose HTTP status is
+    present and not 2xx before filtering — a crawl's 404/500 bodies are
+    not corpus pages (NULL-status records are kept).
     """
     cfg = cfg or FilterConfig()
     ckpt_dir = os.path.join(output_path, "_checkpoint")
@@ -129,12 +133,34 @@ def run_filter_job(
                 f"this job started with ({recorded_format!r}); the chunk "
                 f"file assignment is format-dependent. Resume with the "
                 f"original format or start a fresh output dir.")
+        # Filter SEMANTICS must also survive resume: chunks written with
+        # a different extractor / rule set / status policy would mix
+        # incompatible verdicts in one output — same inconsistency class
+        # the bucket/format guards exist for. Older metas predate these
+        # keys; their runs used the recorded defaults.
+        semantics = {"extract_from_html": (extract_from_html, False),
+                     "extractor": (extractor, "wrapper"),
+                     "structure_rules": (structure_rules, False),
+                     "http_ok_only": (http_ok_only, True)}
+        for key, (current, default) in semantics.items():
+            recorded = meta.get(key, default)
+            if current != recorded:
+                raise RuntimeError(
+                    f"{key}={current!r} conflicts with the value this job "
+                    f"started with ({recorded!r}); resumed chunks would be "
+                    f"filtered under different semantics than the committed "
+                    f"ones. Resume with the original settings or start a "
+                    f"fresh output dir.")
     else:
         if repartition_buckets is None:
             repartition_buckets = max(spark.sparkContext.defaultParallelism, 4)
         with open(meta_path, "w") as f:
             json.dump({"repartition_buckets": repartition_buckets,
-                       "input_format": input_format}, f)
+                       "input_format": input_format,
+                       "extract_from_html": extract_from_html,
+                       "extractor": extractor,
+                       "structure_rules": structure_rules,
+                       "http_ok_only": http_ok_only}, f)
 
     models_bc = broadcast_models(spark, models)
     chunks = _chunk_files(input_path, n_chunks, input_format)
@@ -186,7 +212,8 @@ def run_filter_job(
 
             kinds = ("conversion",) if input_format == "wet" \
                 else ("response",)
-            df = pages_from_warc(spark, files, record_types=kinds)
+            df = pages_from_warc(spark, files, record_types=kinds,
+                                 ok_only=http_ok_only)
         verdicts = filter_pages(df, models_bc, cfg,
                                 extract_from_html=extract_from_html,
                                 repartition_buckets=repartition_buckets,
@@ -202,7 +229,9 @@ def run_filter_job(
         # replays the chunk on resume, and the overwrite absorbs the
         # replay instead of appending duplicate metrics rows.
         written = spark.read.parquet(chunk_out)
-        lin = partition_lineage(written, cfg).withColumn("chunk", F.lit(k))
+        lin = partition_lineage(written, cfg,
+                                structure_rules=structure_rules) \
+            .withColumn("chunk", F.lit(k))
         (lin.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("chunk").parquet(metrics_dir))

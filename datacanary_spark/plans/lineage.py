@@ -33,7 +33,19 @@ def _hit_sum_map(rule_names) -> F.Column:
     )
 
 
-def partition_lineage(verdicts: DataFrame, cfg: FilterConfig | None = None) -> DataFrame:
+def _verdict_rule_names(cfg: FilterConfig, structure_rules: bool) -> list[str]:
+    """The rule set a verdict frame's ``rule_hits`` map actually carries:
+    text+model rules, plus the structure rules when ``filter_pages`` ran
+    with ``structure_rules=True`` — the histogram must account for every
+    rule that can drop a document, or drops become unexplainable."""
+    names = list(cfg.rule_names)
+    if structure_rules:
+        names += list(cfg.structure_rule_names)
+    return names
+
+
+def partition_lineage(verdicts: DataFrame, cfg: FilterConfig | None = None,
+                      structure_rules: bool = False) -> DataFrame:
     """One lineage row per bucket/partition.
 
     When the verdicts carry the materialized url-hash ``bucket`` column
@@ -42,9 +54,13 @@ def partition_lineage(verdicts: DataFrame, cfg: FilterConfig | None = None) -> D
     packing, and cluster sizes. Without it (e.g. micro-batches that were
     never bucketed) it falls back to ``spark_partition_id()``, which is
     only stable within the plan that produced it.
+
+    Pass ``structure_rules=True`` when the verdicts came from
+    ``filter_pages(..., structure_rules=True)`` so the noindex /
+    link-density hits appear in the histogram.
     """
     cfg = cfg or FilterConfig()
-    rule_names = list(cfg.rule_names)
+    rule_names = _verdict_rule_names(cfg, structure_rules)
     # cast unifies the two paths (bucket is a long pmod,
     # spark_partition_id an int) onto LINEAGE_SCHEMA's int partition_id
     pid = (F.col("bucket") if "bucket" in verdicts.columns
@@ -63,15 +79,17 @@ def partition_lineage(verdicts: DataFrame, cfg: FilterConfig | None = None) -> D
     )
 
 
-def corpus_metrics(verdicts: DataFrame, cfg: FilterConfig | None = None) -> DataFrame:
+def corpus_metrics(verdicts: DataFrame, cfg: FilterConfig | None = None,
+                   structure_rules: bool = False) -> DataFrame:
     """Global quality metrics incl. the reference's health score:
     0.7 * rule_compliance + 0.3 * completeness, 2dp, banded
     Excellent≥90 / Good≥75 / Fair≥60 / Poor
     (summary_statistics.py:124-140). Here rule_compliance = mean
     per-rule pass rate over documents and completeness = fraction of
-    docs with non-null text."""
+    docs with non-null text. ``structure_rules`` as in
+    :func:`partition_lineage`."""
     cfg = cfg or FilterConfig()
-    rule_names = list(cfg.rule_names)
+    rule_names = _verdict_rule_names(cfg, structure_rules)
     n_rules = len(rule_names)
     pass_rate = sum(
         F.avg(F.lit(1) - F.element_at(F.col("rule_hits"), n)) for n in rule_names

@@ -55,7 +55,8 @@ from datacanary_spark.schema import VERDICT_FIELDS
 VERDICT_COLUMNS = [f.name for f in VERDICT_FIELDS]
 
 
-def pages_from_warc(spark, paths, record_types=("conversion", "response")):
+def pages_from_warc(spark, paths, record_types=("conversion", "response"),
+                    ok_only: bool = False):
     """Read WARC/WET files into the pages contract schema.
 
     One row per kept record: ``url`` from WARC-Target-URI, ``warc_ts``
@@ -64,7 +65,16 @@ def pages_from_warc(spark, paths, record_types=("conversion", "response")):
     ``text`` (their block is already extracted UTF-8), WARC ``response``
     records land in ``html`` (raw body bytes; pair with
     ``extract_from_html=True``). ``lang`` is NULL — language-ID is the
-    pipeline's job, not the container's.
+    pipeline's job, not the container's. ``http_status`` and
+    ``content_type`` pass through (extra columns are harmless to
+    ``filter_pages``, which projects its own output) so downstream
+    stages can still see the fetch outcome.
+
+    ``ok_only=True`` drops records whose HTTP status is present and not
+    2xx — real crawls contain 404/500 response bodies that would
+    otherwise be ingested as ordinary pages. Rows with NULL status (WET
+    conversions, non-HTTP blocks) are kept: absence of an envelope is
+    not evidence of an error.
 
     Parallelism is per-file (Common-Crawl granularity: ~1 GiB gzipped
     segments, tens of thousands per crawl), so a 1000-executor cluster
@@ -76,13 +86,19 @@ def pages_from_warc(spark, paths, record_types=("conversion", "response")):
     files = spark.read.format("binaryFile").load(paths)
     recs = parse_warc_records(files, warc_types=tuple(record_types))
     is_conv = F.col("warc_type") == "conversion"
-    return recs.select(
+    out = recs.select(
         F.col("target_uri").alias("url"),
         F.try_to_timestamp(F.col("warc_date")).alias("warc_ts"),
         F.when(~is_conv, F.col("payload")).alias("html"),
         F.when(is_conv, F.decode(F.col("payload"), "utf-8")).alias("text"),
         F.lit(None).cast("string").alias("lang"),
+        "http_status",
+        "content_type",
     )
+    if ok_only:
+        s = F.col("http_status")
+        out = out.where(s.isNull() | ((s >= 200) & (s < 300)))
+    return out
 
 
 def broadcast_models(spark, models=None):
@@ -129,6 +145,13 @@ def filter_pages(
     """
     cfg = cfg or FilterConfig()
 
+    # nullable passthrough contract columns (a raw (url, html) crawl
+    # frame has no warc_ts/lang yet) materialize as typed NULLs so the
+    # verdict schema is identical regardless of what the source carried
+    for name, dtype in (("warc_ts", "timestamp"), ("lang", "string")):
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(dtype))
+
     structure_hits = {}
     if structure_rules:
         if "html" not in df.columns:
@@ -140,10 +163,22 @@ def filter_pages(
             link_density_expr,
         )
         h = F.col("html")
-        structure_hits["noindex"] = has_noindex_expr(h).cast("int")
-        structure_hits["link_density"] = F.coalesce(
-            (link_density_expr(h) > cfg.max_link_density).cast("int"),
-            F.lit(0))
+        known = {
+            "noindex": lambda: has_noindex_expr(h).cast("int"),
+            "link_density": lambda: F.coalesce(
+                (link_density_expr(h) > cfg.max_link_density).cast("int"),
+                F.lit(0)),
+        }
+        # cfg.structure_rule_names is authoritative (same contract as
+        # rule_names for the text/model rules): order and selection of
+        # the structure rules follow the config, not hard-coded keys
+        for name in cfg.structure_rule_names:
+            try:
+                structure_hits[name] = known[name]()
+            except KeyError:
+                raise ValueError(
+                    f"unknown structure rule {name!r} "
+                    f"(expected one of {sorted(known)})") from None
 
     if extract_from_html:
         if extractor == "real":
@@ -156,8 +191,14 @@ def filter_pages(
         else:
             raise ValueError(f"unknown extractor {extractor!r} "
                              f"(expected 'wrapper' or 'real')")
-        df = df.withColumn(
-            text_col, F.coalesce(ex(F.col("html")), F.col(text_col)))
+        if text_col in df.columns:
+            df = df.withColumn(
+                text_col, F.coalesce(ex(F.col("html")), F.col(text_col)))
+        else:
+            # raw (url, warc_ts, html) frames have no text column yet —
+            # the extractor CREATES it rather than referencing a
+            # nonexistent column in the coalesce
+            df = df.withColumn(text_col, ex(F.col("html")))
 
     # stats attached via staged projects: words/lines/trigram arrays are
     # bound to columns once per row (not re-inlined per consumer) — this

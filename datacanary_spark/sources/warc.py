@@ -36,7 +36,9 @@ from pyspark.sql import types as T
 # Output of parse_warc_records: one row per WARC record.
 RECORD_SCHEMA = T.StructType([
     T.StructField("source_path", T.StringType(), True),
-    T.StructField("record_ix", T.LongType(), True),       # 0-based, per file
+    T.StructField("record_ix", T.LongType(), True),       # physical 0-based
+                                                          # position per file,
+                                                          # counted pre-filter
     T.StructField("warc_type", T.StringType(), True),     # response/conversion/…
     T.StructField("target_uri", T.StringType(), True),    # WARC-Target-URI
     T.StructField("warc_date", T.StringType(), True),     # WARC-Date, ISO-8601
@@ -109,7 +111,11 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            # one record with a missing/corrupt Content-Length must not
+            # discard the rest of the file: reseek the next version line
+            # after this one and keep parsing
+            pos = vstart + 5
+            continue
         bstart = hend + 4
         block = data[bstart:bstart + clen]
         yield {
@@ -142,8 +148,11 @@ def parse_warc_records(files: DataFrame, path_col: str = "path",
                 if content is None:
                     continue
                 rows = []
-                ix = 0
-                for rec in iter_warc_records(bytes(content)):
+                # record_ix is the PHYSICAL position in the file (counted
+                # before the type filter) so the same record keeps the
+                # same index regardless of which warc_types a caller asks
+                # for — stable lineage / cross-run join key
+                for ix, rec in enumerate(iter_warc_records(bytes(content))):
                     if keep is not None and rec["warc_type"] not in keep:
                         continue
                     status, body = (
@@ -153,7 +162,6 @@ def parse_warc_records(files: DataFrame, path_col: str = "path",
                     rows.append((path, ix, rec["warc_type"],
                                  rec["target_uri"], rec["warc_date"],
                                  rec["content_type"], status, body))
-                    ix += 1
                 if rows:
                     # one output batch per input file: bounds memory to a
                     # single decompressed file, streams across files

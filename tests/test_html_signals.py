@@ -101,7 +101,12 @@ def test_error_page_detection(spark):
         ("503 Service Unavailable", True),
         ("4040 parts in stock", False),     # \b guards the status code
         ("My holiday in 2024", False),
-        ("Not Found Films — official site", True),  # known FP class, doc'd
+        ("Not Found Films — official site", False),  # bare phrase ≠ error
+        ("Not Found", True),                # whole-title form still hits
+        ("Forbidden", True),
+        ("Visiting the Forbidden City — Travel Guide", False),
+        ("Site Maintenance", True),
+        ("The Art of Garden Maintenance", False),
     ]:
         r = _signals(spark, f"<title>{title}</title><p>body</p>")
         assert r.is_error_page is want, title

@@ -175,6 +175,37 @@ def test_anchor_terms_counts_and_source_breadth(spark):
     assert ("z", "self") in keep_self
 
 
+def test_extraction_handles_all_href_quote_styles(spark):
+    # real HTML uses double quotes, single quotes, AND bare values;
+    # fragment-only links drop in every style
+    pages = _pages(spark, [
+        ("https://a.example/p",
+         '<a href="https://dq.example/x">dq</a>'
+         "<a href='https://sq.example/y'>sq</a>"
+         "<a href=https://uq.example/z>uq</a>"
+         "<a href='#frag'>f1</a>"
+         "<a href=#frag>f2</a>"
+         "<a href = 'https://sp.example/w'>spaced</a>"),
+    ])
+    outs = sorted(r.dst_host for r in extract_outlinks(pages).collect())
+    assert outs == ["dq.example", "sp.example", "sq.example", "uq.example"]
+    anchors = {r.dst_host: r.anchor
+               for r in extract_anchors(pages).collect()}
+    assert anchors == {"dq.example": "dq", "sq.example": "sq",
+                       "uq.example": "uq", "sp.example": "spaced"}
+
+
+def test_anchor_terms_keep_non_ascii_text(spark):
+    # most of the web's anchor text is not ASCII English: accented
+    # Latin must stay whole and CJK must not vanish
+    rows = [("a", "z", "propriété élégante"), ("b", "z", "中文链接"),
+            ("c", "z", "café—bar")]
+    anchors = spark.createDataFrame(
+        rows, "src_host string, dst_host string, anchor string")
+    got = {r.term for r in anchor_terms(anchors).collect()}
+    assert got == {"propriété", "élégante", "中文链接", "café", "bar"}
+
+
 def test_anchor_plan_is_expression_only(spark):
     pages = _pages(spark, [("https://a.example/p",
                             '<a href="https://b.example/x">hi there</a>')])

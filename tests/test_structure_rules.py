@@ -3,6 +3,8 @@ link-farm density from raw html; plans/pipeline.py structure_rules)."""
 
 from __future__ import annotations
 
+import dataclasses
+
 import pytest
 
 from datacanary_spark.functions.heuristics import FilterConfig
@@ -83,6 +85,63 @@ def test_rule_name_contract_matches_config(spark, models_bc):
     keys = set(out.select("rule_hits").first().rule_hits)
     assert keys == set(_PERMISSIVE.rule_names
                        + _PERMISSIVE.structure_rule_names)
+
+
+def test_structure_rule_selection_follows_config(spark, models_bc):
+    # cfg.structure_rule_names is authoritative: asking for only noindex
+    # must leave link_density out of the map and out of the verdict
+    cfg = dataclasses.replace(_PERMISSIVE, structure_rule_names=("noindex",))
+    out = filter_pages(_pages_df(spark), models_bc, cfg=cfg,
+                       structure_rules=True)
+    got = {r.url: r for r in out.collect()}
+    farm = got["https://farm.example/c"]
+    assert "link_density" not in farm.rule_hits
+    assert farm.keep is True          # the farm rule wasn't requested
+    assert got["https://noidx.example/b"].keep is False
+
+
+def test_unknown_structure_rule_name_raises(spark, models_bc):
+    cfg = dataclasses.replace(_PERMISSIVE,
+                              structure_rule_names=("noindex", "nosuch"))
+    with pytest.raises(ValueError, match="nosuch"):
+        filter_pages(_pages_df(spark), models_bc, cfg=cfg,
+                     structure_rules=True)
+
+
+def test_lineage_histogram_covers_structure_rules(spark, models_bc):
+    from datacanary_spark.plans.lineage import (
+        corpus_metrics,
+        partition_lineage,
+    )
+
+    v = filter_pages(_pages_df(spark), models_bc, cfg=_PERMISSIVE,
+                     structure_rules=True)
+    lin = partition_lineage(v, _PERMISSIVE, structure_rules=True).collect()
+    hist = {}
+    for row in lin:
+        for k, n in row.rule_hit_histogram.items():
+            hist[k] = hist.get(k, 0) + n
+    # the drops this corpus has are EXPLAINED by the histogram
+    assert hist["noindex"] == 1
+    assert hist["link_density"] == 1
+    cm = corpus_metrics(v, _PERMISSIVE, structure_rules=True).collect()[0]
+    assert cm.rule_hit_histogram["noindex"] == 1
+    assert cm.rule_hit_histogram["link_density"] == 1
+
+
+def test_extraction_creates_text_column_when_absent(spark, models_bc):
+    # raw (url, warc_ts, html) frames — no text column at all — are the
+    # documented html-to-text use of the seam; the extractor must CREATE
+    # the column, not reference a nonexistent one
+    rows = [("https://raw.example/f", None,
+             b"<html><body><p>the raw crawl page body words</p>"
+             b"</body></html>")]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "html binary")
+    out = filter_pages(df, models_bc, cfg=_PERMISSIVE,
+                       extract_from_html=True, extractor="real").collect()[0]
+    assert "raw crawl page body" in out.scrubbed_text
+    assert out.keep is True
 
 
 def test_requires_html_column(spark, models_bc):

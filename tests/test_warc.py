@@ -45,6 +45,33 @@ def test_whole_file_gzip_and_binary_safe_payload():
     assert recs[0]["block"] == b"a\r\n\r\nWARC/1.0\r\nfake"
 
 
+def test_corrupt_content_length_skips_one_record_not_the_file():
+    # record #2 (response) gets a non-numeric Content-Length; the parser
+    # must reseek the NEXT version line and still yield the records that
+    # follow, not abandon the rest of the file
+    data = build_warc(RECS)
+    good = list(iter_warc_records(data))
+    resp_hdr = b"Content-Length: " + str(
+        len(good[1]["block"])).encode("ascii")
+    corrupted = data.replace(resp_hdr, b"Content-Length: abc", 1)
+    assert corrupted != data
+    recs = list(iter_warc_records(corrupted))
+    types = [r["warc_type"] for r in recs]
+    # the corrupt response is dropped; warcinfo and conversion survive.
+    # (reseek can also surface a spurious record if the skipped body
+    # contains a "WARC/" line — framing is gone for that one record —
+    # but this fixture's body doesn't, so exactly the two good records.)
+    assert types == ["warcinfo", "conversion"]
+    assert recs[1]["block"] == b"hi & bye"
+
+
+def test_missing_content_length_skips_record():
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n\r\nno-length-here" +
+           build_warc([RECS[2]]))
+    recs = list(iter_warc_records(raw))
+    assert [r["warc_type"] for r in recs] == ["conversion"]
+
+
 def test_truncated_tail_yields_good_prefix():
     data = build_warc(RECS)
     recs = list(iter_warc_records(data[:len(data) - 60]))
@@ -61,9 +88,12 @@ def test_parse_warc_records_dataframe(spark):
         "path string, content binary")
     out = parse_warc_records(files, warc_types=("response", "conversion"))
     rows = sorted(out.collect(), key=lambda r: (r.source_path, r.record_ix))
+    # record_ix is the physical position in the file: the filtered-out
+    # warcinfo record at position 0 still occupies index 0, so the same
+    # record keeps its index under any warc_types filter
     assert [(r.source_path, r.record_ix, r.warc_type) for r in rows] == [
-        ("f0.warc", 0, "response"), ("f0.warc", 1, "conversion"),
-        ("f1.warc.gz", 0, "response"), ("f1.warc.gz", 1, "conversion")]
+        ("f0.warc", 1, "response"), ("f0.warc", 2, "conversion"),
+        ("f1.warc.gz", 1, "response"), ("f1.warc.gz", 2, "conversion")]
     resp = rows[0]
     # HTTP envelope split off: payload is the body, status extracted
     assert bytes(resp.payload) == b"<html><body>hi &amp; bye</body></html>"

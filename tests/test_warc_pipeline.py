@@ -94,6 +94,75 @@ def test_warc_ts_parsed_and_format_recorded(spark, tmp_path):
         cp.run_filter_job(spark, warc_dir.as_posix(), out, n_chunks=1)
 
 
+def test_http_errors_dropped_by_default(spark, tmp_path):
+    """A crawl's 404/500 response bodies are not corpus pages: the
+    default http_ok_only drops them; --keep-http-errors keeps them."""
+    from datacanary_spark.plans.pipeline import pages_from_warc
+
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    recs = [
+        {"warc_type": "response", "http_status": 200,
+         "target_uri": "https://ok.example/a",
+         "payload": b"<html><body><p>fine page</p></body></html>"},
+        {"warc_type": "response", "http_status": 404,
+         "target_uri": "https://gone.example/b",
+         "payload": b"<html><body><p>page not found</p></body></html>"},
+        {"warc_type": "response", "http_status": 500,
+         "target_uri": "https://err.example/c",
+         "payload": b"<html><body><p>server error</p></body></html>"},
+        # no HTTP envelope at all -> status NULL -> kept (absence of an
+        # envelope is not evidence of an error)
+        {"warc_type": "response",
+         "target_uri": "https://raw.example/d",
+         "payload": b"<html><body><p>raw block</p></body></html>"},
+    ]
+    (warc_dir / "f.warc").write_bytes(build_warc(recs))
+
+    pages = pages_from_warc(spark, str(warc_dir / "f.warc"),
+                            record_types=("response",), ok_only=True)
+    urls = {r.url for r in pages.select("url").collect()}
+    assert urls == {"https://ok.example/a", "https://raw.example/d"}
+    # status passes through for downstream stages that want it
+    assert "http_status" in pages.columns
+
+    out_default = str(tmp_path / "out_default")
+    s = cp.run_filter_job(spark, str(warc_dir), out_default, n_chunks=1,
+                          input_format="warc", extract_from_html=True,
+                          extractor="real")
+    assert s["docs"] == 2
+
+    out_keep = str(tmp_path / "out_keep")
+    s2 = cp.run_filter_job(spark, str(warc_dir), out_keep, n_chunks=1,
+                           input_format="warc", extract_from_html=True,
+                           extractor="real", http_ok_only=False)
+    assert s2["docs"] == 4
+
+
+def test_resume_guards_filter_semantics(spark, tmp_path):
+    """A job started with one extractor/rule set must refuse to resume
+    under different semantics — chunks would mix incompatible verdicts."""
+    import pytest
+
+    _, warc_dir, _ = _write_corpora(tmp_path)
+    out = str(tmp_path / "out")
+    cp.run_filter_job(spark, warc_dir.as_posix(), out, n_chunks=1,
+                      input_format="warc", extract_from_html=True,
+                      extractor="wrapper")
+    for kwargs, key in [
+        (dict(extractor="real"), "extractor"),
+        (dict(extract_from_html=False), "extract_from_html"),
+        (dict(structure_rules=True), "structure_rules"),
+        (dict(http_ok_only=False), "http_ok_only"),
+    ]:
+        base = dict(input_format="warc", extract_from_html=True,
+                    extractor="wrapper")
+        base.update(kwargs)
+        with pytest.raises(RuntimeError, match=key):
+            cp.run_filter_job(spark, warc_dir.as_posix(), out,
+                              n_chunks=1, **base)
+
+
 def test_real_extractor_through_filter_job(spark, tmp_path):
     """WARC of realistic pages (wrapper + entities) through the REAL
     extractor: scrubbed output must match running the plain text."""
