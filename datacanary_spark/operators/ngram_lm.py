@@ -273,14 +273,17 @@ def duplicate_span_stats(df: DataFrame, group_col: str = "lang",
     first occurrence): run this first to decide whether span dedup is
     worth a rewrite pass, and after to verify the rewrite converged.
 
-    Plan: one explode to (md5(k-gram), doc) rows; distinct pairs (so a
-    span repeated WITHIN one doc doesn't count as cross-doc); count
-    docs per span; join the verdict back to the positions on the
-    fixed-width hash key and aggregate per doc then per group — two
-    shuffles on the span hash plus the group aggregations, never a
-    doc×doc comparison. (``winnow_overlap_pairs`` answers the
-    *pairwise* version of this question from sampled fingerprints;
-    this is the per-corpus coverage metric over ALL spans.)
+    Plan: one explode to (md5(k-gram), doc) rows, then ONE full-volume
+    shuffle — an explicit repartition on the span hash. Everything
+    after it is co-partitioned on ``h`` and runs without another
+    Exchange over the positions: the per-(span, doc) position count
+    (hash-partitioning on ``h`` already clusters ``(h, doc)``), the
+    docs-per-span count, and the verdict join all reuse the same
+    layout; only the tiny per-doc rows shuffle again for the final
+    aggregations. Never a doc×doc comparison.
+    (``winnow_overlap_pairs`` answers the *pairwise* version of this
+    question from sampled fingerprints; this is the per-corpus
+    coverage metric over ALL spans.)
 
     Hash note: md5 collisions (2^-128) can only over-count duplication
     by a hair; the 16-byte fixed key is what makes the shuffle cheap at
@@ -293,13 +296,18 @@ def duplicate_span_stats(df: DataFrame, group_col: str = "lang",
     spans = (df.where(F.col(text_col).isNotNull())
                .select(id_col, group_col,
                        F.explode(ngrams_expr(words, k)).alias("_s"))
-               .select(id_col, group_col, F.md5(F.col("_s")).alias("h")))
-    span_docs = (spans.select("h", id_col).distinct()
-                 .groupBy("h").agg(F.count(F.lit(1)).alias("nd")))
-    marked = spans.join(span_docs, "h")
+               .select(id_col, group_col, F.md5(F.col("_s")).alias("h"))
+               .repartition(F.col("h")))
+    # (h, doc) rows with per-doc position counts — partitioning on h
+    # satisfies the (h, doc) clustering, so no new Exchange
+    per_sd = (spans.groupBy("h", id_col, group_col)
+                   .agg(F.count(F.lit(1)).alias("_npos")))
+    span_docs = per_sd.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    marked = per_sd.join(span_docs, "h")
+    dup_pos = F.when(F.col("nd") >= 2, F.col("_npos")).otherwise(F.lit(0))
     per_doc = (marked.groupBy(id_col, group_col)
-               .agg(F.avg(F.when(F.col("nd") >= 2, 1.0).otherwise(0.0))
-                    .alias("_frac")))
+               .agg((F.sum(dup_pos).cast("double")
+                     / F.sum("_npos")).alias("_frac")))
     return (per_doc.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.avg("_frac").alias("mean_dup_frac"),
