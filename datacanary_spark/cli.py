@@ -498,6 +498,9 @@ def cmd_curate(args) -> int:
         span_dedup_k=args.span_dedup_k,
         span_min_count=args.span_min_count,
         extract_from_html=args.from_html,
+        input_format=args.input_format,
+        extractor=args.extractor,
+        http_ok_only=not args.keep_http_errors,
         decontaminate_path=args.decontaminate_against,
         decontaminate_mode=args.decontaminate_mode,
         blocklist=parse_blocklist_arg(args.blocklist),
@@ -782,6 +785,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="occurrences needed before a window counts as "
                          "repeated (default 2)")
     cu.add_argument("--from-html", action="store_true")
+    cu.add_argument("--input-format", choices=["parquet", "warc", "wet"],
+                    default="parquet",
+                    help="pages parquet (default), or curate straight "
+                         "from crawl containers: raw WARC (use "
+                         "--from-html --extractor real) or WET text")
+    cu.add_argument("--extractor", choices=["wrapper", "real"],
+                    default="wrapper",
+                    help="html->text UDF for --from-html (as in filter)")
+    cu.add_argument("--keep-http-errors", action="store_true",
+                    help="warc/wet input: keep non-2xx records "
+                         "(default drops them)")
     cu.add_argument("--decontaminate-against", default=None,
                     help="benchmark table (text column); overlapping "
                          "docs are removed")

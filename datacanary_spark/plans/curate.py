@@ -61,6 +61,9 @@ def run_curation_job(
     span_dedup_k: int | None = None,
     span_min_count: int = 2,
     extract_from_html: bool = False,
+    input_format: str = "parquet",
+    extractor: str = "wrapper",
+    http_ok_only: bool = True,
     decontaminate_path: str | None = None,
     decontaminate_mode: str = "winnow",
     host_cap: int | None = None,
@@ -89,7 +92,10 @@ def run_curation_job(
     ``blocklist`` (a domain list, or a path to a table with a
     ``domain`` column) drops docs whose url host or any parent domain
     is listed, BEFORE any content processing — the UT1-style
-    origin-level filter. ``c4_clean`` enables C4's line-quality pass
+    origin-level filter. ``input_format`` ``"warc"``/``"wet"`` curates
+    straight from crawl containers (``pages_from_warc``; pair warc with
+    ``extract_from_html=True, extractor="real"``); ``http_ok_only``
+    drops non-2xx response bodies at the source, as in the filter job. ``c4_clean`` enables C4's line-quality pass
     (short / unpunctuated / javascript lines removed per doc;
     lorem-ipsum and brace docs dropped whole) before dedup so
     boilerplate lines never reach a fingerprint; set
@@ -143,7 +149,32 @@ def run_curation_job(
     scope = CacheScope()
     blocklist_count = None
     try:
-        pages = read_table(spark, input_path)
+        if input_format == "parquet":
+            pages = read_table(spark, input_path)
+        elif input_format in ("warc", "wet"):
+            # raw crawl -> curated corpus in one job: reuse the filter
+            # job's container source (per-file parallelism, record
+            # fan-out executor-side). WARC response bodies land in
+            # ``html`` — pass extract_from_html=True (extractor="real"
+            # for actual crawl pages); WET conversions arrive as text.
+            import glob as _glob
+
+            from datacanary_spark.plans.checkpoint import _FORMAT_GLOBS
+            from datacanary_spark.plans.pipeline import pages_from_warc
+
+            files = sorted({f for p in _FORMAT_GLOBS[input_format]
+                            for f in _glob.glob(
+                                os.path.join(input_path, p))})
+            if not files:
+                raise FileNotFoundError(
+                    f"no {input_format} files under {input_path}")
+            kinds = ("conversion",) if input_format == "wet" \
+                else ("response",)
+            pages = pages_from_warc(spark, files, record_types=kinds,
+                                    ok_only=http_ok_only)
+        else:
+            raise ValueError(f"unknown input_format {input_format!r} "
+                             f"(expected parquet, warc, or wet)")
         if blocklist is not None:
             from datacanary_spark.operators.text_analysis import (
                 filter_blocked_domains,
@@ -167,7 +198,8 @@ def run_curation_job(
             blocklist_count = {"docs_in": n_in,
                                "after_blocklist": pages.count()}
         verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
-                                extract_from_html=extract_from_html)
+                                extract_from_html=extract_from_html,
+                                extractor=extractor)
         # carry exactly the columns downstream stages key on: url + scrubbed
         # text always, plus any non-default strata/key column — validated up
         # front so a typo fails before the filter stage runs

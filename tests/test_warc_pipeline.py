@@ -163,6 +163,29 @@ def test_resume_guards_filter_semantics(spark, tmp_path):
                               n_chunks=1, **base)
 
 
+def test_curate_from_warc_matches_parquet(spark, tmp_path):
+    """Raw crawl -> curated corpus in one job: curate --input-format warc
+    must produce the identical corpus to curating the parquet twin."""
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pq, warc_dir, _ = _write_corpora(tmp_path)
+
+    s_pq = run_curation_job(spark, str(pq), str(tmp_path / "cur_pq"))
+    s_warc = run_curation_job(
+        spark, str(warc_dir), str(tmp_path / "cur_warc"),
+        input_format="warc", extract_from_html=True, extractor="wrapper")
+    assert s_pq["docs_in"] == s_warc["docs_in"] == N_DOCS
+    assert s_pq["final_docs"] == s_warc["final_docs"]
+
+    def corpus(out):
+        rows = spark.read.parquet(os.path.join(out, "corpus")) \
+            .select("url", "text").collect()
+        return {r.url: r.text for r in rows}
+
+    assert corpus(str(tmp_path / "cur_pq")) \
+        == corpus(str(tmp_path / "cur_warc"))
+
+
 def test_real_extractor_through_filter_job(spark, tmp_path):
     """WARC of realistic pages (wrapper + entities) through the REAL
     extractor: scrubbed output must match running the plain text."""
