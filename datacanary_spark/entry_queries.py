@@ -525,6 +525,7 @@ from datacanary_spark import entry_queries_linkgraph  # noqa: E402,F401
 # coverage; tail queries stay in scripts/check_oracle.py's full sweep.
 # Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
 _TAIL_ROTATION = [
+    "ann_lsh_top5",  # r04i: room for multimodal_resize_stats (r03-green)
     "knn_bruteforce_top5",  # r04h: room for canonical_dedup_by_lang
     "dedup_minhash_lsh_pairs",  # r04h: room for html_signals_by_lang
     "dedup_ngram_jaccard_adjacent",  # r04h: room for anchor_terms_by_host

@@ -220,6 +220,103 @@ def multimodal_decode_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal resize: real rasters -> nearest-neighbor thumbnail accounting
+# ---------------------------------------------------------------------------
+
+_RS_OUT = 8  # output dims (8x8)
+
+# doc i renders a PGM whose pixel at (r, c) is (i%251 + r*w + c) % 256 —
+# non-uniform, so the oracle's replay of the NN index arithmetic
+# ((out_row*h)//8, (out_col*w)//8) pins WHICH source pixels the resize
+# sampled, not just how many bytes came out.
+_RS_SQL = f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             doc_id % 251 AS v
+      FROM documents WHERE doc_id < {_MM_DOCS}),
+    ok AS (SELECT * FROM m WHERE doc_id % 10 <> 7),
+    px AS (
+      SELECT o.lang,
+             (o.v + ((i.range * o.h) // {_RS_OUT}) * o.w
+                  + ((j.range * o.w) // {_RS_OUT})) % 256 AS p
+      FROM ok o, range(0, {_RS_OUT}) i, range(0, {_RS_OUT}) j)
+    SELECT m.lang,
+           CAST(count(DISTINCT m.doc_id) AS BIGINT) AS n_media,
+           CAST((SELECT count(*) FROM ok WHERE ok.lang IS NOT DISTINCT
+                 FROM m.lang) AS BIGINT) AS n_ok,
+           CAST((SELECT count(*) FROM ok WHERE ok.lang IS NOT DISTINCT
+                 FROM m.lang) * {_RS_OUT * _RS_OUT} AS BIGINT)
+               AS sum_out_bytes,
+           CAST((SELECT sum(p) FROM px WHERE px.lang IS NOT DISTINCT
+                 FROM m.lang) AS BIGINT) AS sum_pix
+    FROM m GROUP BY m.lang
+"""
+
+
+@register("multimodal_resize_stats", _RS_SQL)
+def multimodal_resize_stats(spark, sf_dir):
+    """Nearest-neighbor raster resize end-to-end
+    (``operators/multimodal.resize_media``): each doc becomes a real
+    binary PGM whose pixel at (r, c) is ``(id%251 + r*w + c) % 256``;
+    every ``id % 10 == 7`` raster is truncated and must surface as a
+    contained ok=false row. The 8x8 thumbnails' byte SUM is compared
+    against the oracle's replay of the exact NN index arithmetic
+    ``src = ((out*dim) // 8)`` — a sampling-geometry, channel, or
+    containment bug is a value mismatch. Plan shape: pandas-UDF build
+    -> mapInPandas resize -> pandas-UDF byte sum -> broadcast join ->
+    one aggregate."""
+    from datacanary_spark.operators.multimodal import (
+        NetpbmImageCodec,
+        resize_media,
+    )
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < _MM_DOCS).select("doc_id", "lang"))
+
+    @F.pandas_udf("binary")
+    def _pgm(ids: pd.Series) -> pd.Series:
+        import numpy as np
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h, v = 4 + i % 5, 3 + i % 4, i % 251
+            grid = (v + np.arange(h)[:, None] * w
+                    + np.arange(w)[None, :]) % 256
+            body = grid.astype(np.uint8).tobytes()
+            if i % 10 == 7:
+                body = body[:-1]  # truncated raster -> contained error
+            out.append(b"P5 %d %d 255\n" % (w, h) + body)
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def _bytesum(b: pd.Series) -> pd.Series:
+        import numpy as np
+        return b.map(lambda x: None if x is None
+                     else int(np.frombuffer(bytes(x), np.uint8)
+                              .astype(np.int64).sum()))
+
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("image").alias("kind"),
+                     _pgm(F.col("doc_id")).alias("payload"),
+                     F.lit(None).cast("map<string,string>").alias("meta")) \
+             .repartition(8)
+    rs = resize_media(media, out_w=_RS_OUT, out_h=_RS_OUT,
+                      codec=NetpbmImageCodec())
+    langs = d.select(F.col("doc_id").alias("media_id"), "lang")
+    ok = F.col("ok")
+    rs = rs.withColumn("_ps", F.when(ok, _bytesum(F.col("body"))))
+    return (rs.join(F.broadcast(langs), "media_id")
+              .groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_media"),
+                   F.sum(ok.cast("long")).alias("n_ok"),
+                   F.sum(F.when(ok, F.octet_length("body"))
+                          .otherwise(F.lit(0)).cast("long"))
+                    .alias("sum_out_bytes"),
+                   F.sum("_ps").alias("sum_pix")))
+
+
+# ---------------------------------------------------------------------------
 # HTML page-structure signals: formula-built pages -> expression signals
 # ---------------------------------------------------------------------------
 

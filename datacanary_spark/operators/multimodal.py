@@ -263,6 +263,87 @@ def decode_media(df: DataFrame, codec=None) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),     # output dims
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("body", T.BinaryType(), True),       # resized raster
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int,
+                 codec=None) -> DataFrame:
+    """Nearest-neighbor raster resize (the thumbnail/normalization step
+    a training pipeline runs before feature extraction): decode each
+    payload, treat the body as ``n_frames`` stacked ``height x width``
+    single-channel rasters, index-sample every frame to ``out_h x
+    out_w`` with numpy (vectorized, no Python pixel loop), and emit the
+    resized raster bytes. Video rows resize per frame (the frame count
+    is preserved); a body whose length does not match the declared
+    geometry is a contained ok=false row, same per-row error policy as
+    :func:`decode_media` — never a task failure.
+
+    Channel count is inferred from the byte length (body bytes /
+    (frames*h*w)): gray Netpbm rasters are 1 channel, Pillow-decoded
+    RGB is 3 — interleaved channels ride along unchanged through the
+    same index-sampling.
+    """
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"output dims must be positive, got "
+                         f"{out_w}x{out_h}")
+    codec = DEFAULT_CODEC if codec is None else codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "kind", "width", "height",
+                                   "n_frames", "body", "ok", "error")}
+
+            def bad(mid, kind, msg):
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                for k in ("width", "height", "n_frames", "body"):
+                    out[k].append(None)
+                out["ok"].append(False)
+                out["error"].append(msg)
+
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                try:
+                    _, w, h, f, body = codec.decode(payload)
+                except Exception as exc:
+                    bad(mid, kind, f"{type(exc).__name__}: {exc}")
+                    continue
+                frames = max(f, 1)
+                px = w * h * frames
+                if w <= 0 or h <= 0 or len(body) == 0 \
+                        or len(body) % px != 0:
+                    bad(mid, kind,
+                        f"geometry mismatch: {len(body)} bytes for "
+                        f"{frames}x{h}x{w}")
+                    continue
+                ch = len(body) // px
+                arr = np.frombuffer(body, np.uint8) \
+                        .reshape(frames, h, w, ch)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized = arr[:, rows][:, :, cols]
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["n_frames"].append(f)
+                out["body"].append(resized.tobytes())
+                out["ok"].append(True)
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_k: int = 2, codec=None) -> DataFrame:
     """Frame sampling for video rows: emit one output row per sampled
     frame (frame payload = that frame's byte slice). Demonstrates the

@@ -313,6 +313,39 @@ def test_multimodal_frame_sampling(spark):
         assert len(fr["frame_bytes"]) > 0
 
 
+def test_multimodal_resize_exact_pixels(spark):
+    # 4x2 gray PGM with known pixels; nearest-neighbor to 2x1 must pick
+    # the top-left sample of each 2x2 cell: rows [0], cols [0, 2]
+    raster = bytes([10, 20, 30, 40,
+                    50, 60, 70, 80])
+    pgm = b"P5 4 2 255\n" + raster
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(pgm), None)], mm.MEDIA_SCHEMA)
+    r = mm.resize_media(media, out_w=2, out_h=1,
+                        codec=mm.NetpbmImageCodec()).collect()[0]
+    assert r["ok"] and (r["width"], r["height"]) == (2, 1)
+    assert bytes(r["body"]) == bytes([10, 30])
+
+
+def test_multimodal_resize_fixture_and_containment(spark):
+    media = mm.make_fixture_media(spark, n=30)
+    rows = {r["media_id"]: r for r in
+            mm.resize_media(media, out_w=8, out_h=8).collect()}
+    assert len(rows) == 30
+    bad = [r for r in rows.values() if not r["ok"]]
+    assert bad and all(r["error"] for r in bad)       # corrupt rows contained
+    for r in rows.values():
+        if r["ok"]:
+            # every frame resized, geometry preserved in the frame count
+            assert len(r["body"]) == 8 * 8 * max(r["n_frames"], 1)
+    # video rows keep their frame count
+    decoded = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    vids = [m for m, d in decoded.items()
+            if d["ok"] and d["kind"] == "video"]
+    assert vids and all(rows[m]["n_frames"] == decoded[m]["n_frames"]
+                        for m in vids)
+
+
 def test_pillow_codec_plumbing_with_fake_module(monkeypatch):
     """PillowImageCodec drives PIL through the adapter contract —
     verified by injecting a fake PIL module (the real library is absent
