@@ -177,9 +177,14 @@ class PillowImageCodec:
                 "FAKEMM containers") from e
         img = image_mod.open(io.BytesIO(bytes(payload)))
         w, h = img.size
-        n_frames = int(getattr(img, "n_frames", 1))
+        # only the first frame is materialized (``convert`` reads the
+        # current frame), so report n_frames=1 — the codec contract is
+        # len(body) == width*height*channels*n_frames, and advertising
+        # img.n_frames here would make multi-frame GIF/WebP bodies lie
+        # about their geometry downstream (resize_media infers channel
+        # count from exactly that equation)
         body = img.convert("RGB").tobytes()
-        return "I", int(w), int(h), n_frames, body
+        return "I", int(w), int(h), 1, body
 
 
 class CodecChain:
@@ -326,6 +331,15 @@ def resize_media(df: DataFrame, out_w: int, out_h: int,
                         f"{frames}x{h}x{w}")
                     continue
                 ch = len(body) // px
+                if ch not in (1, 3, 4):
+                    # only gray/RGB/RGBA interleavings are meaningful;
+                    # anything else means the declared frame geometry
+                    # doesn't describe the body (e.g. a codec reporting
+                    # a frame count it didn't materialize)
+                    bad(mid, kind,
+                        f"geometry mismatch: {len(body)} bytes imply "
+                        f"{ch} channels for {frames}x{h}x{w}")
+                    continue
                 arr = np.frombuffer(body, np.uint8) \
                         .reshape(frames, h, w, ch)
                 rows = (np.arange(out_h) * h) // out_h

@@ -100,6 +100,16 @@ def run_filter_job(
     not corpus pages (NULL-status records are kept).
     """
     cfg = cfg or FilterConfig()
+    if input_format == "warc" and not extract_from_html:
+        # WARC response bodies land in the html column and text stays
+        # NULL, so every row would filter-drop — reject before parsing
+        # a single container rather than burning a full crawl pass to
+        # write an empty corpus
+        raise ValueError(
+            "input_format='warc' puts response bodies in the html "
+            "column; pass extract_from_html=True (extractor='real' for "
+            "actual crawl pages) or use input_format='wet' for "
+            "pre-extracted text")
     ckpt_dir = os.path.join(output_path, "_checkpoint")
     metrics_dir = os.path.join(output_path, "metrics")
     data_dir = os.path.join(output_path, "data")

@@ -155,23 +155,27 @@ def run_curation_job(
             # raw crawl -> curated corpus in one job: reuse the filter
             # job's container source (per-file parallelism, record
             # fan-out executor-side). WARC response bodies land in
-            # ``html`` — pass extract_from_html=True (extractor="real"
-            # for actual crawl pages); WET conversions arrive as text.
-            import glob as _glob
-
-            from datacanary_spark.plans.checkpoint import _FORMAT_GLOBS
+            # ``html`` and ``text`` stays NULL, so a warc run without
+            # HTML extraction would filter-drop every row — reject the
+            # combination before any container is parsed.
+            if input_format == "warc" and not extract_from_html:
+                raise ValueError(
+                    "input_format='warc' puts response bodies in the "
+                    "html column; pass extract_from_html=True "
+                    "(extractor='real' for actual crawl pages) or use "
+                    "input_format='wet' for pre-extracted text")
+            from datacanary_spark.plans.checkpoint import _chunk_files
             from datacanary_spark.plans.pipeline import pages_from_warc
 
-            files = sorted({f for p in _FORMAT_GLOBS[input_format]
-                            for f in _glob.glob(
-                                os.path.join(input_path, p))})
-            if not files:
-                raise FileNotFoundError(
-                    f"no {input_format} files under {input_path}")
+            files = _chunk_files(input_path, 1, input_format)[0]
             kinds = ("conversion",) if input_format == "wet" \
                 else ("response",)
-            pages = pages_from_warc(spark, files, record_types=kinds,
-                                    ok_only=http_ok_only)
+            # pin the decoded frame: both the docs_in count and the
+            # filter stage consume it — unpersisted, each re-runs the
+            # gunzip + WARC record parse over the whole crawl
+            pages = scope.persist(
+                pages_from_warc(spark, files, record_types=kinds,
+                                ok_only=http_ok_only))
         else:
             raise ValueError(f"unknown input_format {input_format!r} "
                              f"(expected parquet, warc, or wet)")

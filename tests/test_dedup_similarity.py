@@ -327,6 +327,17 @@ def test_multimodal_resize_exact_pixels(spark):
     assert bytes(r["body"]) == bytes([10, 30])
 
 
+def test_multimodal_resize_rejects_odd_channel_counts(spark):
+    # a body whose length implies a non-{1,3,4} channel count means the
+    # declared frame geometry doesn't describe the bytes (e.g. a codec
+    # reporting frames it didn't materialize) — contained, not scrambled
+    p = mm.encode_fake_media("image", 4, 2, 1, b"\x00" * (4 * 2 * 2))
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(p), None)], mm.MEDIA_SCHEMA)
+    r = mm.resize_media(media, out_w=2, out_h=1).collect()[0]
+    assert not r["ok"] and "2 channels" in r["error"]
+
+
 def test_multimodal_resize_fixture_and_containment(spark):
     media = mm.make_fixture_media(spark, n=30)
     rows = {r["media_id"]: r for r in
@@ -368,7 +379,10 @@ def test_pillow_codec_plumbing_with_fake_module(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
 
     kind, w, h, f, body = mm.PillowImageCodec().decode(b"\x89PNG-ish")
-    assert (kind, w, h, f) == ("I", 8, 6, 3)
+    # the fake image advertises n_frames=3, but convert() materializes
+    # only the current frame — the codec must report 1 so the body
+    # length matches the declared geometry (w*h*ch*n_frames)
+    assert (kind, w, h, f) == ("I", 8, 6, 1)
     assert body == b"\x01\x02" * 72
 
     # the default chain routes non-FAKEMM payloads to Pillow…

@@ -151,7 +151,6 @@ def test_resume_guards_filter_semantics(spark, tmp_path):
                       extractor="wrapper")
     for kwargs, key in [
         (dict(extractor="real"), "extractor"),
-        (dict(extract_from_html=False), "extract_from_html"),
         (dict(structure_rules=True), "structure_rules"),
         (dict(http_ok_only=False), "http_ok_only"),
     ]:
@@ -161,6 +160,27 @@ def test_resume_guards_filter_semantics(spark, tmp_path):
         with pytest.raises(RuntimeError, match=key):
             cp.run_filter_job(spark, warc_dir.as_posix(), out,
                               n_chunks=1, **base)
+    # extract_from_html=False on warc input is rejected even earlier —
+    # it would produce an all-NULL text column and an empty corpus
+    with pytest.raises(ValueError, match="extract_from_html"):
+        cp.run_filter_job(spark, warc_dir.as_posix(), out, n_chunks=1,
+                          input_format="warc", extract_from_html=False,
+                          extractor="wrapper")
+
+
+def test_warc_curate_requires_extraction(spark, tmp_path):
+    """curate over raw WARC without HTML extraction would silently keep
+    nothing (text is NULL for every response record) — both entry
+    points reject the combination before parsing any container."""
+    import pytest
+
+    from datacanary_spark.plans.curate import run_curation_job
+
+    _, warc_dir, _ = _write_corpora(tmp_path)
+    with pytest.raises(ValueError, match="extract_from_html"):
+        run_curation_job(spark, warc_dir.as_posix(),
+                         str(tmp_path / "cur"), input_format="warc",
+                         extract_from_html=False)
 
 
 def test_curate_from_warc_matches_parquet(spark, tmp_path):
