@@ -640,15 +640,15 @@ _TRAILER2 = (" and a considerably longer second perturbation trailer whose"
              " extra shingles push this copy further from the original"
              " while staying close to the first near duplicate copy")
 
-_COMPONENTS_SQL = f"""
+_COMPONENTS_CTE = f"""
     WITH RECURSIVE corpus AS (
-      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      SELECT doc_id, text, lang FROM documents WHERE doc_id < 150
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text || '{_TRAILER}' AS text
+      SELECT doc_id + 100000 AS doc_id, text || '{_TRAILER}' AS text, lang
       FROM documents WHERE doc_id < 150 AND doc_id % 3 = 0
       UNION ALL
       SELECT doc_id + 200000 AS doc_id,
-             text || '{_TRAILER}' || '{_TRAILER2}' AS text
+             text || '{_TRAILER}' || '{_TRAILER2}' AS text, lang
       FROM documents WHERE doc_id < 150 AND doc_id % 6 = 0
     ),
     norm AS (SELECT doc_id, {_NORM.format(col='text')} AS nt FROM corpus),
@@ -686,9 +686,38 @@ _COMPONENTS_SQL = f"""
       SELECT c.doc_id, coalesce(k.component, c.doc_id) AS component
       FROM corpus c LEFT JOIN comp k USING (doc_id)
     )
+"""
+
+_COMPONENTS_SQL = _COMPONENTS_CTE + """
     SELECT component, count(*) AS cluster_size,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
     FROM assigned GROUP BY component HAVING count(*) > 1
+"""
+
+# survivor pick mirrors the Spark aggregate max(struct(rank, -id)):
+# highest rank wins, ties go to the smallest doc_id. The oracle uses a
+# window (correctness only, tiny data); the Spark side deliberately
+# does NOT — see graph.cluster_survivors.
+_SURVIVORS_SQL = _COMPONENTS_CTE + """
+    , ranked AS (
+      SELECT a.component, c.doc_id, c.lang, length(c.text) AS n_chars
+      FROM assigned a JOIN corpus c USING (doc_id)
+    ),
+    surv AS (
+      SELECT component, doc_id, lang,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM ranked
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS survivor_id_sum
+    FROM surv GROUP BY lang
 """
 
 
@@ -715,6 +744,38 @@ def near_dup_components(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.sum("doc_id").alias("sum_ids"))
             .where(F.col("cluster_size") > 1))
+
+
+@register("near_dup_quality_survivors", _SURVIVORS_SQL)
+def near_dup_quality_survivors(spark, sf_dir):
+    """Cluster-level "keep the best copy" dedup (the FineWeb/RefinedWeb
+    step after MinHash): transitive near-dup components, then one
+    survivor per cluster by graph.cluster_survivors — here ranked by
+    document length (a production run ranks by the trained classifier
+    score or quality_score_expr; the operator takes any Column). The
+    survivor_id_sum column pins WHICH doc won each cluster, not just
+    how many — the longest variant, ties to the smallest id."""
+    from datacanary_spark.operators.graph import cluster_survivors
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang") \
+        .where(F.col("doc_id") < 150)
+    c1 = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"), "lang")
+    c2 = d.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TRAILER + _TRAILER2)).alias("text"),
+        "lang")
+    corpus = d.unionByName(c1).unionByName(c2)
+    pairs = dd.near_dup_pairs(corpus, threshold=0.5)
+    flagged = cluster_survivors(corpus, pairs.select("id_a", "id_b"),
+                                rank_col=F.length("text"))
+    surv = F.col("is_survivor").cast("int")
+    return (flagged.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(surv).alias("n_survivors"),
+                 F.sum(1 - surv).alias("n_dropped"),
+                 F.sum(surv * F.col("doc_id")).alias("survivor_id_sum")))
 
 
 # ---------------------------------------------------------------------------

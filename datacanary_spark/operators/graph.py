@@ -36,7 +36,7 @@ this is part of the LLM-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "components_of_pairs"]
@@ -168,3 +168,36 @@ def components_of_pairs(df: DataFrame, pairs: DataFrame,
             .withColumn("component",
                         F.coalesce(F.col("_comp"), F.col(id_col)))
             .drop("_comp"))
+
+
+def cluster_survivors(df: DataFrame, pairs: DataFrame, rank_col: Column,
+                      id_col: str = "doc_id",
+                      max_iterations: int = 50) -> DataFrame:
+    """``df`` with ``component`` and ``is_survivor`` columns: within
+    each transitive near-dup cluster exactly one row survives — the one
+    maximizing ``rank_col``, ties broken by smallest id. Edge-free docs
+    are singleton clusters and always survive.
+
+    This is the "keep the best copy" cluster dedup production corpora
+    run after MinHash (rank by a trained quality-classifier score, a
+    heuristic quality score, or plain document length); ``rank_col``
+    is any deterministic Column over ``df``'s rows.
+
+    The pick is an aggregate ``max(struct(rank, -id))`` per component —
+    never a per-component window — so a mega-cluster (boilerplate
+    mirrored across millions of pages, the skew case at crawl scale)
+    costs a partial-aggregate merge instead of sorting the whole
+    cluster in one task.
+    """
+    withc = components_of_pairs(df, pairs, id_col=id_col,
+                                max_iterations=max_iterations)
+    pick = (withc.groupBy("component")
+            .agg(F.max(F.struct(rank_col.alias("r"),
+                                (-F.col(id_col)).alias("neg_id")))
+                 .alias("_best"))
+            .select("component",
+                    (-F.col("_best.neg_id")).alias("_survivor_id")))
+    return (withc.join(pick, on="component", how="left")
+            .withColumn("is_survivor",
+                        F.col(id_col) == F.col("_survivor_id"))
+            .drop("_survivor_id"))

@@ -144,3 +144,23 @@ def test_nonconvergence_backstop_raises(spark):
     edges = spark.createDataFrame([(2, 1)], "id_a bigint, id_b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=0)
+
+
+def test_cluster_survivors_rank_and_ties(spark):
+    from datacanary_spark.operators.graph import cluster_survivors
+
+    # cluster {1,2,3} via 2-1, 2-3; cluster {5,6}; 9 is a singleton.
+    # Ranks: doc 3 longest in its cluster -> wins over min-id 1;
+    # docs 5 and 6 tie on rank -> smaller id 5 wins; singleton 9 kept.
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "a"), (3, "aaaa"), (5, "bb"), (6, "bb"),
+         (9, "c")], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (5, 6)],
+                                  "id_a bigint, id_b bigint")
+    out = cluster_survivors(docs, pairs, rank_col=F.length("text"))
+    got = {r.doc_id: (r.component, r.is_survivor) for r in out.collect()}
+    assert got == {1: (1, False), 2: (1, False), 3: (1, True),
+                   5: (5, True), 6: (5, False), 9: (9, True)}
+    # original columns ride along
+    assert set(out.columns) == {"doc_id", "text", "component",
+                                "is_survivor"}
