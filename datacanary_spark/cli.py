@@ -495,6 +495,7 @@ def cmd_curate(args) -> int:
         strata_col=args.strata_col, key_col=args.key_col,
         line_dedup=not args.no_line_dedup,
         near_dup_threshold=args.near_dup_threshold,
+        near_dup_keep=args.near_dup_keep,
         span_dedup_k=args.span_dedup_k,
         span_min_count=args.span_min_count,
         extract_from_html=args.from_html,
@@ -777,6 +778,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="enable transitive near-dup dedup: MinHash-LSH "
                          "pairs at this Jaccard threshold, clustered by "
                          "connected components, one survivor per cluster")
+    cu.add_argument("--near-dup-keep", default="min-id",
+                    choices=["min-id", "longest"],
+                    help="survivor rule per near-dup cluster: min-id "
+                         "(default, cheapest) or longest (keep the copy "
+                         "with the most text — the 'best copy' pattern; "
+                         "custom rankings via graph.cluster_survivors)")
     cu.add_argument("--span-dedup-k", type=int, default=None,
                     help="enable repeated-span removal: every k-token "
                          "window repeated corpus-wide is removed except "

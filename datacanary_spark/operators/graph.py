@@ -181,22 +181,25 @@ def cluster_survivors(df: DataFrame, pairs: DataFrame, rank_col: Column,
     This is the "keep the best copy" cluster dedup production corpora
     run after MinHash (rank by a trained quality-classifier score, a
     heuristic quality score, or plain document length); ``rank_col``
-    is any deterministic Column over ``df``'s rows.
+    is any deterministic NUMERIC, NON-NULL Column over ``df``'s rows
+    (coalesce upstream — a NULL rank would sort as best). Ids may be
+    any orderable type (numeric doc ids, url strings).
 
-    The pick is an aggregate ``max(struct(rank, -id))`` per component —
-    never a per-component window — so a mega-cluster (boilerplate
-    mirrored across millions of pages, the skew case at crawl scale)
-    costs a partial-aggregate merge instead of sorting the whole
-    cluster in one task.
+    The pick is an aggregate ``min(struct(-rank, id))`` per component
+    (min of negated rank = max rank, then the lexicographic tie-break
+    lands on the smallest id) — never a per-component window — so a
+    mega-cluster (boilerplate mirrored across millions of pages, the
+    skew case at crawl scale) costs a partial-aggregate merge instead
+    of sorting the whole cluster in one task.
     """
     withc = components_of_pairs(df, pairs, id_col=id_col,
                                 max_iterations=max_iterations)
     pick = (withc.groupBy("component")
-            .agg(F.max(F.struct(rank_col.alias("r"),
-                                (-F.col(id_col)).alias("neg_id")))
+            .agg(F.min(F.struct((-rank_col).alias("neg_r"),
+                                F.col(id_col).alias("id")))
                  .alias("_best"))
             .select("component",
-                    (-F.col("_best.neg_id")).alias("_survivor_id")))
+                    F.col("_best.id").alias("_survivor_id")))
     return (withc.join(pick, on="component", how="left")
             .withColumn("is_survivor",
                         F.col(id_col) == F.col("_survivor_id"))

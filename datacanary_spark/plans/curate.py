@@ -58,6 +58,7 @@ def run_curation_job(
     line_dedup: bool = True,
     blocklist: list[str] | str | None = None,
     near_dup_threshold: float | None = None,
+    near_dup_keep: str = "min-id",
     span_dedup_k: int | None = None,
     span_min_count: int = 2,
     extract_from_html: bool = False,
@@ -123,9 +124,12 @@ def run_curation_job(
     selected corpus. ``near_dup_threshold`` enables transitive near-dup dedup right
     after the exact stage: MinHash-LSH pairs at that Jaccard threshold,
     clustered by connected components, one survivor per cluster
-    (minimum url — deterministic on any cluster size; note this is
-    MORE aggressive than pairwise survival: two docs that are each
-    similar only to a shared third are still collapsed).
+    picked by ``near_dup_keep``: ``"min-id"`` (minimum url —
+    deterministic on any cluster size) or ``"longest"`` (the copy with
+    the most text, ties to minimum url — the "keep the best copy"
+    pattern; rank by a classifier score via graph.cluster_survivors
+    directly). Note cluster survival is MORE aggressive than pairwise:
+    two docs each similar only to a shared third are still collapsed.
     ``span_dedup_k`` enables ExactSubstr-style repeated-span removal
     after line dedup: every k-token window occurring ``span_min_count``+
     times corpus-wide is removed except its first occurrence (output
@@ -274,8 +278,16 @@ def run_curation_job(
 
         if near_dup_threshold is not None:
             from datacanary_spark.operators.dedup import near_dup_pairs
-            from datacanary_spark.operators.graph import components_of_pairs
+            from datacanary_spark.operators.graph import (
+                cluster_survivors,
+                components_of_pairs,
+            )
 
+            if near_dup_keep not in ("min-id", "longest"):
+                raise ValueError(
+                    f"near_dup_keep={near_dup_keep!r} (expected 'min-id' "
+                    f"or 'longest'); for custom rankings call "
+                    f"graph.cluster_survivors directly")
             # bands="auto": the default 4x4 banding is calibrated for
             # ~0.7 Jaccard — at a user threshold of 0.5 it would miss
             # ~77% of true pairs BEFORE the verify stage (LSH false
@@ -285,11 +297,21 @@ def run_curation_job(
                                    threshold=near_dup_threshold,
                                    bands="auto",
                                    hash_fn="xxhash64", persist=scope)
-            assigned = components_of_pairs(stage, pairs.select("id_a", "id_b"),
-                                           id_col="url")
-            stage = scope.persist(
-                assigned.where(F.col("component") == F.col("url"))
-                        .drop("component"))
+            if near_dup_keep == "longest":
+                # keep the best copy per cluster (here: most text; a
+                # classifier-score ranking is the library-API variant)
+                flagged = cluster_survivors(
+                    stage, pairs.select("id_a", "id_b"), id_col="url",
+                    rank_col=F.length("text"))
+                stage = scope.persist(
+                    flagged.where(F.col("is_survivor"))
+                           .drop("component", "is_survivor"))
+            else:
+                assigned = components_of_pairs(
+                    stage, pairs.select("id_a", "id_b"), id_col="url")
+                stage = scope.persist(
+                    assigned.where(F.col("component") == F.col("url"))
+                            .drop("component"))
             summary["after_near_dup_clusters"] = stage.count()
 
         if line_dedup:

@@ -813,6 +813,24 @@ def test_curate_near_dup_cluster_stage(spark, tmp_path, capsys):
     assert nd2["final_docs"] == nd["final_docs"]
     assert nd2["by_lang"] == nd["by_lang"]
 
+    # keep-the-best-copy: the planted copies are strictly LONGER than
+    # their bases, so near_dup_keep="longest" flips every pair's
+    # representative — the copy survives, the base drops — while the
+    # cluster count stays identical to min-id mode
+    best = run_curation_job(spark, pages2, str(tmp_path / "ndl"),
+                            near_dup_threshold=0.5,
+                            near_dup_keep="longest")
+    assert best["after_near_dup_clusters"] == nd["after_near_dup_clusters"]
+    best_urls = {r.url for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "ndl"), "corpus")).collect()}
+    flipped = [u for u in best_urls if u.endswith("~copy")]
+    assert flipped and not any(u[:-5] in best_urls for u in flipped)
+
+    import pytest
+    with pytest.raises(ValueError, match="near_dup_keep"):
+        run_curation_job(spark, pages2, str(tmp_path / "ndx"),
+                         near_dup_threshold=0.5, near_dup_keep="bogus")
+
 
 def test_curate_span_dedup_stage(spark, tmp_path, capsys):
     """--span-dedup-k removes a boilerplate window planted on several

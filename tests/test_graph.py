@@ -164,3 +164,19 @@ def test_cluster_survivors_rank_and_ties(spark):
     # original columns ride along
     assert set(out.columns) == {"doc_id", "text", "component",
                                 "is_survivor"}
+
+
+def test_cluster_survivors_string_ids(spark):
+    # url-keyed corpora (the curate pipeline) — ids are strings; the
+    # min(struct(-rank, id)) pick must order them lexicographically
+    from datacanary_spark.operators.graph import cluster_survivors
+
+    docs = spark.createDataFrame(
+        [("a/1", "xx"), ("a/2", "xxxx"), ("b/9", "y")],
+        "url string, text string")
+    pairs = spark.createDataFrame([("a/1", "a/2")],
+                                  "id_a string, id_b string")
+    out = cluster_survivors(docs, pairs, rank_col=F.length("text"),
+                            id_col="url")
+    got = {r.url: r.is_survivor for r in out.collect()}
+    assert got == {"a/1": False, "a/2": True, "b/9": True}
