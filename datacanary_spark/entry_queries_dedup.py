@@ -694,7 +694,7 @@ _COMPONENTS_SQL = _COMPONENTS_CTE + """
     FROM assigned GROUP BY component HAVING count(*) > 1
 """
 
-# survivor pick mirrors the Spark aggregate max(struct(rank, -id)):
+# survivor pick mirrors the Spark aggregate min(struct(-rank, id)):
 # highest rank wins, ties go to the smallest doc_id. The oracle uses a
 # window (correctness only, tiny data); the Spark side deliberately
 # does NOT — see graph.cluster_survivors.

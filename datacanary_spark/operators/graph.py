@@ -39,7 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "components_of_pairs"]
+__all__ = ["connected_components", "components_of_pairs",
+           "cluster_survivors"]
 
 
 def _canonical_edges(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
@@ -172,7 +173,8 @@ def components_of_pairs(df: DataFrame, pairs: DataFrame,
 
 def cluster_survivors(df: DataFrame, pairs: DataFrame, rank_col: Column,
                       id_col: str = "doc_id",
-                      max_iterations: int = 50) -> DataFrame:
+                      max_iterations: int = 50,
+                      persist=True) -> DataFrame:
     """``df`` with ``component`` and ``is_survivor`` columns: within
     each transitive near-dup cluster exactly one row survives — the one
     maximizing ``rank_col``, ties broken by smallest id. Edge-free docs
@@ -191,9 +193,19 @@ def cluster_survivors(df: DataFrame, pairs: DataFrame, rank_col: Column,
     mega-cluster (boilerplate mirrored across millions of pages, the
     skew case at crawl scale) costs a partial-aggregate merge instead
     of sorting the whole cluster in one task.
+
+    Both the pick aggregate and the output read the corpus-assignment
+    join, so it is pinned via ``persist`` (bool or a CacheScope —
+    same lifetime contract as ``dedup.lsh_candidate_pairs``: with
+    ``True`` the blocks live until the caller unpersists); pass
+    ``persist=False`` only if recomputing that join twice is cheaper
+    than caching it.
     """
-    withc = components_of_pairs(df, pairs, id_col=id_col,
-                                max_iterations=max_iterations)
+    from datacanary_spark.plans.caching import maybe_persist
+
+    withc = maybe_persist(
+        components_of_pairs(df, pairs, id_col=id_col,
+                            max_iterations=max_iterations), persist)
     pick = (withc.groupBy("component")
             .agg(F.min(F.struct((-rank_col).alias("neg_r"),
                                 F.col(id_col).alias("id")))

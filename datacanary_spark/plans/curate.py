@@ -149,6 +149,14 @@ def run_curation_job(
            (fractions, temperature, epoch_weights)) > 1:
         raise ValueError(
             "pass at most one of fractions / temperature / epoch_weights")
+    if near_dup_keep not in ("min-id", "longest"):
+        # validated up front even when near_dup_threshold is None: a
+        # typo'd keep rule must fail before hours of upstream stages
+        # run (or silently not apply at all)
+        raise ValueError(
+            f"near_dup_keep={near_dup_keep!r} (expected 'min-id' or "
+            f"'longest'); for custom rankings call "
+            f"graph.cluster_survivors directly")
     t0 = time.time()
     scope = CacheScope()
     blocklist_count = None
@@ -283,11 +291,6 @@ def run_curation_job(
                 components_of_pairs,
             )
 
-            if near_dup_keep not in ("min-id", "longest"):
-                raise ValueError(
-                    f"near_dup_keep={near_dup_keep!r} (expected 'min-id' "
-                    f"or 'longest'); for custom rankings call "
-                    f"graph.cluster_survivors directly")
             # bands="auto": the default 4x4 banding is calibrated for
             # ~0.7 Jaccard — at a user threshold of 0.5 it would miss
             # ~77% of true pairs BEFORE the verify stage (LSH false
@@ -302,7 +305,7 @@ def run_curation_job(
                 # classifier-score ranking is the library-API variant)
                 flagged = cluster_survivors(
                     stage, pairs.select("id_a", "id_b"), id_col="url",
-                    rank_col=F.length("text"))
+                    rank_col=F.length("text"), persist=scope)
                 stage = scope.persist(
                     flagged.where(F.col("is_survivor"))
                            .drop("component", "is_survivor"))

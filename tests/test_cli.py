@@ -830,6 +830,11 @@ def test_curate_near_dup_cluster_stage(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="near_dup_keep"):
         run_curation_job(spark, pages2, str(tmp_path / "ndx"),
                          near_dup_threshold=0.5, near_dup_keep="bogus")
+    # ... and fails at entry even when the near-dup stage is off — a
+    # typo'd keep rule must never be silently ignored
+    with pytest.raises(ValueError, match="near_dup_keep"):
+        run_curation_job(spark, pages2, str(tmp_path / "ndy"),
+                         near_dup_keep="bogus")
 
 
 def test_curate_span_dedup_stage(spark, tmp_path, capsys):
