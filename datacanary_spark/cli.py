@@ -496,6 +496,7 @@ def cmd_curate(args) -> int:
         line_dedup=not args.no_line_dedup,
         near_dup_threshold=args.near_dup_threshold,
         near_dup_keep=args.near_dup_keep,
+        block_url_patterns=args.block_url_patterns,
         span_dedup_k=args.span_dedup_k,
         span_min_count=args.span_min_count,
         extract_from_html=args.from_html,
@@ -778,6 +779,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="enable transitive near-dup dedup: MinHash-LSH "
                          "pairs at this Jaccard threshold, clustered by "
                          "connected components, one survivor per cluster")
+    cu.add_argument("--block-url-pattern", action="append", default=None,
+                    dest="block_url_patterns", metavar="REGEX",
+                    help="drop docs whose url matches this regex "
+                         "(repeatable; path/query component of UT1-style "
+                         "blocklists — domains go in --blocklist). Pure "
+                         "column predicate, applied before extraction")
     cu.add_argument("--near-dup-keep", default="min-id",
                     choices=["min-id", "longest"],
                     help="survivor rule per near-dup cluster: min-id "

@@ -391,3 +391,73 @@ def url_features_by_lang(spark, sf_dir):
                       F.sum(F.col("is_index").cast("long")).alias("n_index"),
                       F.bround(F.avg("digit_frac"), 6)
                        .alias("avg_digit_frac")))
+
+
+# ---------------------------------------------------------------------------
+# URL-pattern blocklist (path/query component of UT1-style lists; the
+# domain component is blocklist_survivors_by_lang). The plant covers
+# every branch: /tag/ path hits, .zip suffix hits, sessionid query
+# hits, NULL urls (exempt — never blocked), and clean article urls.
+# ---------------------------------------------------------------------------
+
+_URL_BLOCK_PATTERNS = ["/tag/", r"\.zip$", "[?&]sessionid="]
+
+_UPB_SQL = r"""
+    WITH raw AS (
+      SELECT doc_id, lang,
+        CASE WHEN doc_id % 7 = 0
+               THEN 'https://h' || (doc_id % 9) || '.com/tag/' || doc_id
+             WHEN doc_id % 7 = 1
+               THEN 'https://h' || (doc_id % 9) || '.com/dl/f' || doc_id
+                    || '.zip'
+             WHEN doc_id % 7 = 2
+               THEN 'https://h' || (doc_id % 9) || '.com/p?sessionid='
+                    || doc_id
+             WHEN doc_id % 7 = 3 THEN NULL
+             ELSE 'https://h' || (doc_id % 9) || '.com/article/' || doc_id
+        END AS url
+      FROM documents WHERE doc_id < 350
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             coalesce(regexp_matches(
+               url, '(?:/tag/)|(?:\.zip$)|(?:[?&]sessionid=)'),
+               FALSE) AS blocked
+      FROM raw
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN NOT blocked THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM b GROUP BY lang
+"""
+
+
+@register("url_pattern_block_by_lang", _UPB_SQL)
+def url_pattern_block_by_lang(spark, sf_dir):
+    """URL-pattern blocklist geometry: planted urls hit each pattern
+    class (/tag/ path, .zip suffix, sessionid param) or none; NULL
+    urls are exempt. kept_id_sum pins exactly WHICH docs survive
+    text_analysis.url_pattern_blocked_expr — the expression
+    filter_blocked_url_patterns applies (pure column expression, no
+    joins/shuffles: the filter pipelines with the scan)."""
+    i = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").where(i < 350)
+    h = F.concat(F.lit("https://h"), (i % 9).cast("string"), F.lit(".com"))
+    s = i.cast("string")
+    url = (F.when(i % 7 == 0, F.concat(h, F.lit("/tag/"), s))
+            .when(i % 7 == 1, F.concat(h, F.lit("/dl/f"), s, F.lit(".zip")))
+            .when(i % 7 == 2, F.concat(h, F.lit("/p?sessionid="), s))
+            .when(i % 7 == 3, F.lit(None).cast("string"))
+            .otherwise(F.concat(h, F.lit("/article/"), s)))
+    blocked = ta.url_pattern_blocked_expr(_URL_BLOCK_PATTERNS, url)
+    kept = (~blocked).cast("long")
+    return (d.select("lang", "doc_id", blocked.alias("blocked"), kept.alias("k"))
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+                  F.sum("k").alias("n_kept"),
+                  F.sum(F.col("k") * F.col("doc_id")).alias("kept_id_sum")))

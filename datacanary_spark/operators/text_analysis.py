@@ -384,6 +384,35 @@ def filter_blocked_domains(df, blocklist, url_col: str = "url",
     return out.join(blocked_ids, id_col, "left_anti").drop("_bl_host")
 
 
+def url_pattern_blocked_expr(patterns, url) -> Column:
+    """True where the url matches ANY blocklist regex (search
+    semantics, anywhere in the string — UT1-style lists carry PATH and
+    QUERY patterns like ``/tag/`` or ``[?&]sessionid=`` alongside the
+    domain lists ``filter_blocked_domains`` handles). Stick to the
+    Java-regex/RE2 common subset (alternation, classes, anchors — no
+    lookaround) so a SQL oracle can replay the rule. NULL urls are
+    never blocked — same null-exempt convention as the domain stage.
+    ``url`` is a column name or Column; ``patterns`` a list of regex
+    strings, combined into ONE compiled alternation per task."""
+    if not patterns:
+        return F.lit(False)
+    u = F.col(url) if isinstance(url, str) else url
+    combined = "|".join(f"(?:{p})" for p in patterns)
+    return F.coalesce(u.rlike(combined), F.lit(False))
+
+
+def filter_blocked_url_patterns(df, patterns, url_col: str = "url"):
+    """Drop documents whose url matches any blocklist regex. Pure
+    column expression — zero joins, zero shuffles, pipelined with the
+    scan (the regex compiles once per task, not per row). For lists
+    beyond a few thousand patterns, pre-combine offline into a single
+    alternation (or trie-compressed) regex; the expression shape here
+    is unchanged."""
+    if not patterns:
+        return df
+    return df.where(~url_pattern_blocked_expr(patterns, url_col))
+
+
 def c4_line_keep_pred(line: Column, min_words: int = 3,
                       require_terminal: bool = True,
                       ban_substrings: tuple[str, ...] = ("javascript",)):

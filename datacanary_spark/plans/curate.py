@@ -57,6 +57,7 @@ def run_curation_job(
     key_col: str = "url",
     line_dedup: bool = True,
     blocklist: list[str] | str | None = None,
+    block_url_patterns: list[str] | None = None,
     near_dup_threshold: float | None = None,
     near_dup_keep: str = "min-id",
     span_dedup_k: int | None = None,
@@ -93,7 +94,9 @@ def run_curation_job(
     ``blocklist`` (a domain list, or a path to a table with a
     ``domain`` column) drops docs whose url host or any parent domain
     is listed, BEFORE any content processing — the UT1-style
-    origin-level filter. ``input_format`` ``"warc"``/``"wet"`` curates
+    origin-level filter. ``block_url_patterns`` (a list of regexes)
+    drops docs whose url matches any pattern at the same early point —
+    the path/query component of those lists, a pure column predicate. ``input_format`` ``"warc"``/``"wet"`` curates
     straight from crawl containers (``pages_from_warc``; pair warc with
     ``extract_from_html=True, extractor="real"``); ``http_ok_only``
     drops non-2xx response bodies at the source, as in the filter job. ``c4_clean`` enables C4's line-quality pass
@@ -213,6 +216,20 @@ def run_curation_job(
                                        id_col="url"))
             blocklist_count = {"docs_in": n_in,
                                "after_blocklist": pages.count()}
+        if block_url_patterns:
+            from datacanary_spark.operators.text_analysis import (
+                filter_blocked_url_patterns,
+            )
+
+            # same run-FIRST rationale as the domain blocklist, and
+            # even cheaper: a pure column predicate on url, no join —
+            # pipelines into whatever scan/filter runs next, so no
+            # persist or extra count-triggered pass is warranted
+            if blocklist_count is None:
+                blocklist_count = {"docs_in": pages.count()}
+            pages = filter_blocked_url_patterns(pages, block_url_patterns,
+                                                url_col="url")
+            blocklist_count["after_url_patterns"] = pages.count()
         verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
                                 extract_from_html=extract_from_html,
                                 extractor=extractor)

@@ -114,3 +114,48 @@ def test_parse_blocklist_arg_disambiguation(tmp_path):
         assert parse_blocklist_arg("domains.parquet") == "domains.parquet"
     finally:
         os.chdir(old)
+
+
+def test_url_pattern_blocked_expr_and_filter(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/tag/x"),        # path pattern
+         (2, "https://a.com/dl/f.zip"),     # suffix pattern
+         (3, "https://a.com/p?sessionid=9"),  # query pattern
+         (4, "https://a.com/article/ok"),   # clean
+         (5, None)],                         # null url — exempt
+        "doc_id bigint, url string")
+    pats = ["/tag/", r"\.zip$", "[?&]sessionid="]
+    out = ta.filter_blocked_url_patterns(docs, pats)
+    assert sorted(r.doc_id for r in out.collect()) == [4, 5]
+    # empty pattern list is the identity
+    assert ta.filter_blocked_url_patterns(docs, []).count() == 5
+    # mid-string .zip does NOT hit the anchored suffix pattern
+    more = spark.createDataFrame([(6, "https://a.com/f.zip/view")],
+                                 "doc_id bigint, url string")
+    assert ta.filter_blocked_url_patterns(more, pats).count() == 1
+
+
+def test_curate_block_url_patterns_stage(spark, tmp_path):
+    import os
+
+    from datacanary_spark.cli import main
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "60",
+                 "--files", "2"]) == 0
+    src = spark.read.parquet(pages)
+    # plant a blockable query-string variant of a few urls
+    spiked = src.unionByName(
+        src.limit(4).withColumn(
+            "url", F.concat(F.col("url"), F.lit("?sessionid=z"))))
+    pages2 = str(tmp_path / "pages2")
+    spiked.write.parquet(pages2)
+
+    s = run_curation_job(spark, pages2, str(tmp_path / "out"),
+                         block_url_patterns=["[?&]sessionid="])
+    assert s["docs_in"] == 64
+    assert s["after_url_patterns"] == 60
+    corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "out"), "corpus"))
+    assert corpus.where(F.col("url").contains("sessionid")).count() == 0
