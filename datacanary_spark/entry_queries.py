@@ -546,6 +546,7 @@ _TAIL_ROTATION = [
     "c4_line_dedup",  # r04d: room for dup_span_fraction_by_lang
     "rule_engine_verdicts",  # r04i: room for near_dup_quality_survivors
     "lineage_rollup_lang_source",  # r04i: room for url_pattern_block_by_lang
+    "host_counts_salted",  # r04i: room for seq_packing_by_lang
     "top3_orders_per_customer",  # r04: makes room for near_dup_components
     "setop_long_docs_except_sources",  # r04: room for repeated_ngram_removal_stats
     "insight_outliers",  # r04: room for gopher_repetition_by_lang

@@ -240,6 +240,53 @@ def token_shard_sizes(spark, sf_dir):
         F.max("doc_id").alias("last_doc"))
 
 
+@register(
+    "seq_packing_by_lang",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '')), 0) AS t
+      FROM documents
+    ),
+    cum AS (SELECT doc_id, lang, t,
+                   sum(t) OVER (ORDER BY doc_id) AS c FROM toks),
+    seqs AS (SELECT lang, t,
+                    CAST(floor((c - t) / 2048) AS BIGINT) AS first_seq,
+                    CASE WHEN t > 0 THEN CAST(floor((c - 1) / 2048) AS BIGINT)
+                         ELSE CAST(floor((c - t) / 2048) AS BIGINT)
+                    END AS last_seq
+             FROM cum)
+    SELECT lang, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_split_docs,
+           CAST(sum(last_seq - first_seq) AS BIGINT) AS n_splits,
+           CAST(sum(first_seq) AS BIGINT) AS sum_first_seq,
+           max(last_seq) AS max_last_seq
+    FROM seqs GROUP BY lang
+    """,
+)
+def seq_packing_by_lang(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style 2048-token training
+    windows over the doc-id-ordered token stream): per language, how
+    many docs get cut by a window boundary and how often — the
+    cross-doc-leakage cost of packing — plus sum/max of the window ids
+    to pin the exact assignment. Underneath is the same distributed
+    prefix sum as token sharding (id-range buckets + broadcast
+    offsets); the oracle's serial ``sum() OVER (ORDER BY doc_id)``
+    pins its exactness."""
+    d = _t(spark, sf_dir, "documents")
+    packed = cs.pack_sequences(d, 2048)
+    toks = F.coalesce(ta.token_count_ws(F.col("text")), F.lit(0))
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum((F.col("n_splits") > 0).cast("long")).alias("n_split_docs"),
+        F.sum("n_splits").alias("n_splits"),
+        F.sum("first_seq").alias("sum_first_seq"),
+        F.max("last_seq").alias("max_last_seq"))
+
+
 # ---------------------------------------------------------------------------
 # Pivot (wide rollup)
 # ---------------------------------------------------------------------------

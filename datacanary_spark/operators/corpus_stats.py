@@ -258,6 +258,47 @@ def assign_token_shards(df: DataFrame, shard_tokens: int,
                .drop("_tok", "_cum"))
 
 
+def pack_sequences(df: DataFrame, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing: the corpus's token stream in
+    ``id_col`` order is cut into fixed ``seq_len``-token training
+    windows (the GPT-style pretraining layout — no padding, docs may
+    straddle window boundaries). Adds per-doc packing facts:
+
+    - ``first_seq`` — window holding the doc's first token
+      (``floor(tokens_before / seq_len)``),
+    - ``last_seq`` — window holding its last token
+      (``floor((tokens_through − 1) / seq_len)``; empty docs occupy no
+      tokens, so ``last_seq = first_seq``),
+    - ``n_splits`` — how many window boundaries cut the doc
+      (``last_seq − first_seq``; the count of attention-mask breaks /
+      cross-doc leakage points this doc suffers).
+
+    The assignment is a pure function of the corpus — re-runs, engines
+    and a serial oracle agree. Token counts are whitespace tokens
+    (:func:`~datacanary_spark.operators.text_analysis.token_count_ws`);
+    null text counts 0 and stays in the stream. The running total is
+    :func:`distributed_cumsum` (deterministic id-range buckets +
+    per-bucket window + broadcast offsets) — never a single-partition
+    global window, so the op survives 10^12 rows.
+    """
+    from datacanary_spark.operators.text_analysis import token_count_ws
+
+    toks = df.withColumn(
+        "_tok", F.coalesce(token_count_ws(F.col(text_col)), F.lit(0)))
+    cum = distributed_cumsum(toks, id_col, "_tok", out_col="_cum")
+    first = F.floor((F.col("_cum") - F.col("_tok")) / F.lit(seq_len)) \
+        .cast("long")
+    last = F.when(F.col("_tok") > 0,
+                  F.floor((F.col("_cum") - 1) / F.lit(seq_len))
+                   .cast("long")) \
+            .otherwise(first)
+    return (cum.withColumn("first_seq", first)
+               .withColumn("last_seq", last)
+               .withColumn("n_splits", F.col("last_seq") - F.col("first_seq"))
+               .drop("_tok", "_cum"))
+
+
 def approx_quantile_buckets(df: DataFrame, value_col: str,
                             group_col: str, n_buckets: int = 10,
                             accuracy: int = 10000,

@@ -261,6 +261,37 @@ def test_assign_token_shards_budget_and_determinism(spark):
         cum += tok[i]
 
 
+def test_pack_sequences_hand_computed(spark):
+    """Concat-and-chunk at seq_len=10 over token counts [4,7,0,12,5]:
+    window ids and boundary-split counts match the serial form; empty
+    docs occupy no tokens (last_seq == first_seq); re-runs agree."""
+    from datacanary_spark.operators.corpus_stats import pack_sequences
+
+    rows = [(1, "a b c d"),          # toks 1..4   → seq 0
+            (2, "w " * 7),           # toks 5..11  → seqs 0-1, 1 split
+            (3, None),               # empty — rides at seq 1
+            (4, "w " * 12),          # toks 12..23 → seqs 1-2, 1 split
+            (5, "w " * 5)]           # toks 24..28 → seq 2
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, 10).collect()}
+    got = [(out[i]["first_seq"], out[i]["last_seq"], out[i]["n_splits"])
+           for i in range(1, 6)]
+    assert got == [(0, 0, 0), (0, 1, 1), (1, 1, 0), (1, 2, 1), (2, 2, 0)]
+    # serial differential on a bigger corpus: every doc vs a python replay
+    rows = [(i, None if i % 11 == 3 else "tok " * (i % 37)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, 100).collect()}
+    cum = 0
+    for i in range(400):
+        t = len((rows[i][1] or "").split())
+        first = cum // 100
+        last = (cum + t - 1) // 100 if t else first
+        r = out[i]
+        assert (r["first_seq"], r["last_seq"], r["n_splits"]) == \
+            (first, last, last - first), f"doc {i}"
+        cum += t
+
+
 def test_approx_quantile_buckets_scale_twin(spark):
     """The bounded-state bucket path: roughly balanced buckets, no
     window in the plan, null values → null bucket, and boundaries
