@@ -517,6 +517,7 @@ from datacanary_spark import entry_queries_lm  # noqa: E402,F401
 from datacanary_spark import entry_queries_webclean  # noqa: E402,F401
 from datacanary_spark import entry_queries_websrc  # noqa: E402,F401
 from datacanary_spark import entry_queries_linkgraph  # noqa: E402,F401
+from datacanary_spark import entry_queries_textnorm  # noqa: E402,F401
 
 # ---- driver-gate rotation ---------------------------------------------------
 # The driver's correctness gate verifies exactly the FIRST 50 registered
@@ -525,6 +526,10 @@ from datacanary_spark import entry_queries_linkgraph  # noqa: E402,F401
 # coverage; tail queries stay in scripts/check_oracle.py's full sweep.
 # Names here were driver-green in r01–r03 (see CORRECTNESS_r0{1,2,3}.json).
 _TAIL_ROTATION = [
+    "ann_ivf_top5",  # r04j: room for unicode_nfc_by_lang (r03-green)
+    "embedding_near_dup_pairs",  # r04j: room for mojibake_hits_by_lang (r03-green)
+    "embedding_near_dup_lsh_pairs",  # r04j: room for train_split_counts (r03-green)
+    "insight_skewness",  # r04j: room for corpus_shuffle_shards (r02-green)
     "ann_lsh_top5",  # r04i: room for multimodal_resize_stats (r03-green)
     "knn_bruteforce_top5",  # r04h: room for canonical_dedup_by_lang
     "dedup_minhash_lsh_pairs",  # r04h: room for html_signals_by_lang

@@ -649,3 +649,75 @@ def zipf_slope(df: DataFrame, group_col: str = "lang",
         denom != 0,
         (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom)
     return agg.select(group_col, "n_types", slope.alias("zipf_slope"))
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 fractions: dict[str, float] | None = None,
+                 salt: str = "split", out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: ``out_col`` names the
+    split each row belongs to, as a pure function of ``key_col``.
+
+    ``fractions`` is an ORDERED name → fraction map summing to 1.0
+    (default 98/1/1 train/val/test). The md5 bucket of the key is
+    compared against cumulative lexicographic hex thresholds — the
+    same cross-engine idiom as ``hash_sample_predicate`` — so the
+    assignment is identical on any engine, partitioning, or cluster
+    size, re-runs of a resumable job never move a document across the
+    contamination boundary, and adding MORE data later never reassigns
+    existing keys (the property rand()/randomSplit cannot give).
+
+    Plan shape: one narrow CASE projection, no shuffle, no state.
+    """
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    names = list(fractions)
+    bucket = _bucket_expr(F.col(key_col), salt)
+    # cumulative thresholds; the LAST split takes the residual hex
+    # space (no threshold of its own), so float rounding can never
+    # leave a bucket unassigned
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def shuffle_to_shards(df: DataFrame, key_col: str, n_shards: int,
+                      salt: str = "shuffle", shard_col: str = "shard",
+                      order_col: str = "shuffle_key") -> DataFrame:
+    """Global deterministic corpus shuffle for training-data output.
+
+    Training wants documents in (pseudo)random order, sharded into
+    ``n_shards`` files. A true global sort-by-random-key is a range
+    shuffle with a sampling pass and skew risk; instead the permutation
+    is the pure key function md5(salt:key): ``shard_col`` = the first
+    8 hex chars mod n_shards (one HASH shuffle, perfectly balanced in
+    expectation), ``order_col`` = the full 32-hex digest, locally
+    sorted within each shard. Reading shards in any order yields a
+    deterministic pseudorandom document permutation, reproducible
+    across runs and cluster sizes — and a downstream reader can verify
+    placement from the key alone.
+
+    Plan shape: one hash Exchange on ``shard_col`` + per-partition
+    local sort (spillable, no global range partitioner, no sampling
+    pass). At 10^12 docs pick n_shards so a shard ~ a few GB.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    digest = F.md5(F.concat_ws(":", F.lit(salt),
+                               F.col(key_col).cast("string")))
+    shard = F.pmod(F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    out = (df.withColumn(order_col, digest)
+             .withColumn(shard_col, shard))
+    return (out.repartition(n_shards, F.col(shard_col))
+               .sortWithinPartitions(shard_col, order_col))

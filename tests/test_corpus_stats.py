@@ -614,3 +614,94 @@ def test_epoch_upsample_edges(spark):
     assert got[2] in (0, 1, 2)
     with pytest.raises(ValueError):
         cs.epoch_upsample(df, "lang", {"a": -1.0}, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# split_assign
+# ---------------------------------------------------------------------------
+
+
+def _py_split(key, fractions, salt="split"):
+    """Python twin of split_assign's md5-threshold rule."""
+    b = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8]
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        if b < cs._hex_threshold(cum):
+            return name
+    return names[-1]
+
+
+def test_split_assign_matches_python_twin_and_covers_all(spark):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r["split"] for r in
+           cs.split_assign(df, "doc_id", fr).collect()}
+    assert len(got) == 3000
+    for k, v in got.items():
+        assert v == _py_split(k, fr)
+    # every split non-empty and roughly proportioned
+    from collections import Counter
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 3000 < 0.85
+
+
+def test_split_assign_partition_invariant_and_stable_under_growth(spark):
+    fr = {"train": 0.5, "heldout": 0.5}
+    a = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    b = spark.range(0, 1000).repartition(7).select(
+        F.col("id").alias("doc_id"))
+    small = {r["doc_id"]: r["split"]
+             for r in cs.split_assign(a, "doc_id", fr).collect()}
+    big = {r["doc_id"]: r["split"]
+           for r in cs.split_assign(b, "doc_id", fr).collect()}
+    # adding data never moves an existing key across the boundary
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_split_assign_validation():
+    with pytest.raises(ValueError):
+        cs.split_assign(None, "k", {"train": 0.5, "val": 0.4})
+    with pytest.raises(ValueError):
+        cs.split_assign(None, "k", {"all": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# shuffle_to_shards
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_to_shards_is_deterministic_permutation(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = cs.shuffle_to_shards(df, "doc_id", 7)
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(1000))
+    # shard matches the python rule; order key is the full digest
+    for r in rows:
+        dig = hashlib.md5(f"shuffle:{r['doc_id']}".encode()).hexdigest()
+        assert r["shuffle_key"] == dig
+        assert r["shard"] == int(dig[:8], 16) % 7
+    # same input twice -> identical assignment
+    again = {r["doc_id"]: r["shard"]
+             for r in cs.shuffle_to_shards(df, "doc_id", 7).collect()}
+    assert all(again[r["doc_id"]] == r["shard"] for r in rows)
+
+
+def test_shuffle_to_shards_local_sort_within_partitions(spark):
+    df = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    out = cs.shuffle_to_shards(df, "doc_id", 5)
+
+    def check(it):
+        prev = None
+        for row in it:
+            key = (row["shard"], row["shuffle_key"])
+            assert prev is None or key >= prev, "partition not sorted"
+            prev = key
+            yield row
+
+    n = out.rdd.mapPartitions(check).count()
+    assert n == 400
+    with pytest.raises(ValueError):
+        cs.shuffle_to_shards(df, "doc_id", 0)
