@@ -497,6 +497,8 @@ def cmd_curate(args) -> int:
         near_dup_threshold=args.near_dup_threshold,
         near_dup_keep=args.near_dup_keep,
         block_url_patterns=args.block_url_patterns,
+        normalize_unicode=args.normalize,
+        fix_encoding=args.fix_encoding,
         span_dedup_k=args.span_dedup_k,
         span_min_count=args.span_min_count,
         extract_from_html=args.from_html,
@@ -785,6 +787,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "(repeatable; path/query component of UT1-style "
                          "blocklists — domains go in --blocklist). Pure "
                          "column predicate, applied before extraction")
+    cu.add_argument("--normalize", default=None,
+                    choices=["NFC", "NFKC", "NFD", "NFKD"],
+                    help="unicode-normalize the text column before the "
+                         "filter (pandas-UDF unicodedata; composed "
+                         "spellings dedup together)")
+    cu.add_argument("--fix-encoding", action="store_true",
+                    help="repair UTF-8-as-Latin-1/cp1252 mojibake "
+                         "before normalization (round-trip re-decode; "
+                         "invalid round-trips left untouched)")
     cu.add_argument("--near-dup-keep", default="min-id",
                     choices=["min-id", "longest"],
                     help="survivor rule per near-dup cluster: min-id "

@@ -115,20 +115,26 @@ def fix_mojibake_udf(s: pd.Series) -> pd.Series:
 
 
 def normalize_text(df: DataFrame, text_col: str = "text",
-                   form: str = "NFC", fix_encoding: bool = False,
+                   form: str | None = "NFC", fix_encoding: bool = False,
                    changed_col: str | None = "text_changed") -> DataFrame:
     """Normalize ``text_col`` in place (optionally repairing mojibake
     first — repair must precede NFC so repaired sequences get composed
     too), plus a boolean ``changed_col`` marking rows the pass touched
     (lineage: how much of the corpus was denormalized).
+    ``form=None`` skips composition (repair-only pass); at least one of
+    the two transforms must be enabled.
 
     Plan shape: one narrow projection, one Arrow exchange, no shuffle.
     At 10^12 docs this fuses into the ingest scan stage.
     """
+    if form is None and not fix_encoding:
+        raise ValueError("normalize_text with form=None and "
+                         "fix_encoding=False would be a no-op")
     out = df
     original = F.col(text_col)
     fixed = fix_mojibake_udf(original) if fix_encoding else original
-    normalized = make_normalize_udf(form)(fixed)
+    normalized = make_normalize_udf(form)(fixed) if form is not None \
+        else fixed
     if changed_col is not None:
         out = out.withColumn(
             changed_col, F.coalesce(normalized != original, F.lit(False)))

@@ -58,6 +58,8 @@ def run_curation_job(
     line_dedup: bool = True,
     blocklist: list[str] | str | None = None,
     block_url_patterns: list[str] | None = None,
+    normalize_unicode: str | None = None,
+    fix_encoding: bool = False,
     near_dup_threshold: float | None = None,
     near_dup_keep: str = "min-id",
     span_dedup_k: int | None = None,
@@ -96,7 +98,15 @@ def run_curation_job(
     is listed, BEFORE any content processing — the UT1-style
     origin-level filter. ``block_url_patterns`` (a list of regexes)
     drops docs whose url matches any pattern at the same early point —
-    the path/query component of those lists, a pure column predicate. ``input_format`` ``"warc"``/``"wet"`` curates
+    the path/query component of those lists, a pure column predicate.
+    ``normalize_unicode`` ("NFC"/"NFKC") and ``fix_encoding`` (ftfy-lite
+    mojibake repair, runs before composition) canonicalize the text
+    column ahead of the filter, so heuristics, fingerprints, and every
+    dedup stage see composed, correctly-decoded text — two
+    byte-different spellings of one page collapse. Incompatible with
+    ``extract_from_html`` (there the text is born inside the filter
+    stage; extraction output normalization is the extractor's
+    whitespace policy). ``input_format`` ``"warc"``/``"wet"`` curates
     straight from crawl containers (``pages_from_warc``; pair warc with
     ``extract_from_html=True, extractor="real"``); ``http_ok_only``
     drops non-2xx response bodies at the source, as in the filter job. ``c4_clean`` enables C4's line-quality pass
@@ -160,9 +170,20 @@ def run_curation_job(
             f"near_dup_keep={near_dup_keep!r} (expected 'min-id' or "
             f"'longest'); for custom rankings call "
             f"graph.cluster_survivors directly")
+    if (normalize_unicode or fix_encoding) and extract_from_html:
+        raise ValueError(
+            "normalize_unicode/fix_encoding canonicalize the INPUT text "
+            "column; with extract_from_html the text is produced inside "
+            "the filter stage — normalize the extractor output via its "
+            "whitespace policy instead")
+    if normalize_unicode not in (None, "NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(
+            f"normalize_unicode={normalize_unicode!r} "
+            f"(expected NFC/NFKC/NFD/NFKD or None)")
     t0 = time.time()
     scope = CacheScope()
     blocklist_count = None
+    normalize_count = None
     try:
         if input_format == "parquet":
             pages = read_table(spark, input_path)
@@ -230,6 +251,17 @@ def run_curation_job(
             pages = filter_blocked_url_patterns(pages, block_url_patterns,
                                                 url_col="url")
             blocklist_count["after_url_patterns"] = pages.count()
+        if normalize_unicode or fix_encoding:
+            from datacanary_spark.functions.normalize import normalize_text
+
+            # persisted: the changed-count lineage aggregate and the
+            # filter stage both consume the UDF output — unpersisted,
+            # the normalizer would run twice over the full corpus
+            pages = scope.persist(normalize_text(
+                pages, "text", form=normalize_unicode,
+                fix_encoding=fix_encoding))
+            normalize_count = pages.where(F.col("text_changed")).count()
+            pages = pages.drop("text_changed")
         verdicts = filter_pages(pages, broadcast_models(spark, models), cfg,
                                 extract_from_html=extract_from_html,
                                 extractor=extractor)
@@ -254,6 +286,8 @@ def run_curation_job(
         # filtered frame here would re-scan and then be overwritten)
         summary = dict(blocklist_count) if blocklist_count is not None \
             else {"docs_in": pages.count()}
+        if normalize_count is not None:
+            summary["normalized_docs"] = normalize_count
         summary["kept"] = kept.count()
 
         if classifier_model:

@@ -103,3 +103,64 @@ def test_normalize_text_no_shuffle(spark):
     explained = nz.normalize_text(df, "text", fix_encoding=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained
+
+
+def test_curate_normalize_stage(spark, tmp_path):
+    """normalize_unicode + fix_encoding as a curate stage: lineage
+    counts exactly the injected dirty rows; no decomposed sequence or
+    mojibake artifact survives into the output corpus."""
+    import numpy as np
+
+    from datacanary_spark.plans.curate import run_curation_job
+    from datacanary_spark.schema import PAGES_SCHEMA
+    from datacanary_spark.sources.fixtures import (
+        _insert_lines,
+        _sample_words,
+        write_pages_parquet,
+    )
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 60, seed=5, chunk_size=30)
+    rng = np.random.default_rng(7)
+    # two docs need NFC composition, two need mojibake repair -- kept
+    # separate: the whole-string round-trip repair (correctly) refuses
+    # strings mixing genuine non-ASCII with artifacts
+    dirty = [(f"http://dirty.example/{i}", None, None,
+              _insert_lines(rng, _sample_words(rng, "en", 200))
+              + (" Cafe\u0301" if i % 2 == 0
+                 else " don\u00e2\u20ac\u2122t"), "en")
+             for i in range(4)]
+    spark.createDataFrame(dirty, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(pages)
+    out = str(tmp_path / "out")
+    s = run_curation_job(spark, pages, out,
+                         normalize_unicode="NFC", fix_encoding=True)
+    assert s["normalized_docs"] == 4
+    got = spark.read.parquet(out + "/corpus")
+    assert got.count() == s["final_docs"] > 0
+    bad = got.where(F.col("text").contains("\u0301")
+                    | F.col("text")
+                        .contains("\u00e2\u20ac\u2122")).count()
+    assert bad == 0
+
+
+def test_curate_normalize_rejects_html_extraction(spark, tmp_path):
+    from datacanary_spark.plans.curate import run_curation_job
+
+    with pytest.raises(ValueError, match="extract_from_html"):
+        run_curation_job(spark, "in", "out", normalize_unicode="NFC",
+                         extract_from_html=True)
+    with pytest.raises(ValueError, match="NFC/NFKC"):
+        run_curation_job(spark, "in", "out", normalize_unicode="nfc")
+
+
+def test_normalize_text_repair_only_and_noop_guard(spark):
+    df = spark.createDataFrame([(MOJIBAKE_CP1252,), (DECOMPOSED,)],
+                               "text string")
+    out = {r["text"] for r in
+           nz.normalize_text(df, "text", form=None,
+                             fix_encoding=True).collect()}
+    assert REPAIRED in out          # repaired
+    assert DECOMPOSED in out        # form=None: NOT composed
+    with pytest.raises(ValueError):
+        nz.normalize_text(df, "text", form=None, fix_encoding=False)
