@@ -530,6 +530,7 @@ _TAIL_ROTATION = [
     "embedding_near_dup_pairs",  # r04j: room for mojibake_hits_by_lang (r03-green)
     "embedding_near_dup_lsh_pairs",  # r04j: room for train_split_counts (r03-green)
     "insight_skewness",  # r04j: room for corpus_shuffle_shards (r02-green)
+    "health_score_documents",  # r04j: room for split_leakage_pairs (r02-green)
     "ann_lsh_top5",  # r04i: room for multimodal_resize_stats (r03-green)
     "knn_bruteforce_top5",  # r04h: room for canonical_dedup_by_lang
     "dedup_minhash_lsh_pairs",  # r04h: room for html_signals_by_lang

@@ -917,3 +917,56 @@ def bloom_decontam_by_lang(spark, sf_dir):
     return out.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_survivors"),
         F.sum("doc_id").alias("sum_ids"))
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-dup pairs crossing the train/val/test boundary
+# ---------------------------------------------------------------------------
+
+from datacanary_spark.operators import corpus_stats as _cs  # noqa: E402
+
+_SPLIT_T80 = _cs._hex_threshold(0.8)
+_SPLIT_T90 = _cs._hex_threshold(0.9)
+
+
+def _duck_split(idc: str) -> str:
+    return (f"CASE WHEN substring(md5('split:' || CAST({idc} AS VARCHAR)),"
+            f" 1, 8) < '{_SPLIT_T80}' THEN 'train'"
+            f" WHEN substring(md5('split:' || CAST({idc} AS VARCHAR)),"
+            f" 1, 8) < '{_SPLIT_T90}' THEN 'val' ELSE 'test' END")
+
+
+@register(
+    "split_leakage_pairs",
+    f"""
+    WITH pairs AS ({_MINHASH_SQL}),
+    cls AS (
+      SELECT {_duck_split('id_a')} AS split_a,
+             {_duck_split('id_b')} AS split_b,
+             id_a, id_b
+      FROM pairs
+    )
+    SELECT split_a, split_b, count(*) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids,
+           split_a <> split_b AS leaked
+    FROM cls
+    GROUP BY split_a, split_b
+    """,
+)
+def split_leakage_pairs(spark, sf_dir):
+    """Contamination audit of an 80/10/10 hash split: every MinHash-LSH
+    near-dup pair (same planted corpus as dedup_minhash_lsh_pairs) is
+    classified by the splits of its two sides; ``leaked`` rows are
+    near-duplicates straddling the train/eval boundary — exactly what a
+    doc-level hash split cannot prevent and a split audit must surface.
+    The split is a pure CASE on each pair side (no assignment join);
+    the audit costs one aggregation over the pair set."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 150)
+    aug = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"))
+    corpus = d.unionByName(aug)
+    pairs = dd.near_dup_pairs(corpus, threshold=0.5)
+    return _cs.split_leakage_stats(
+        pairs, "id_a", "id_b", {"train": 0.8, "val": 0.1, "test": 0.1})

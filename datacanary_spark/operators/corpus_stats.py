@@ -668,6 +668,18 @@ def split_assign(df: DataFrame, key_col: str,
 
     Plan shape: one narrow CASE projection, no shuffle, no state.
     """
+    # build (and validate) the CASE before touching df: a typo'd
+    # fractions map must fail fast, not after upstream stages ran
+    expr = split_expr(F.col(key_col), fractions, salt=salt)
+    return df.withColumn(out_col, expr)
+
+
+def split_expr(key_col: Column,
+               fractions: dict[str, float] | None = None,
+               salt: str = "split") -> Column:
+    """The split-assignment CASE as a reusable Column — apply it to ANY
+    key expression (a pair's id_a/id_b, a host) without materializing
+    an assignment table; see ``split_assign`` for the semantics."""
     if fractions is None:
         fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
     if len(fractions) < 2:
@@ -676,7 +688,7 @@ def split_assign(df: DataFrame, key_col: str,
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
     names = list(fractions)
-    bucket = _bucket_expr(F.col(key_col), salt)
+    bucket = _bucket_expr(key_col, salt)
     # cumulative thresholds; the LAST split takes the residual hex
     # space (no threshold of its own), so float rounding can never
     # leave a bucket unassigned
@@ -687,8 +699,35 @@ def split_assign(df: DataFrame, key_col: str,
         cond = bucket < F.lit(_hex_threshold(cum))
         expr = F.when(cond, F.lit(name)) if expr is None else \
             expr.when(cond, F.lit(name))
-    expr = expr.otherwise(F.lit(names[-1]))
-    return df.withColumn(out_col, expr)
+    return expr.otherwise(F.lit(names[-1]))
+
+
+def split_leakage_stats(pairs: DataFrame, id_a: str = "id_a",
+                        id_b: str = "id_b",
+                        fractions: dict[str, float] | None = None,
+                        salt: str = "split") -> DataFrame:
+    """Contamination audit for a hash split: classify every near-dup
+    pair by the splits its two sides land in. A ``leaked`` row
+    (split_a ≠ split_b) is a document whose near-duplicate sits across
+    the train/test boundary — the leakage that makes held-out scores
+    lie. Run it over ``near_dup_pairs`` output before freezing a split;
+    if leakage is material, split by a coarser key (host) or drop the
+    leaked docs from the eval side.
+
+    The split is recomputed per pair side as a pure CASE on the id —
+    no join against an assignment table, so the audit adds one
+    aggregation over the (tiny relative to corpus) pair set.
+    ``sum_ids`` pins pair membership, not just counts.
+    """
+    sa = split_expr(F.col(id_a), fractions, salt=salt)
+    sb = split_expr(F.col(id_b), fractions, salt=salt)
+    return (pairs.select(sa.alias("split_a"), sb.alias("split_b"),
+                         F.col(id_a), F.col(id_b))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.col(id_a) + F.col(id_b)).cast("long")
+                  .alias("sum_ids"))
+            .withColumn("leaked", F.col("split_a") != F.col("split_b")))
 
 
 def shuffle_to_shards(df: DataFrame, key_col: str, n_shards: int,

@@ -705,3 +705,27 @@ def test_shuffle_to_shards_local_sort_within_partitions(spark):
     assert n == 400
     with pytest.raises(ValueError):
         cs.shuffle_to_shards(df, "doc_id", 0)
+
+
+def test_split_expr_and_leakage_stats(spark):
+    fr = {"train": 0.6, "test": 0.4}
+    # pairs engineered from real hash assignments so both leaked and
+    # clean rows exist deterministically
+    assign = {k: _py_split(k, fr) for k in range(100)}
+    import itertools
+    ids = list(range(100))
+    pairs = [(a, b) for a, b in itertools.combinations(ids, 2)][:300]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r["split_a"], r["split_b"]): (r["n_pairs"], r["sum_ids"],
+                                          r["leaked"])
+           for r in cs.split_leakage_stats(df, fractions=fr).collect()}
+    from collections import defaultdict
+    want = defaultdict(lambda: [0, 0])
+    for a, b in pairs:
+        k = (assign[a], assign[b])
+        want[k][0] += 1
+        want[k][1] += a + b
+    assert set(got) == set(want)
+    for k, (n, s, leaked) in got.items():
+        assert [n, s] == want[k]
+        assert leaked == (k[0] != k[1])
