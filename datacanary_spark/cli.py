@@ -788,7 +788,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "blocklists — domains go in --blocklist). Pure "
                          "column predicate, applied before extraction")
     cu.add_argument("--normalize", default=None,
-                    choices=["NFC", "NFKC", "NFD", "NFKD"],
+                    choices=["NFC", "NFKC"],
                     help="unicode-normalize the text column before the "
                          "filter (pandas-UDF unicodedata; composed "
                          "spellings dedup together)")

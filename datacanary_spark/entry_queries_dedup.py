@@ -136,16 +136,22 @@ _MINHASH_SQL = f"""
 """
 
 
-@register("dedup_minhash_lsh_pairs", _MINHASH_SQL)
-def dedup_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash→LSH→Jaccard near-dup pairs over planted near-duplicates."""
+def _minhash_corpus(spark, sf_dir):
+    """The planted near-dup corpus every MinHash-pair query (and its
+    shared _MINHASH_SQL oracle CTE) is defined over — single-sourced so
+    the Spark side can never drift from the SQL side's corpus."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("doc_id") < 150)
     aug = d.where(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"))
-    corpus = d.unionByName(aug)
-    pairs = dd.near_dup_pairs(corpus, threshold=0.5)
+    return d.unionByName(aug)
+
+
+@register("dedup_minhash_lsh_pairs", _MINHASH_SQL)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash→LSH→Jaccard near-dup pairs over planted near-duplicates."""
+    pairs = dd.near_dup_pairs(_minhash_corpus(spark, sf_dir), threshold=0.5)
     return pairs.select("id_a", "id_b", F.bround("jaccard", 6).alias("jaccard"))
 
 
@@ -925,15 +931,7 @@ def bloom_decontam_by_lang(spark, sf_dir):
 
 from datacanary_spark.operators import corpus_stats as _cs  # noqa: E402
 
-_SPLIT_T80 = _cs._hex_threshold(0.8)
-_SPLIT_T90 = _cs._hex_threshold(0.9)
-
-
-def _duck_split(idc: str) -> str:
-    return (f"CASE WHEN substring(md5('split:' || CAST({idc} AS VARCHAR)),"
-            f" 1, 8) < '{_SPLIT_T80}' THEN 'train'"
-            f" WHEN substring(md5('split:' || CAST({idc} AS VARCHAR)),"
-            f" 1, 8) < '{_SPLIT_T90}' THEN 'val' ELSE 'test' END")
+_LEAK_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 @register(
@@ -941,8 +939,8 @@ def _duck_split(idc: str) -> str:
     f"""
     WITH pairs AS ({_MINHASH_SQL}),
     cls AS (
-      SELECT {_duck_split('id_a')} AS split_a,
-             {_duck_split('id_b')} AS split_b,
+      SELECT {_cs.duck_split_case('id_a', _LEAK_FRACTIONS)} AS split_a,
+             {_cs.duck_split_case('id_b', _LEAK_FRACTIONS)} AS split_b,
              id_a, id_b
       FROM pairs
     )
@@ -955,18 +953,11 @@ def _duck_split(idc: str) -> str:
 )
 def split_leakage_pairs(spark, sf_dir):
     """Contamination audit of an 80/10/10 hash split: every MinHash-LSH
-    near-dup pair (same planted corpus as dedup_minhash_lsh_pairs) is
-    classified by the splits of its two sides; ``leaked`` rows are
-    near-duplicates straddling the train/eval boundary — exactly what a
-    doc-level hash split cannot prevent and a split audit must surface.
-    The split is a pure CASE on each pair side (no assignment join);
-    the audit costs one aggregation over the pair set."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
-        F.col("doc_id") < 150)
-    aug = d.where(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"))
-    corpus = d.unionByName(aug)
-    pairs = dd.near_dup_pairs(corpus, threshold=0.5)
-    return _cs.split_leakage_stats(
-        pairs, "id_a", "id_b", {"train": 0.8, "val": 0.1, "test": 0.1})
+    near-dup pair (the shared _minhash_corpus) is classified by the
+    splits of its two sides; ``leaked`` rows are near-duplicates
+    straddling the train/eval boundary — exactly what a doc-level hash
+    split cannot prevent and a split audit must surface. The split is
+    a pure CASE on each pair side (no assignment join); the audit
+    costs one aggregation over the pair set."""
+    pairs = dd.near_dup_pairs(_minhash_corpus(spark, sf_dir), threshold=0.5)
+    return _cs.split_leakage_stats(pairs, "id_a", "id_b", _LEAK_FRACTIONS)

@@ -117,8 +117,6 @@ def mojibake_hits_by_lang(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
-_T_TRAIN = cs._hex_threshold(0.8)
-_T_VAL = cs._hex_threshold(0.9)
 
 
 @register(
@@ -126,11 +124,7 @@ _T_VAL = cs._hex_threshold(0.9)
     f"""
     WITH assigned AS (
       SELECT lang, doc_id,
-             CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)),
-                                 1, 8) < '{_T_TRAIN}' THEN 'train'
-                  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)),
-                                 1, 8) < '{_T_VAL}' THEN 'val'
-                  ELSE 'test' END AS split
+             {cs.duck_split_case('doc_id', _SPLITS)} AS split
       FROM documents
     )
     SELECT lang, split, count(*) AS n_docs,

@@ -679,27 +679,74 @@ def split_expr(key_col: Column,
                salt: str = "split") -> Column:
     """The split-assignment CASE as a reusable Column — apply it to ANY
     key expression (a pair's id_a/id_b, a host) without materializing
-    an assignment table; see ``split_assign`` for the semantics."""
-    if fractions is None:
-        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
-    if len(fractions) < 2:
-        raise ValueError("need at least two splits")
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    an assignment table; see ``split_assign`` for the semantics.
+
+    A NULL key yields a NULL split (the key could not be derived —
+    same exemption rationale as canonical_url_expr), which also keeps
+    Spark and the SQL twin identical: concat_ws would silently SKIP
+    the null and bucket every null key at md5(salt), while SQL string
+    concat propagates NULL.
+    """
+    fractions = _validated_fractions(fractions)
     names = list(fractions)
     bucket = _bucket_expr(key_col, salt)
     # cumulative thresholds; the LAST split takes the residual hex
     # space (no threshold of its own), so float rounding can never
     # leave a bucket unassigned
     expr = None
-    cum = 0.0
-    for name in names[:-1]:
-        cum += fractions[name]
-        cond = bucket < F.lit(_hex_threshold(cum))
+    for name, thr in _split_thresholds(fractions):
+        cond = bucket < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else \
             expr.when(cond, F.lit(name))
-    return expr.otherwise(F.lit(names[-1]))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return F.when(key_col.isNull(),
+                  F.lit(None).cast("string")).otherwise(expr)
+
+
+def _validated_fractions(
+        fractions: dict[str, float] | None) -> dict[str, float]:
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    if any(f_ <= 0.0 for f_ in fractions.values()):
+        # a zero/negative fraction silently yields an unreachable split
+        # (its cumulative threshold is absorbed by its neighbors)
+        raise ValueError(f"every split fraction must be > 0: {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    return fractions
+
+
+def _split_thresholds(fractions: dict[str, float]):
+    """(name, cumulative hex threshold) for every split but the last."""
+    names = list(fractions)
+    cum = 0.0
+    out = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, _hex_threshold(cum)))
+    return out
+
+
+def duck_split_case(key_sql: str,
+                    fractions: dict[str, float] | None = None,
+                    salt: str = "split") -> str:
+    """DuckDB twin of ``split_expr`` as a SQL CASE string — the single
+    source for every oracle that re-derives the split, so the bucket
+    idiom (salt format, substring width, thresholds) can never drift
+    between an operator and its SQL twin. ``key_sql`` is a SQL
+    expression for the key (NULL key → NULL split via string-concat
+    NULL propagation, matching the Column form)."""
+    fractions = _validated_fractions(fractions)
+    names = list(fractions)
+    whens = "".join(
+        f" WHEN substring(md5('{salt}:' || CAST({key_sql} AS VARCHAR)),"
+        f" 1, 8) < '{thr}' THEN '{name}'"
+        for name, thr in _split_thresholds(fractions))
+    return (f"CASE WHEN {key_sql} IS NULL THEN NULL{whens}"
+            f" ELSE '{names[-1]}' END")
 
 
 def split_leakage_stats(pairs: DataFrame, id_a: str = "id_a",
@@ -748,15 +795,33 @@ def shuffle_to_shards(df: DataFrame, key_col: str, n_shards: int,
 
     Plan shape: one hash Exchange on ``shard_col`` + per-partition
     local sort (spillable, no global range partitioner, no sampling
-    pass). At 10^12 docs pick n_shards so a shard ~ a few GB.
+    pass). All rows of a shard land in ONE task, but task↔shard is not
+    1:1 (Spark routes by hash(shard) % n, so a task may hold two
+    shards and another none) — the exact n_shards-file layout comes
+    from writing with ``write_shards`` (partitionBy on the shard
+    column), which emits exactly one file per shard regardless of
+    task placement. At 10^12 docs pick n_shards so a shard ~ a few GB.
+    A NULL key yields NULL shard/order (key-exemption rationale as in
+    split_expr; partitionBy writes those under the null partition).
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    digest = F.md5(F.concat_ws(":", F.lit(salt),
-                               F.col(key_col).cast("string")))
+    digest = F.when(
+        F.col(key_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))))
     shard = F.pmod(F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"),
                    F.lit(n_shards)).cast("int")
     out = (df.withColumn(order_col, digest)
              .withColumn(shard_col, shard))
     return (out.repartition(n_shards, F.col(shard_col))
                .sortWithinPartitions(shard_col, order_col))
+
+
+def write_shards(sharded: DataFrame, path: str,
+                 shard_col: str = "shard") -> None:
+    """Write a ``shuffle_to_shards`` frame as exactly one file per
+    shard (``path/shard=K/part-*``): every shard's rows live in a
+    single task after the shard repartition, so partitionBy emits one
+    sorted file per shard value — the balanced n-file training layout
+    — independent of how hash(shard) % n packed shards into tasks."""
+    sharded.write.partitionBy(shard_col).mode("overwrite").parquet(path)

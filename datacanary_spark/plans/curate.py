@@ -176,10 +176,13 @@ def run_curation_job(
             "column; with extract_from_html the text is produced inside "
             "the filter stage — normalize the extractor output via its "
             "whitespace policy instead")
-    if normalize_unicode not in (None, "NFC", "NFKC", "NFD", "NFKD"):
+    if normalize_unicode not in (None, "NFC", "NFKC"):
+        # the decomposing forms would EXPAND precomposed chars — the
+        # opposite of this stage's collapse-spellings purpose; callers
+        # who really want NFD operate normalize_text directly
         raise ValueError(
             f"normalize_unicode={normalize_unicode!r} "
-            f"(expected NFC/NFKC/NFD/NFKD or None)")
+            f"(expected NFC/NFKC or None)")
     t0 = time.time()
     scope = CacheScope()
     blocklist_count = None

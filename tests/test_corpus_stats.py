@@ -729,3 +729,33 @@ def test_split_expr_and_leakage_stats(spark):
     for k, (n, s, leaked) in got.items():
         assert [n, s] == want[k]
         assert leaked == (k[0] != k[1])
+
+
+def test_split_and_shard_null_keys_and_bad_fractions(spark):
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    fr = {"train": 0.5, "test": 0.5}
+    got = {r["doc_id"]: r["split"]
+           for r in cs.split_assign(df, "doc_id", fr).collect()}
+    assert got[1] == _py_split(1, fr)
+    assert got[None] is None  # null key -> null split, both engines
+    sh = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+          for r in cs.shuffle_to_shards(df, "doc_id", 3).collect()}
+    assert sh[None] == (None, None)
+    assert sh[1][1] is not None
+    with pytest.raises(ValueError, match="> 0"):
+        cs.split_assign(df, "doc_id", {"a": 1.0, "b": 0.0})
+    with pytest.raises(ValueError, match="> 0"):
+        cs.split_assign(df, "doc_id", {"a": 0.5, "b": -0.1, "c": 0.6})
+
+
+def test_write_shards_one_file_per_shard(spark, tmp_path):
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    sharded = cs.shuffle_to_shards(df, "doc_id", 5)
+    out = str(tmp_path / "shards")
+    cs.write_shards(sharded, out)
+    import glob
+    for k in range(5):
+        files = glob.glob(f"{out}/shard={k}/part-*.parquet")
+        assert len(files) == 1, f"shard {k}: {files}"
+    back = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(300))
