@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from datacanary_spark.entry_queries import _t, register
 from datacanary_spark.functions import normalize as nz
 from datacanary_spark.operators import corpus_stats as cs
+from datacanary_spark.operators import text_analysis as ta
 
 # ---------------------------------------------------------------------------
 # Unicode NFC normalization
@@ -182,3 +183,84 @@ def corpus_shuffle_shards(spark, sf_dir):
                  F.min("shuffle_key").alias("first_key"),
                  F.max("shuffle_key").alias("last_key"),
                  F.sum("doc_id").cast("long").alias("sum_id")))
+
+
+# ---------------------------------------------------------------------------
+# Script-mix signal (mixed-script spam detection)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_INJECT_SQL = """
+      SELECT lang, doc_id,
+             CASE WHEN doc_id % 8 = 0
+                    THEN replace(replace(text, 'a', 'я'), 'o', 'ω')
+                  WHEN doc_id % 4 = 0 THEN replace(text, 'a', 'я')
+                  ELSE text END AS t
+      FROM documents
+"""
+
+
+@register(
+    "script_mix_by_lang",
+    f"""
+    WITH injected AS ({_SCRIPT_INJECT_SQL}),
+    counted AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(t, '\\p{{L}}')) AS BIGINT)
+                 AS letters,
+             CAST(len(regexp_extract_all(t, '[\\p{{Latin}}]')) AS BIGINT)
+                 AS lat,
+             CAST(len(regexp_extract_all(t, '[\\p{{Cyrillic}}]')) AS BIGINT)
+                 AS cyr,
+             CAST(len(regexp_extract_all(t, '[\\p{{Greek}}]')) AS BIGINT)
+                 AS grk
+      FROM injected
+    ),
+    flagged AS (
+      SELECT lang, letters, lat, cyr, grk,
+             (CASE WHEN CAST(lat AS DOUBLE) / NULLIF(letters, 0) >= 0.05
+                   THEN 1 ELSE 0 END
+              + CASE WHEN CAST(cyr AS DOUBLE) / NULLIF(letters, 0) >= 0.05
+                     THEN 1 ELSE 0 END
+              + CASE WHEN CAST(grk AS DOUBLE) / NULLIF(letters, 0) >= 0.05
+                     THEN 1 ELSE 0 END) >= 2 AS mixed
+      FROM counted
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT)
+               AS mixed_docs,
+           CAST(sum(letters) AS BIGINT) AS letter_chars,
+           CAST(sum(lat) AS BIGINT) AS latin_chars,
+           CAST(sum(cyr) AS BIGINT) AS cyrillic_chars,
+           CAST(sum(grk) AS BIGINT) AS greek_chars
+    FROM flagged
+    GROUP BY lang
+    """,
+)
+def script_mix_by_lang(spark, sf_dir):
+    """Mixed-script detection over deterministically-injected Cyrillic/
+    Greek lookalikes (every 4th doc gets я for a, every 8th ω for o —
+    the homoglyph-spam shape). Counting is regexp_count over Unicode
+    SCRIPT classes (Java \\p{{IsX}} == RE2 \\p{{X}}, probed); the mixed
+    flag is a single IEEE division + compare, bit-identical across
+    engines. Integer char sums pin the counts exactly — no float
+    aggregation in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    t = (F.when(F.col("doc_id") % 8 == 0,
+                F.replace(F.replace(F.col("text"), F.lit("a"), F.lit("я")),
+                          F.lit("o"), F.lit("ω")))
+          .when(F.col("doc_id") % 4 == 0,
+                F.replace(F.col("text"), F.lit("a"), F.lit("я")))
+          .otherwise(F.col("text")))
+    mixed = ta.with_script_mix(
+        d.select("lang", "doc_id", t.alias("text")),
+        scripts=["latin", "cyrillic", "greek"])
+    return (mixed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("mixed_script"), 1).otherwise(0))
+                  .cast("long").alias("mixed_docs"),
+                 F.sum("letter_chars").cast("long").alias("letter_chars"),
+                 F.sum("latin_chars").cast("long").alias("latin_chars"),
+                 F.sum("cyrillic_chars").cast("long")
+                  .alias("cyrillic_chars"),
+                 F.sum("greek_chars").cast("long").alias("greek_chars")))

@@ -564,3 +564,58 @@ def url_features(df, url_col: str = "url"):
         path.rlike(r"^/?(index\.(html?|php))?$").alias("is_index"),
         F.length(u).cast("long").alias("url_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Script-mix signals (mixed-script spam / wrong-alphabet detection)
+# ---------------------------------------------------------------------------
+
+# Unicode SCRIPT properties (not blocks): Java spells them \p{IsX},
+# RE2/DuckDB \p{X}; both count the same characters (probed: Latin,
+# Cyrillic, Greek, Han, Arabic and \p{L} agree char-for-char), so the
+# expression stays JVM-side AND oracle-checkable.
+SCRIPTS: dict[str, str] = {
+    "latin": "Latin",
+    "cyrillic": "Cyrillic",
+    "greek": "Greek",
+    "han": "Han",
+    "arabic": "Arabic",
+}
+
+
+def with_script_mix(df, text_col: str = "text",
+                    scripts: list[str] | None = None,
+                    min_frac: float = 0.05):
+    """Per-script letter counts and fractions + a ``mixed_script``
+    flag (≥2 scripts each holding ≥ ``min_frac`` of the letters).
+
+    Web spam loves script mixing (Cyrillic lookalikes inside Latin
+    words defeat naive keyword filters; CCNet-style pipelines flag
+    wrong-alphabet text for a claimed language). All counting is
+    ``regexp_count`` over script classes — pure codegen expressions,
+    no shuffle, no Python; a 100-TB pass fuses into the scan stage.
+    Adds ``letter_chars``, ``<s>_chars``/``<s>_frac`` per script, and
+    ``mixed_script`` (null text → null counts, flag null).
+    """
+    from pyspark.sql import functions as F
+
+    names = list(scripts) if scripts is not None else list(SCRIPTS)
+    unknown = [s for s in names if s not in SCRIPTS]
+    if unknown:
+        raise ValueError(f"unknown scripts {unknown}; "
+                         f"known: {sorted(SCRIPTS)}")
+    t = F.col(text_col)
+    out = df.withColumn("letter_chars",
+                        F.regexp_count(t, F.lit(r"\p{L}")))
+    flags = []
+    for s in names:
+        chars = F.regexp_count(t, F.lit(f"[\\p{{Is{SCRIPTS[s]}}}]"))
+        out = out.withColumn(f"{s}_chars", chars)
+        frac = F.try_divide(F.col(f"{s}_chars").cast("double"),
+                            F.col("letter_chars"))
+        out = out.withColumn(f"{s}_frac", frac)
+        flags.append((F.col(f"{s}_frac") >= min_frac).cast("int"))
+    n_sig = flags[0]
+    for f_ in flags[1:]:
+        n_sig = n_sig + f_
+    return out.withColumn("mixed_script", n_sig >= 2)
