@@ -884,3 +884,115 @@ def recrawl_latest_by_lang(spark, sf_dir):
         F.sum("doc_id").alias("sum_survivor_ids"),
         F.sum("n_snapshots").alias("n_docs_covered"),
         F.max("crawl_ts").alias("max_survivor_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (continuous-curation ops tool)
+# ---------------------------------------------------------------------------
+
+_DIFF_FP = ("CASE WHEN {t} IS NULL THEN NULL ELSE "
+            "md5(trim(lower(regexp_replace({t}, '\\s+', ' ', 'g')))) END")
+
+
+@register(
+    "corpus_diff_status",
+    f"""
+    WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' updated'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    o AS (SELECT doc_id, {_DIFF_FP.format(t='text')} AS fp FROM old),
+    n AS (SELECT doc_id, {_DIFF_FP.format(t='text')} AS fp FROM new),
+    j AS (
+      SELECT o.doc_id AS id_o, n.doc_id AS id_n, o.fp AS fp_o, n.fp AS fp_n
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT CASE WHEN id_o IS NULL THEN 'added'
+                WHEN id_n IS NULL THEN 'removed'
+                WHEN fp_o IS NOT DISTINCT FROM fp_n THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(id_n, id_o)) AS BIGINT) AS sum_ids
+    FROM j
+    GROUP BY 1
+    """,
+)
+def corpus_diff_status(spark, sf_dir):
+    """Diff between two simulated curation snapshots (old drops every
+    7th doc, new drops every 5th and edits every 11th): per-status doc
+    counts with id sums pinning exact membership. Both sides prune to
+    (id, fingerprint) before the single full-outer join — text never
+    shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = d.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" updated")))
+         .otherwise(F.col("text")).alias("text"))
+    diff = cs.corpus_diff(old, new, id_col="doc_id")
+    return (diff.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("sum_ids")))
+
+
+# ---------------------------------------------------------------------------
+# Exact-arithmetic Pearson correlation (length vs token count)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_token_corr_by_lang",
+    r"""
+    WITH xy AS (
+      SELECT lang,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS y
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    comp AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_xx,
+             CAST(sum(y * y) AS BIGINT) AS sum_yy
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+           CASE WHEN n * sum_xx - sum_x * sum_x > 0
+                 AND n * sum_yy - sum_y * sum_y > 0
+                THEN round(CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+                           / (sqrt(CAST(n * sum_xx - sum_x * sum_x
+                                        AS DOUBLE))
+                              * sqrt(CAST(n * sum_yy - sum_y * sum_y
+                                          AS DOUBLE))), 6)
+                END AS r
+    FROM comp
+    """,
+)
+def length_token_corr_by_lang(spark, sf_dir):
+    """Pearson r between doc length and whitespace token count per
+    language, from exact int64 component sums — the only float ops are
+    one cast-sqrt-divide at the very end, so the value is bit-identical
+    on any engine or partitioning (F.corr's running float accumulation
+    is not). The sanity check before using length as a cheap quality
+    proxy."""
+    from datacanary_spark.functions.heuristics import words_expr
+
+    d = _t(spark, sf_dir, "documents")
+    xy = d.select(
+        "lang", F.col("n_chars").alias("x"),
+        F.size(words_expr(F.col("text"))).cast("long").alias("y")) \
+        .where(F.col("text").isNotNull())
+    out = cs.pearson_corr_by_group(xy, "x", "y", "lang")
+    return out.select("lang", "n", "sum_x", "sum_y", "sum_xy",
+                      "sum_xx", "sum_yy",
+                      F.bround(F.col("r"), 6).alias("r"))

@@ -825,3 +825,73 @@ def write_shards(sharded: DataFrame, path: str,
     sorted file per shard value — the balanced n-file training layout
     — independent of how hash(shard) % n packed shards into tasks."""
     sharded.write.partitionBy(shard_col).mode("overwrite").parquet(path)
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "url",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two curation runs: every id labeled
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    content fingerprint differs — null-safe, so an extraction failure
+    on one side counts as a change), or ``unchanged``.
+
+    The ops tool for continuous curation: after a recrawl + re-curate,
+    the diff is what a human reviews and what incremental consumers
+    (index updaters, trainers with replay buffers) consume instead of
+    the full corpus. Shape: one fingerprint projection per side (no
+    pre-shuffle state) + a single full-outer SMJ/hash join on the id —
+    the minimum possible for a diff; both sides prune to
+    (id, fingerprint) before the exchange, so 100-TB text never
+    shuffles.
+    """
+    from datacanary_spark.operators.text_analysis import (
+        content_fingerprint,
+    )
+
+    o = old.select(F.col(id_col).alias("_id_o"),
+                   content_fingerprint(F.col(text_col)).alias("_fp_o"))
+    n = new.select(F.col(id_col).alias("_id_n"),
+                   content_fingerprint(F.col(text_col)).alias("_fp_n"))
+    j = o.join(n, F.col("_id_o") == F.col("_id_n"), "full_outer")
+    status = (F.when(F.col("_id_o").isNull(), F.lit("added"))
+               .when(F.col("_id_n").isNull(), F.lit("removed"))
+               .when(F.col("_fp_o").eqNullSafe(F.col("_fp_n")),
+                     F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    return j.select(F.coalesce(F.col("_id_n"), F.col("_id_o"))
+                     .alias(id_col),
+                    status.alias("status"))
+
+
+def pearson_corr_by_group(df: DataFrame, x_col: str, y_col: str,
+                          group_col: str = "lang") -> DataFrame:
+    """Pearson r between two INTEGER columns per group, computed from
+    exact int64 component sums (n, Σx, Σy, Σxy, Σx², Σy²) with the
+    float arithmetic confined to one final cast-sqrt-divide — so the
+    result is bit-identical on any engine, partitioning, or cluster
+    size (no float accumulation order in the aggregate at all).
+
+    The corpus use: does document length correlate with quality hits /
+    token count per language — the sanity check before using length as
+    a cheap quality proxy. One aggregation, map-side partials absorb
+    the volume. Rows with a NULL in either column are excluded
+    pairwise (the standard corr() semantics); groups with zero
+    variance in either column yield NULL r.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    both = x.isNotNull() & y.isNotNull()
+    agg = (df.where(both).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_x"), F.sum(y).alias("sum_y"),
+        F.sum(x * y).alias("sum_xy"),
+        F.sum(x * x).alias("sum_xx"), F.sum(y * y).alias("sum_yy")))
+    n = F.col("n")
+    num = (n * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")) \
+        .cast("double")
+    vx = (n * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")) \
+        .cast("double")
+    vy = (n * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")) \
+        .cast("double")
+    r = F.when((vx > 0) & (vy > 0),
+               num / (F.sqrt(vx) * F.sqrt(vy)))
+    return agg.withColumn("r", r)

@@ -759,3 +759,45 @@ def test_write_shards_one_file_per_shard(spark, tmp_path):
         assert len(files) == 1, f"shard {k}: {files}"
     back = spark.read.parquet(out)
     assert sorted(r["doc_id"] for r in back.collect()) == list(range(300))
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None), (5, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma EDIT"), (4, None), (5, "now extracted"),
+         (6, "new doc")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in cs.corpus_diff(old, new, id_col="doc_id").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged",   # null fp both sides: null-safe eq
+                   5: "changed",     # null -> extracted = change
+                   6: "added"}
+
+
+def test_corpus_diff_whitespace_insensitive(spark):
+    old = spark.createDataFrame([(1, "a  b\nc")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    [r] = cs.corpus_diff(old, new, id_col="doc_id").collect()
+    assert r["status"] == "unchanged"  # fingerprint normalizes whitespace
+
+
+def test_pearson_corr_matches_numpy_and_edge_cases(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(1, 1000, 200)
+    y = (x * 3 + rng.integers(-50, 50, 200)).astype(int)
+    rows = ([("a", int(a), int(b)) for a, b in zip(x, y)]
+            + [("const", 1, i) for i in range(5)]       # zero x variance
+            + [("b", 10, 20), ("b", None, 30), ("b", 20, 10)])  # null pair
+    df = spark.createDataFrame(rows, "lang string, x long, y long")
+    got = {r["lang"]: r for r in
+           cs.pearson_corr_by_group(df, "x", "y", "lang").collect()}
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(got["a"]["r"] - want) < 1e-12
+    assert got["const"]["r"] is None          # zero variance -> null
+    assert got["b"]["n"] == 2                 # pairwise null exclusion
+    assert got["b"]["r"] == -1.0
