@@ -996,3 +996,52 @@ def length_token_corr_by_lang(spark, sf_dir):
     return out.select("lang", "n", "sum_x", "sum_y", "sum_xy",
                       "sum_xx", "sum_yy",
                       F.bround(F.col("r"), 6).alias("r"))
+
+
+# ---------------------------------------------------------------------------
+# Per-document overlapping chunking (embedding window prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunks_by_lang",
+    r"""
+    WITH nc AS (
+      SELECT lang, doc_id, text,
+             CAST(greatest(1, ceil((length(text) - 500) / 400.0) + 1)
+                  AS INT) AS n_chunks
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT lang, doc_id,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_ix,
+             text
+      FROM nc
+    )
+    SELECT lang,
+           count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(length(substring(text,
+                CAST(chunk_ix * 400 + 1 AS INT), 500))) AS BIGINT)
+               AS chunk_chars,
+           CAST(sum(chunk_ix) AS BIGINT) AS sum_ix,
+           CAST(max(chunk_ix) AS INT) AS max_ix
+    FROM c
+    GROUP BY lang
+    """,
+)
+def doc_chunks_by_lang(spark, sf_dir):
+    """Overlapping 500-char / 400-stride chunking per document (the
+    embedding/RAG window prep): chunk counts, covered chars, and index
+    checksums per language. Narrow explode — output rows ~ chars/stride
+    regardless of doc-length skew; no shuffle before the groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = ta.chunk_documents(d, chunk_chars=500, stride=400)
+    return (chunks.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum(F.length("chunk")).cast("long")
+                  .alias("chunk_chars"),
+                 F.sum("chunk_ix").cast("long").alias("sum_ix"),
+                 F.max("chunk_ix").cast("int").alias("max_ix")))

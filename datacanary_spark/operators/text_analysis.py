@@ -619,3 +619,43 @@ def with_script_mix(df, text_col: str = "text",
     for f_ in flags[1:]:
         n_sig = n_sig + f_
     return out.withColumn("mixed_script", n_sig >= 2)
+
+
+# ---------------------------------------------------------------------------
+# Per-document overlapping chunking (embedding / RAG window prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_chars: int = 1000, stride: int = 800):
+    """Explode each document into fixed-size character windows with
+    overlap (``stride`` < ``chunk_chars``) — the standard prep before
+    embedding long documents (each chunk embeds separately; the
+    overlap keeps boundary context). Contrast with
+    ``corpus_stats.pack_sequences``, which packs the CONCATENATED
+    corpus into training windows; this one windows WITHIN a doc.
+
+    Chunks cover [i·stride, i·stride + chunk_chars); the last chunk is
+    shorter; a doc shorter than one chunk yields exactly one chunk
+    (empty text included); NULL text yields no rows (nothing to
+    embed). Pure narrow plan: length → sequence → explode → substr, no
+    shuffle, no Python — at 10^12 docs this pipelines inside the scan,
+    and output rows ≈ corpus_chars / stride regardless of doc-length
+    skew (one 10-GB page explodes to rows, never to one giant task's
+    state).
+    """
+    from pyspark.sql import functions as F
+
+    if chunk_chars < 1 or stride < 1:
+        raise ValueError("chunk_chars and stride must be >= 1")
+    t = F.col(text_col)
+    n = F.length(t)
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - chunk_chars) / F.lit(float(stride))) + 1)).cast("int")
+    out = (df.where(t.isNotNull())
+             .withColumn("chunk_ix",
+                         F.explode(F.sequence(F.lit(0), n_chunks - 1))))
+    start = F.col("chunk_ix") * stride + 1  # substr is 1-based
+    return out.withColumn("chunk",
+                          t.substr(start, F.lit(chunk_chars)))

@@ -36,3 +36,37 @@ def test_with_script_mix_stays_in_codegen(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_chunk_documents_semantics(spark):
+    from datacanary_spark.operators.text_analysis import chunk_documents
+
+    rows = [(1, "abcdefghij"),   # 10 chars
+            (2, "abc"),          # shorter than one chunk
+            (3, ""),             # empty -> one empty chunk
+            (4, None)]           # null -> no rows
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_chars=4, stride=3)
+    got = sorted((r["doc_id"], r["chunk_ix"], r["chunk"])
+                 for r in out.collect())
+    # doc 1: ceil((10-4)/3)+1 = 3 chunks at offsets 0,3,6
+    assert got == [(1, 0, "abcd"), (1, 1, "defg"), (1, 2, "ghij"),
+                   (2, 0, "abc"), (3, 0, "")]
+    # full coverage: every char of doc 1 appears in some chunk
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_chars=0, stride=3)
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_chars=4, stride=0)
+
+
+def test_chunk_documents_overlap_and_narrow_plan(spark):
+    from datacanary_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame([(1, "x" * 1000)], "doc_id long, text string")
+    out = chunk_documents(df, chunk_chars=100, stride=60)
+    rows = out.collect()
+    # ceil((1000-100)/60)+1 = 16 chunks; consecutive chunks overlap 40
+    assert len(rows) == 16
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
