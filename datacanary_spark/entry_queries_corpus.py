@@ -985,16 +985,18 @@ def length_token_corr_by_lang(spark, sf_dir):
     on any engine or partitioning (F.corr's running float accumulation
     is not). The sanity check before using length as a cheap quality
     proxy."""
-    from datacanary_spark.functions.heuristics import words_expr
-
     d = _t(spark, sf_dir, "documents")
     xy = d.select(
         "lang", F.col("n_chars").alias("x"),
-        F.size(words_expr(F.col("text"))).cast("long").alias("y")) \
+        ta.token_count_ws(F.col("text")).alias("y")) \
         .where(F.col("text").isNotNull())
     out = cs.pearson_corr_by_group(xy, "x", "y", "lang")
-    return out.select("lang", "n", "sum_x", "sum_y", "sum_xy",
-                      "sum_xx", "sum_yy",
+    # component sums are decimal(38,0) in the operator (overflow-proof
+    # at 10^12 docs); the contract reports them as int64, exact at
+    # bench scales
+    longs = [F.col(c).cast("long").alias(c)
+             for c in ("sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy")]
+    return out.select("lang", "n", *longs,
                       F.bround(F.col("r"), 6).alias("r"))
 
 

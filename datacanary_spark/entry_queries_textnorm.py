@@ -207,11 +207,11 @@ _SCRIPT_INJECT_SQL = """
       SELECT lang,
              CAST(len(regexp_extract_all(t, '\\p{{L}}')) AS BIGINT)
                  AS letters,
-             CAST(len(regexp_extract_all(t, '[\\p{{Latin}}]')) AS BIGINT)
+             CAST(len(regexp_extract_all(t, '[^\\P{{Latin}}\\P{{L}}]')) AS BIGINT)
                  AS lat,
-             CAST(len(regexp_extract_all(t, '[\\p{{Cyrillic}}]')) AS BIGINT)
+             CAST(len(regexp_extract_all(t, '[^\\P{{Cyrillic}}\\P{{L}}]')) AS BIGINT)
                  AS cyr,
-             CAST(len(regexp_extract_all(t, '[\\p{{Greek}}]')) AS BIGINT)
+             CAST(len(regexp_extract_all(t, '[^\\P{{Greek}}\\P{{L}}]')) AS BIGINT)
                  AS grk
       FROM injected
     ),

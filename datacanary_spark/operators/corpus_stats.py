@@ -837,7 +837,13 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "url",
     The ops tool for continuous curation: after a recrawl + re-curate,
     the diff is what a human reviews and what incremental consumers
     (index updaters, trainers with replay buffers) consume instead of
-    the full corpus. Shape: one fingerprint projection per side (no
+    the full corpus.
+
+    PRECONDITION: ``id_col`` must be unique within each side (run the
+    diff on CURATED snapshots — post exact-dedup — not raw crawls): a
+    full-outer join fans out duplicate ids cartesian-per-key, so a
+    url appearing twice on both sides would produce four diff rows.
+    Shape: one fingerprint projection per side (no
     pre-shuffle state) + a single full-outer SMJ/hash join on the id —
     the minimum possible for a diff; both sides prune to
     (id, fingerprint) before the exchange, so 100-TB text never
@@ -876,22 +882,33 @@ def pearson_corr_by_group(df: DataFrame, x_col: str, y_col: str,
     the volume. Rows with a NULL in either column are excluded
     pairwise (the standard corr() semantics); groups with zero
     variance in either column yield NULL r.
+
+    Overflow domain: sums and products run in decimal(38,0) — int64
+    products like (Σx)² would wrap silently past Σx ≈ 3·10⁹, i.e. a
+    few GB of text in ONE group. decimal(38,0) carries n·Σx² exactly
+    to ~10³⁸: at 10¹² docs of 10⁴-char pages that term is ~10²⁰ —
+    thirty orders of headroom, and matching DuckDB's HUGEINT
+    promotion. The reported component columns stay decimal(38,0) so
+    they are exact at any scale too.
     """
-    x = F.col(x_col).cast("long")
-    y = F.col(y_col).cast("long")
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
     both = x.isNotNull() & y.isNotNull()
     agg = (df.where(both).groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sum_x"), F.sum(y).alias("sum_y"),
-        F.sum(x * y).alias("sum_xy"),
-        F.sum(x * x).alias("sum_xx"), F.sum(y * y).alias("sum_yy")))
-    n = F.col("n")
-    num = (n * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")) \
-        .cast("double")
-    vx = (n * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")) \
-        .cast("double")
-    vy = (n * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")) \
-        .cast("double")
+        F.sum(x).cast(dec).alias("sum_x"),
+        F.sum(y).cast(dec).alias("sum_y"),
+        F.sum((x * y).cast(dec)).cast(dec).alias("sum_xy"),
+        F.sum((x * x).cast(dec)).cast(dec).alias("sum_xx"),
+        F.sum((y * y).cast(dec)).cast(dec).alias("sum_yy")))
+    n = F.col("n").cast(dec)
+    num = ((n * F.col("sum_xy")).cast(dec)
+           - (F.col("sum_x") * F.col("sum_y")).cast(dec)).cast("double")
+    vx = ((n * F.col("sum_xx")).cast(dec)
+          - (F.col("sum_x") * F.col("sum_x")).cast(dec)).cast("double")
+    vy = ((n * F.col("sum_yy")).cast(dec)
+          - (F.col("sum_y") * F.col("sum_y")).cast(dec)).cast("double")
     r = F.when((vx > 0) & (vy > 0),
                num / (F.sqrt(vx) * F.sqrt(vy)))
     return agg.withColumn("r", r)

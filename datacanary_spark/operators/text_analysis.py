@@ -592,13 +592,14 @@ def with_script_mix(df, text_col: str = "text",
     Web spam loves script mixing (Cyrillic lookalikes inside Latin
     words defeat naive keyword filters; CCNet-style pipelines flag
     wrong-alphabet text for a claimed language). All counting is
-    ``regexp_count`` over script classes — pure codegen expressions,
-    no shuffle, no Python; a 100-TB pass fuses into the scan stage.
-    Adds ``letter_chars``, ``<s>_chars``/``<s>_frac`` per script, and
-    ``mixed_script`` (null text → null counts, flag null).
+    ``regexp_count`` over script-and-letter classes (``[^\\P{X}\\P{L}]`` —
+    the double-negation intersection both Java regex and RE2 accept,
+    so combining marks/symbols that belong to a script but aren't
+    letters can never push a fraction above 1.0) — pure codegen
+    expressions, no shuffle, no Python; a 100-TB pass fuses into the
+    scan stage. Adds ``letter_chars``, ``<s>_chars``/``<s>_frac`` per
+    script, and ``mixed_script`` (null text → null counts, flag null).
     """
-    from pyspark.sql import functions as F
-
     names = list(scripts) if scripts is not None else list(SCRIPTS)
     unknown = [s for s in names if s not in SCRIPTS]
     if unknown:
@@ -609,7 +610,8 @@ def with_script_mix(df, text_col: str = "text",
                         F.regexp_count(t, F.lit(r"\p{L}")))
     flags = []
     for s in names:
-        chars = F.regexp_count(t, F.lit(f"[\\p{{Is{SCRIPTS[s]}}}]"))
+        chars = F.regexp_count(
+            t, F.lit(f"[^\\P{{Is{SCRIPTS[s]}}}\\P{{L}}]"))
         out = out.withColumn(f"{s}_chars", chars)
         frac = F.try_divide(F.col(f"{s}_chars").cast("double"),
                             F.col("letter_chars"))
@@ -644,10 +646,14 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
     skew (one 10-GB page explodes to rows, never to one giant task's
     state).
     """
-    from pyspark.sql import functions as F
-
     if chunk_chars < 1 or stride < 1:
         raise ValueError("chunk_chars and stride must be >= 1")
+    if stride > chunk_chars:
+        # a stride past the window leaves [i*stride+chunk, (i+1)*stride)
+        # uncovered and spawns empty phantom chunks past the text end —
+        # the full-coverage contract above would silently break
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_chars ({chunk_chars})")
     t = F.col(text_col)
     n = F.length(t)
     n_chunks = F.greatest(

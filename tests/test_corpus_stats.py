@@ -801,3 +801,14 @@ def test_pearson_corr_matches_numpy_and_edge_cases(spark):
     assert got["const"]["r"] is None          # zero variance -> null
     assert got["b"]["n"] == 2                 # pairwise null exclusion
     assert got["b"]["r"] == -1.0
+
+
+def test_pearson_corr_survives_int64_overflow_range(spark):
+    # (sum_x)^2 here is ~2.3e20 — an int64 formulation wraps silently;
+    # the decimal(38,0) path must return exactly 1.0
+    rows = [("big", 3_000_000_000 + i, 3_000_000_000 + i)
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "lang string, x long, y long")
+    [r] = cs.pearson_corr_by_group(df, "x", "y", "lang").collect()
+    assert abs(r["r"] - 1.0) < 1e-12   # int64 wrap would null/garble it
+    assert int(r["sum_x"]) == sum(x for _, x, _ in rows)

@@ -70,3 +70,24 @@ def test_chunk_documents_overlap_and_narrow_plan(spark):
     assert len(rows) == 16
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_script_fractions_never_exceed_one(spark):
+    from datacanary_spark.operators.text_analysis import with_script_mix
+
+    # titlo U+0483 is Cyrillic-script but NOT a letter (Mn): it must
+    # count for neither the numerator nor the denominator
+    df = spark.createDataFrame([(1, "аб҃")], "doc_id long, text string")
+    [r] = with_script_mix(df, scripts=["cyrillic"]).collect()
+    assert r["letter_chars"] == 2
+    assert r["cyrillic_chars"] == 2
+    assert r["cyrillic_frac"] == 1.0
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    from datacanary_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_chars=100, stride=150)
