@@ -961,3 +961,37 @@ def split_leakage_pairs(spark, sf_dir):
     costs one aggregation over the pair set."""
     pairs = dd.near_dup_pairs(_minhash_corpus(spark, sf_dir), threshold=0.5)
     return _cs.split_leakage_stats(pairs, "id_a", "id_b", _LEAK_FRACTIONS)
+
+
+@register(
+    "origin_split_leakage_pairs",
+    f"""
+    WITH pairs AS ({_MINHASH_SQL}),
+    cls AS (
+      SELECT {_cs.duck_split_case('id_a % 100000', _LEAK_FRACTIONS)}
+                 AS split_a,
+             {_cs.duck_split_case('id_b % 100000', _LEAK_FRACTIONS)}
+                 AS split_b,
+             id_a, id_b
+      FROM pairs
+    )
+    SELECT split_a, split_b, count(*) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids,
+           split_a <> split_b AS leaked
+    FROM cls
+    GROUP BY split_a, split_b
+    """,
+)
+def origin_split_leakage_pairs(spark, sf_dir):
+    """The group-aware-split fix audited: the same MinHash pairs, but
+    the split key is the ORIGIN (doc_id mod 100000 — the base document
+    a planted near-dup derives from, the fixture's stand-in for a url
+    host). Every planted pair shares its origin, so by construction no
+    planted pair leaks across the boundary — compare the leaked rows
+    here against split_leakage_pairs to see what origin-keyed
+    splitting buys. Same plan shape: a pure CASE per side, one
+    aggregation over the pair set."""
+    pairs = dd.near_dup_pairs(_minhash_corpus(spark, sf_dir), threshold=0.5)
+    return _cs.split_leakage_stats(
+        pairs, "id_a", "id_b", _LEAK_FRACTIONS,
+        key_a=F.col("id_a") % 100000, key_b=F.col("id_b") % 100000)

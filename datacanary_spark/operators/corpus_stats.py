@@ -752,7 +752,9 @@ def duck_split_case(key_sql: str,
 def split_leakage_stats(pairs: DataFrame, id_a: str = "id_a",
                         id_b: str = "id_b",
                         fractions: dict[str, float] | None = None,
-                        salt: str = "split") -> DataFrame:
+                        salt: str = "split",
+                        key_a: Column | None = None,
+                        key_b: Column | None = None) -> DataFrame:
     """Contamination audit for a hash split: classify every near-dup
     pair by the splits its two sides land in. A ``leaked`` row
     (split_a ≠ split_b) is a document whose near-duplicate sits across
@@ -765,9 +767,18 @@ def split_leakage_stats(pairs: DataFrame, id_a: str = "id_a",
     no join against an assignment table, so the audit adds one
     aggregation over the (tiny relative to corpus) pair set.
     ``sum_ids`` pins pair membership, not just counts.
+
+    ``key_a``/``key_b`` override the split KEY expression per side
+    (default: the id itself). Pass the ORIGIN key both sides derive
+    from (host, canonical url, site id) to audit — or design — a
+    group-aware split: near-dups sharing the origin then share the
+    split by construction, which is the standard fix when the
+    doc-level audit shows material leakage.
     """
-    sa = split_expr(F.col(id_a), fractions, salt=salt)
-    sb = split_expr(F.col(id_b), fractions, salt=salt)
+    sa = split_expr(key_a if key_a is not None else F.col(id_a),
+                    fractions, salt=salt)
+    sb = split_expr(key_b if key_b is not None else F.col(id_b),
+                    fractions, salt=salt)
     return (pairs.select(sa.alias("split_a"), sb.alias("split_b"),
                          F.col(id_a), F.col(id_b))
             .groupBy("split_a", "split_b")

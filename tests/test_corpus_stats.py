@@ -812,3 +812,17 @@ def test_pearson_corr_survives_int64_overflow_range(spark):
     [r] = cs.pearson_corr_by_group(df, "x", "y", "lang").collect()
     assert abs(r["r"] - 1.0) < 1e-12   # int64 wrap would null/garble it
     assert int(r["sum_x"]) == sum(x for _, x, _ in rows)
+
+
+def test_split_leakage_key_override_collapses_same_origin_pairs(spark):
+    fr = {"train": 0.5, "test": 0.5}
+    # pairs whose two sides share an origin (id % 100): with the origin
+    # as split key no pair can leak; with the raw id some must
+    pairs = [(i, i + 100) for i in range(60)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    by_id = cs.split_leakage_stats(df, fractions=fr).collect()
+    assert sum(r["n_pairs"] for r in by_id if r["leaked"]) > 0
+    by_origin = cs.split_leakage_stats(
+        df, fractions=fr,
+        key_a=F.col("id_a") % 100, key_b=F.col("id_b") % 100).collect()
+    assert sum(r["n_pairs"] for r in by_origin if r["leaked"]) == 0
