@@ -526,6 +526,42 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Training-data export: deterministic split + global shuffle +
+    sharded write. Output layout ``output/split=S/shard=K/part-*`` —
+    one sorted file per (split, shard); every placement is a pure
+    function of the key, so re-runs and cluster moves emit
+    byte-identical shards and later ingests never move a doc across
+    the split boundary."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators.corpus_stats import (
+        shuffle_to_shards,
+        split_assign,
+    )
+    from datacanary_spark.sources.io import read_table
+
+    fractions = parse_fractions(args.split, flag="--split")
+    spark = _spark(args)
+    df = read_table(spark, args.input)
+    staged = shuffle_to_shards(
+        split_assign(df, args.key_col, fractions, salt=args.split_salt),
+        args.key_col, args.n_shards, salt=args.shuffle_salt)
+    # lineage pass over the narrow assignment plan (no write yet):
+    # per-split doc counts the operator contract pins
+    counts = {r["split"]: r["n"] for r in
+              staged.groupBy("split")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # one sorted file per (split, shard): rows of a shard live in one
+    # task after the shard repartition, and partitionBy fans each
+    # task's rows into its (split, shard) directories
+    staged.write.partitionBy("split", "shard") \
+        .mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output, "splits": counts,
+                      "n_shards": args.n_shards}, sort_keys=True))
+    return 0
+
+
 def cmd_train_classifier(args) -> int:
     """Train the expression-inference quality classifier on a labeled
     parquet table and save the coefficient JSON (plans/classifier)."""
@@ -767,6 +803,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--salt", default="sample")
     s.add_argument("--default-fraction", type=float, default=0.0)
     s.set_defaults(fn=cmd_sample)
+
+    ex = sub.add_parser(
+        "export",
+        help="training-data export: split + global shuffle + sharded "
+             "write (output/split=S/shard=K, one sorted file per shard)")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--key-col", default="url",
+                    help="unique doc key; drives BOTH the split and the "
+                         "shuffle permutation (default url)")
+    ex.add_argument("--split", default="train=0.98,val=0.01,test=0.01",
+                    help="ordered name=fraction pairs summing to 1.0")
+    ex.add_argument("--n-shards", type=int, default=16)
+    ex.add_argument("--split-salt", default="split")
+    ex.add_argument("--shuffle-salt", default="shuffle")
+    ex.set_defaults(fn=cmd_export)
 
     cu = sub.add_parser("curate",
                         help="filter + dedup + mix end-to-end corpus job")

@@ -1236,3 +1236,37 @@ def test_check_pattern_rules_run_full_data(spark, tmp_path, capsys):
                 if r["rule_name"].startswith("pattern")]
     assert verdicts and verdicts[0]["passed"] is False
     assert verdicts[0]["invalid_count"] == 1
+
+
+def test_export_split_shuffle_shards(spark, tmp_path, capsys):
+    """export writes output/split=S/shard=K with one file per pair,
+    deterministic across re-runs; split counts in the summary."""
+    import glob
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "120",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "export")
+    assert main(["export", "--input", pages, "--output", out,
+                 "--key-col", "url", "--n-shards", "4",
+                 "--split", "train=0.5,heldout=0.5"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["splits"]["train"] + s["splits"]["heldout"] == 120
+    assert s["splits"]["train"] > 0 and s["splits"]["heldout"] > 0
+    pair_dirs = glob.glob(f"{out}/split=*/shard=*")
+    assert 0 < len(pair_dirs) <= 8
+    for d in pair_dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 120
+    first = {r["url"]: (r["split"], r["shard"], r["shuffle_key"])
+             for r in back.collect()}
+    # re-run into a second dir: identical placement (pure key function)
+    out2 = str(tmp_path / "export2")
+    assert main(["export", "--input", pages, "--output", out2,
+                 "--key-col", "url", "--n-shards", "4",
+                 "--split", "train=0.5,heldout=0.5"]) == 0
+    second = {r["url"]: (r["split"], r["shard"], r["shuffle_key"])
+              for r in spark.read.parquet(out2).collect()}
+    assert first == second
