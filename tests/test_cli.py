@@ -1270,3 +1270,28 @@ def test_export_split_shuffle_shards(spark, tmp_path, capsys):
     second = {r["url"]: (r["split"], r["shard"], r["shuffle_key"])
               for r in spark.read.parquet(out2).collect()}
     assert first == second
+
+
+def test_export_job_delegates_to_cli(monkeypatch):
+    """jobs/export_job.py forwards its argv to the CLI export
+    subcommand verbatim (the no-flag-drift delegation contract)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "export_job", "jobs/export_job.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    seen = {}
+
+    def fake_main(argv):
+        seen["argv"] = argv
+        return 0
+
+    import sys as _sys
+
+    import datacanary_spark.cli as cli_mod
+    monkeypatch.setattr(cli_mod, "main", fake_main)
+    monkeypatch.setattr(_sys, "argv",
+                        ["export_job.py", "--input", "a", "--output", "b"])
+    assert mod.main() == 0
+    assert seen["argv"] == ["export", "--input", "a", "--output", "b"]
