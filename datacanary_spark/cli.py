@@ -536,27 +536,39 @@ def cmd_export(args) -> int:
     from pyspark.sql import functions as F
 
     from datacanary_spark.operators.corpus_stats import (
+        _validated_fractions,
         shuffle_to_shards,
         split_assign,
+        write_shards,
     )
     from datacanary_spark.sources.io import read_table
 
     fractions = parse_fractions(args.split, flag="--split")
+    try:
+        # fail on a bad split spec (sum != 1, zero fraction) BEFORE
+        # paying JVM startup, with a clean usage error like every
+        # other flag-validation path
+        _validated_fractions(fractions)
+    except ValueError as e:
+        raise SystemExit(f"--split: {e}")
     spark = _spark(args)
     df = read_table(spark, args.input)
-    staged = shuffle_to_shards(
-        split_assign(df, args.key_col, fractions, salt=args.split_salt),
-        args.key_col, args.n_shards, salt=args.shuffle_salt)
-    # lineage pass over the narrow assignment plan (no write yet):
-    # per-split doc counts the operator contract pins
-    counts = {r["split"]: r["n"] for r in
-              staged.groupBy("split")
-                    .agg(F.count(F.lit(1)).alias("n")).collect()}
-    # one sorted file per (split, shard): rows of a shard live in one
-    # task after the shard repartition, and partitionBy fans each
-    # task's rows into its (split, shard) directories
-    staged.write.partitionBy("split", "shard") \
-        .mode("overwrite").parquet(args.output)
+    assigned = split_assign(df, args.key_col, fractions,
+                            salt=args.split_salt)
+    # lineage pass over the PRE-shuffle assignment (scan + CASE only —
+    # counting the sharded frame would execute the md5 Exchange twice).
+    # Seed every configured split so an empty one is visibly 0, and
+    # count NULL keys (null split/shard by design) separately.
+    counts: dict = {name: 0 for name in fractions}
+    counts["null_key"] = 0
+    for r in (assigned.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()):
+        counts["null_key" if r["split"] is None else r["split"]] = r["n"]
+    staged = shuffle_to_shards(assigned, args.key_col, args.n_shards,
+                               salt=args.shuffle_salt)
+    # one sorted file per (split, shard) — write_shards owns the
+    # layout contract (including the write-time sort pinning)
+    write_shards(staged, args.output, partition_cols=("split", "shard"))
     print(json.dumps({"output": args.output, "splits": counts,
                       "n_shards": args.n_shards}, sort_keys=True))
     return 0

@@ -829,13 +829,28 @@ def shuffle_to_shards(df: DataFrame, key_col: str, n_shards: int,
 
 
 def write_shards(sharded: DataFrame, path: str,
-                 shard_col: str = "shard") -> None:
+                 partition_cols: tuple[str, ...] = ("shard",),
+                 order_col: str = "shuffle_key") -> None:
     """Write a ``shuffle_to_shards`` frame as exactly one file per
-    shard (``path/shard=K/part-*``): every shard's rows live in a
-    single task after the shard repartition, so partitionBy emits one
-    sorted file per shard value — the balanced n-file training layout
-    — independent of how hash(shard) % n packed shards into tasks."""
-    sharded.write.partitionBy(shard_col).mode("overwrite").parquet(path)
+    partition-column combination (``path/shard=K/part-*``, or
+    ``path/split=S/shard=K/...`` when a split column leads): every
+    shard's rows live in a single task after the shard repartition, so
+    partitionBy emits one sorted file per value — the balanced n-file
+    training layout — independent of how hash(shard) % n packed
+    shards into tasks.
+
+    The explicit sortWithinPartitions here is load-bearing: the write
+    path requires rows ordered by the PARTITION columns and would
+    otherwise insert its own Sort on exactly those columns — which
+    excludes ``order_col``, so within-file order would then depend on
+    sort stability and spill-merge arrival, breaking the re-runs-are-
+    byte-identical contract. Sorting (partition_cols…, order_col)
+    satisfies the writer's requirement (prefix match, no extra sort)
+    AND pins the in-file order.
+    """
+    (sharded.sortWithinPartitions(*partition_cols, order_col)
+            .write.partitionBy(*partition_cols)
+            .mode("overwrite").parquet(path))
 
 
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "url",

@@ -62,6 +62,7 @@ def run_leg(cpus: int) -> dict:
     from datacanary_spark.operators.corpus_stats import (
         shuffle_to_shards,
         split_assign,
+        write_shards,
     )
     from datacanary_spark.session import get_spark
 
@@ -89,8 +90,7 @@ def run_leg(cpus: int) -> dict:
             staged = shuffle_to_shards(
                 split_assign(corpus, "doc_id", dict(SPLITS)),
                 "doc_id", N_SHARDS)
-            staged.write.partitionBy("split", "shard") \
-                .mode("overwrite").parquet(out)
+            write_shards(staged, out, partition_cols=("split", "shard"))
             return time.perf_counter() - t0
         finally:
             shutil.rmtree(out, ignore_errors=True)

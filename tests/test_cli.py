@@ -1254,6 +1254,7 @@ def test_export_split_shuffle_shards(spark, tmp_path, capsys):
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["splits"]["train"] + s["splits"]["heldout"] == 120
     assert s["splits"]["train"] > 0 and s["splits"]["heldout"] > 0
+    assert s["splits"]["null_key"] == 0  # seeded, visible when empty
     pair_dirs = glob.glob(f"{out}/split=*/shard=*")
     assert 0 < len(pair_dirs) <= 8
     for d in pair_dirs:
@@ -1270,6 +1271,13 @@ def test_export_split_shuffle_shards(spark, tmp_path, capsys):
     second = {r["url"]: (r["split"], r["shard"], r["shuffle_key"])
               for r in spark.read.parquet(out2).collect()}
     assert first == second
+    # within-file order is pinned: each part file ascends by
+    # shuffle_key (the write-time sort contract of write_shards)
+    for d in pair_dirs:
+        [f] = glob.glob(f"{d}/part-*.parquet")
+        keys = [r["shuffle_key"]
+                for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys)
 
 
 def test_export_job_delegates_to_cli(monkeypatch):
@@ -1295,3 +1303,46 @@ def test_export_job_delegates_to_cli(monkeypatch):
                         ["export_job.py", "--input", "a", "--output", "b"])
     assert mod.main() == 0
     assert seen["argv"] == ["export", "--input", "a", "--output", "b"]
+
+
+def test_export_null_keys_and_bad_split_spec(spark, tmp_path, capsys):
+    """A NULL key exports under the null partition and is counted as
+    null_key (not a crash); a bad --split spec dies as a clean usage
+    error before any Spark work."""
+    import numpy as np
+
+    from datacanary_spark.sources.fixtures import (
+        _insert_lines,
+        _sample_words,
+    )
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "40",
+                 "--files", "1"]) == 0
+    rng = np.random.default_rng(11)
+    nullrow = [(None, None, None,
+                _insert_lines(rng, _sample_words(rng, "en", 50)), "en")]
+    # PAGES_SCHEMA pins url non-null; a dirty upstream table may not —
+    # write the null-key row through an all-nullable twin schema
+    spark.createDataFrame(
+        nullrow, "url string, warc_ts timestamp, html binary, "
+                 "text string, lang string").coalesce(1) \
+        .write.mode("append").parquet(pages)
+    capsys.readouterr()
+    out = str(tmp_path / "export")
+    assert main(["export", "--input", pages, "--output", out,
+                 "--key-col", "url", "--n-shards", "3",
+                 "--split", "train=0.5,heldout=0.5"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["splits"]["null_key"] == 1
+    assert s["splits"]["train"] + s["splits"]["heldout"] == 40
+    back = spark.read.parquet(out)
+    assert back.count() == 41
+    assert back.where(F.col("split").isNull()).count() == 1
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="--split"):
+        main(["export", "--input", pages, "--output", out,
+              "--split", "train=0.6,val=0.3"])
+    with _pt.raises(SystemExit, match="--split"):
+        main(["export", "--input", pages, "--output", out,
+              "--split", "train=1.0,val=0.0"])
