@@ -1346,3 +1346,30 @@ def test_export_null_keys_and_bad_split_spec(spark, tmp_path, capsys):
     with _pt.raises(SystemExit, match="--split"):
         main(["export", "--input", pages, "--output", out,
               "--split", "train=1.0,val=0.0"])
+
+
+def test_curate_then_export_composition(spark, tmp_path, capsys):
+    """The full corpus lifecycle in two jobs: curate (filter + dedup)
+    then export (split + shuffle + shards) over curate's corpus —
+    every written doc is placed, counts agree across the boundary."""
+    import glob
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "100",
+                 "--files", "2"]) == 0
+    curated = str(tmp_path / "curated")
+    assert main(["curate", "--input", pages, "--output", curated,
+                 "--normalize", "NFC"]) == 0
+    csum = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out = str(tmp_path / "shards")
+    assert main(["export", "--input", curated + "/corpus",
+                 "--output", out, "--key-col", "url", "--n-shards", "2",
+                 "--split", "train=0.9,val=0.1"]) == 0
+    esum = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    placed = esum["splits"]["train"] + esum["splits"]["val"] \
+        + esum["splits"]["null_key"]
+    assert placed == csum["final_docs"] > 0
+    assert esum["splits"]["null_key"] == 0  # curate keys are urls
+    files = glob.glob(f"{out}/split=*/shard=*/part-*.parquet")
+    assert spark.read.parquet(out).count() == csum["final_docs"]
+    assert 0 < len(files) <= 4
