@@ -716,7 +716,8 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--chunks", type=int, default=4)
     f.add_argument("--buckets", type=int, default=None)
     f.add_argument("--from-html", action="store_true")
-    f.add_argument("--input-format", choices=["parquet", "warc", "wet"],
+    f.add_argument("--input-format",
+                   choices=["parquet", "jsonl", "warc", "wet"],
                    default="parquet",
                    help="pages parquet (default), raw WARC crawls "
                         "(response bodies -> html; use --from-html "
@@ -874,7 +875,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="occurrences needed before a window counts as "
                          "repeated (default 2)")
     cu.add_argument("--from-html", action="store_true")
-    cu.add_argument("--input-format", choices=["parquet", "warc", "wet"],
+    cu.add_argument("--input-format",
+                    choices=["parquet", "jsonl", "warc", "wet"],
                     default="parquet",
                     help="pages parquet (default), or curate straight "
                          "from crawl containers: raw WARC (use "

@@ -43,6 +43,8 @@ _FORMAT_GLOBS = {
     # Common-Crawl publication format (multi-member gzip, one per record)
     "warc": ("*.warc", "*.warc.gz"),
     "wet": ("*.wet", "*.wet.gz", "*.warc.wet.gz"),
+    # published-corpus dumps: one JSON object per line, gzip per file
+    "jsonl": ("*.jsonl", "*.jsonl.gz", "*.json", "*.json.gz"),
 }
 
 
@@ -217,6 +219,10 @@ def run_filter_job(
             continue
         if input_format == "parquet":
             df = spark.read.parquet(*files)
+        elif input_format == "jsonl":
+            from datacanary_spark.sources.io import read_pages_jsonl
+
+            df = read_pages_jsonl(spark, files)
         else:
             from datacanary_spark.plans.pipeline import pages_from_warc
 

@@ -106,7 +106,9 @@ def run_curation_job(
     byte-different spellings of one page collapse. Incompatible with
     ``extract_from_html`` (there the text is born inside the filter
     stage; extraction output normalization is the extractor's
-    whitespace policy). ``input_format`` ``"warc"``/``"wet"`` curates
+    whitespace policy). ``input_format`` ``"jsonl"`` curates from
+    published-corpus dumps (one JSON object per line, gzip per file —
+    `sources/io.read_pages_jsonl`); ``"warc"``/``"wet"`` curates
     straight from crawl containers (``pages_from_warc``; pair warc with
     ``extract_from_html=True, extractor="real"``); ``http_ok_only``
     drops non-2xx response bodies at the source, as in the filter job. ``c4_clean`` enables C4's line-quality pass
@@ -190,6 +192,12 @@ def run_curation_job(
     try:
         if input_format == "parquet":
             pages = read_table(spark, input_path)
+        elif input_format == "jsonl":
+            from datacanary_spark.plans.checkpoint import _chunk_files
+            from datacanary_spark.sources.io import read_pages_jsonl
+
+            pages = read_pages_jsonl(
+                spark, _chunk_files(input_path, 1, "jsonl")[0])
         elif input_format in ("warc", "wet"):
             # raw crawl -> curated corpus in one job: reuse the filter
             # job's container source (per-file parallelism, record
@@ -217,7 +225,7 @@ def run_curation_job(
                                 ok_only=http_ok_only))
         else:
             raise ValueError(f"unknown input_format {input_format!r} "
-                             f"(expected parquet, warc, or wet)")
+                             f"(expected parquet, jsonl, warc, or wet)")
         if blocklist is not None:
             from datacanary_spark.operators.text_analysis import (
                 filter_blocked_domains,

@@ -278,3 +278,42 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
             os.path.join(path, f"{file_prefix}-{start_id:08d}-{part:05d}.parquet"),
             coerce_timestamps="us", allow_truncated_timestamps=True)
         part += 1
+
+
+def write_pages_jsonl(path: str, n_docs: int, seed: int = 42,
+                      files: int = 2, gzip_files: bool = True,
+                      start_id: int = 0) -> None:
+    """Write the same seeded pages as JSONL dump files (the published-
+    corpus wire format `sources/io.read_pages_jsonl` ingests): one JSON
+    object per line — ``warc_ts`` ISO-8601, ``html`` base64 (JSON has
+    no binary) — gzip per file when ``gzip_files``. Deterministic twin
+    of ``write_pages_parquet`` for format-parity tests."""
+    import base64
+    import gzip as _gzip
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    pdf = generate_pages_pandas(n_docs, seed=seed, start_id=start_id)
+    per = (len(pdf) + files - 1) // files
+    for fx in range(files):
+        chunk = pdf.iloc[fx * per:(fx + 1) * per]
+        lines = []
+        for r in chunk.itertuples(index=False):
+            lines.append(_json.dumps({
+                "url": r.url,
+                "warc_ts": r.warc_ts.isoformat(),
+                "html": (base64.b64encode(bytes(r.html)).decode("ascii")
+                         if r.html is not None else None),
+                "text": r.text,
+                "lang": r.lang,
+            }, ensure_ascii=False))
+        blob = ("\n".join(lines) + "\n").encode("utf-8")
+        if gzip_files:
+            with open(_os.path.join(path, f"part-{fx:04d}.jsonl.gz"),
+                      "wb") as f:
+                f.write(_gzip.compress(blob))
+        else:
+            with open(_os.path.join(path, f"part-{fx:04d}.jsonl"),
+                      "wb") as f:
+                f.write(blob)

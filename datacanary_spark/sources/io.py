@@ -339,3 +339,36 @@ def object_metadata(spark: SparkSession, uri: str) -> dict:
             st.getModificationTime() / 1000.0, tz=timezone.utc).isoformat(),
         "is_dir": st.isDirectory(),
     }
+
+
+# JSONL pages: the common published-corpus dump format (C4/OSCAR-style
+# releases ship one JSON object per line, gzip per file). Wire schema:
+# strings only — warc_ts ISO-8601, html base64 (JSON has no binary).
+PAGES_JSONL_WIRE_SCHEMA = (
+    "url string, warc_ts string, html string, text string, lang string")
+
+
+def read_pages_jsonl(spark: SparkSession, paths) -> DataFrame:
+    """Read JSONL pages files into the PAGES_SCHEMA shape, lazily.
+
+    The schema is EXPLICIT — ``inferSchema`` on JSON is a full extra
+    pass over 100 TB before any work starts — and parsing is
+    PERMISSIVE: a corrupt line yields a null-field row instead of
+    failing the split (same tolerance stance as the WARC reader; the
+    filter's null-text handling absorbs them, and `url IS NULL AND
+    text IS NULL` rows are dropped here as unusable). Compression is
+    transparent by extension (.gz/.zst per Hadoop codecs). One task
+    per file split; gzip files are unsplittable, which matches the
+    published-corpus grain of ~100 MB-1 GB per file.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(paths, str):
+        paths = [paths]
+    raw = spark.read.schema(PAGES_JSONL_WIRE_SCHEMA).json(list(paths))
+    return (raw.where(F.col("url").isNotNull()
+                      | F.col("text").isNotNull())
+               .select(F.col("url"),
+                       F.to_timestamp("warc_ts").alias("warc_ts"),
+                       F.unbase64("html").alias("html"),
+                       F.col("text"), F.col("lang")))

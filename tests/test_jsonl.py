@@ -1,0 +1,93 @@
+"""JSONL pages ingestion: format parity with parquet through the
+filter job, reader semantics (base64 html, ISO timestamps, corrupt
+lines), and curate-from-jsonl."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from datacanary_spark.plans import checkpoint as cp
+from datacanary_spark.sources.fixtures import (
+    write_pages_jsonl,
+    write_pages_parquet,
+)
+from datacanary_spark.sources.io import read_pages_jsonl
+
+N_DOCS = 60
+
+
+def _verdicts(spark, out):
+    rows = spark.read.parquet(os.path.join(out, "data")).select(
+        "url", "keep", "scrubbed_text").collect()
+    return {r.url: (r.keep, r.scrubbed_text) for r in rows}
+
+
+def test_jsonl_matches_parquet_pipeline(spark, tmp_path):
+    pq = str(tmp_path / "pages")
+    jl = str(tmp_path / "jsonl")
+    write_pages_parquet(pq, n_docs=N_DOCS, seed=42)
+    write_pages_jsonl(jl, n_docs=N_DOCS, seed=42, files=3)
+
+    s_pq = cp.run_filter_job(spark, pq, str(tmp_path / "out_pq"),
+                             n_chunks=2)
+    s_jl = cp.run_filter_job(spark, jl, str(tmp_path / "out_jl"),
+                             n_chunks=2, input_format="jsonl")
+    assert s_pq["docs"] == s_jl["docs"] == N_DOCS
+    assert _verdicts(spark, str(tmp_path / "out_pq")) == \
+        _verdicts(spark, str(tmp_path / "out_jl"))
+
+
+def test_read_pages_jsonl_semantics(spark, tmp_path):
+    d = tmp_path / "jl"
+    d.mkdir()
+    lines = [
+        '{"url":"http://a.example/1","warc_ts":"2024-03-01T12:30:00",'
+        '"html":"PGI+eDwvYj4=","text":"hello","lang":"en"}',
+        # no html, no ts
+        '{"url":"http://a.example/2","text":"t2","lang":"de"}',
+        'this is not json at all {{{',
+        # null url AND null text -> dropped as unusable
+        '{"lang":"fr"}',
+        # text present, url missing -> kept (usable content)
+        '{"text":"orphan text"}',
+    ]
+    (d / "a.jsonl").write_text("\n".join(lines) + "\n")
+    # gzip twin in the same dir — transparent by extension
+    (d / "b.jsonl.gz").write_bytes(gzip.compress(
+        b'{"url":"http://a.example/3","text":"t3","lang":"en"}\n'))
+
+    from datacanary_spark.plans.checkpoint import _chunk_files
+
+    files = _chunk_files(str(d), 1, "jsonl")[0]
+    rows = {r["url"]: r for r in read_pages_jsonl(spark, files).collect()}
+    assert set(rows) == {"http://a.example/1", "http://a.example/2",
+                         "http://a.example/3", None}
+    r1 = rows["http://a.example/1"]
+    assert bytes(r1["html"]) == b"<b>x</b>"
+    assert r1["warc_ts"].year == 2024 and r1["warc_ts"].minute == 30
+    assert rows["http://a.example/2"]["html"] is None
+    assert rows[None]["text"] == "orphan text"
+    # schema matches the parquet pages shape
+    got = dict(read_pages_jsonl(spark, files).dtypes)
+    assert got == {"url": "string", "warc_ts": "timestamp",
+                   "html": "binary", "text": "string", "lang": "string"}
+
+
+def test_curate_from_jsonl_matches_parquet(spark, tmp_path):
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pq = str(tmp_path / "pages")
+    jl = str(tmp_path / "jsonl")
+    write_pages_parquet(pq, n_docs=N_DOCS, seed=42)
+    write_pages_jsonl(jl, n_docs=N_DOCS, seed=42, files=2,
+                      gzip_files=False)
+    s1 = run_curation_job(spark, pq, str(tmp_path / "c_pq"))
+    s2 = run_curation_job(spark, jl, str(tmp_path / "c_jl"),
+                          input_format="jsonl")
+    assert s1["final_docs"] == s2["final_docs"] > 0
+    a = {(r["url"], r["text"]) for r in
+         spark.read.parquet(str(tmp_path / "c_pq") + "/corpus").collect()}
+    b = {(r["url"], r["text"]) for r in
+         spark.read.parquet(str(tmp_path / "c_jl") + "/corpus").collect()}
+    assert a == b
