@@ -566,11 +566,22 @@ def cmd_export(args) -> int:
         counts["null_key" if r["split"] is None else r["split"]] = r["n"]
     staged = shuffle_to_shards(assigned, args.key_col, args.n_shards,
                                salt=args.shuffle_salt)
+    if args.output_format == "jsonl":
+        # JSON has no binary: base64 binary columns to the same wire
+        # form read_pages_jsonl ingests, so exports round-trip
+        from pyspark.sql import types as T
+
+        for f_ in staged.schema.fields:
+            if isinstance(f_.dataType, T.BinaryType):
+                staged = staged.withColumn(
+                    f_.name, F.base64(F.col(f_.name)))
     # one sorted file per (split, shard) — write_shards owns the
     # layout contract (including the write-time sort pinning)
-    write_shards(staged, args.output, partition_cols=("split", "shard"))
+    write_shards(staged, args.output, partition_cols=("split", "shard"),
+                 fmt=args.output_format)
     print(json.dumps({"output": args.output, "splits": counts,
-                      "n_shards": args.n_shards}, sort_keys=True))
+                      "n_shards": args.n_shards,
+                      "format": args.output_format}, sort_keys=True))
     return 0
 
 
@@ -831,6 +842,11 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--n-shards", type=int, default=16)
     ex.add_argument("--split-salt", default="split")
     ex.add_argument("--shuffle-salt", default="shuffle")
+    ex.add_argument("--output-format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="jsonl = gzipped JSON-lines shards (binary "
+                         "columns base64d, the read_pages_jsonl wire "
+                         "form) for loaders that stream text directly")
     ex.set_defaults(fn=cmd_export)
 
     cu = sub.add_parser("curate",

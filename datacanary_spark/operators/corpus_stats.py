@@ -830,7 +830,8 @@ def shuffle_to_shards(df: DataFrame, key_col: str, n_shards: int,
 
 def write_shards(sharded: DataFrame, path: str,
                  partition_cols: tuple[str, ...] = ("shard",),
-                 order_col: str = "shuffle_key") -> None:
+                 order_col: str = "shuffle_key",
+                 fmt: str = "parquet") -> None:
     """Write a ``shuffle_to_shards`` frame as exactly one file per
     partition-column combination (``path/shard=K/part-*``, or
     ``path/split=S/shard=K/...`` when a split column leads): every
@@ -847,10 +848,20 @@ def write_shards(sharded: DataFrame, path: str,
     byte-identical contract. Sorting (partition_cols…, order_col)
     satisfies the writer's requirement (prefix match, no extra sort)
     AND pins the in-file order.
+
+    ``fmt="jsonl"`` emits gzipped JSON-lines shards instead (the
+    format most training loaders stream directly); binary columns
+    must be pre-encoded by the caller (JSON has no binary — the
+    export CLI base64s them, mirroring read_pages_jsonl's wire form).
     """
-    (sharded.sortWithinPartitions(*partition_cols, order_col)
-            .write.partitionBy(*partition_cols)
-            .mode("overwrite").parquet(path))
+    w = (sharded.sortWithinPartitions(*partition_cols, order_col)
+                .write.partitionBy(*partition_cols).mode("overwrite"))
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "jsonl":
+        w.option("compression", "gzip").json(path)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r} (parquet or jsonl)")
 
 
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "url",

@@ -1373,3 +1373,39 @@ def test_curate_then_export_composition(spark, tmp_path, capsys):
     files = glob.glob(f"{out}/split=*/shard=*/part-*.parquet")
     assert spark.read.parquet(out).count() == csum["final_docs"]
     assert 0 < len(files) <= 4
+
+
+def test_export_jsonl_output(spark, tmp_path, capsys):
+    """--output-format jsonl writes gzipped JSON-lines shards (one per
+    (split, shard)) whose content round-trips: same docs, html base64d
+    to the read_pages_jsonl wire form."""
+    import base64
+    import glob
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "60",
+                 "--files", "1"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "jl")
+    assert main(["export", "--input", pages, "--output", out,
+                 "--key-col", "url", "--n-shards", "2",
+                 "--split", "train=0.5,heldout=0.5",
+                 "--output-format", "jsonl"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["format"] == "jsonl"
+    files = glob.glob(f"{out}/split=*/shard=*/part-*.json.gz")
+    assert 0 < len(files) <= 4
+    for d in glob.glob(f"{out}/split=*/shard=*"):
+        assert len(glob.glob(f"{d}/part-*.json.gz")) == 1
+    back = spark.read.json(out)
+    assert back.count() == 60
+    # html survives as base64 of the original bytes
+    src = {r["url"]: r["html"] for r in
+           spark.read.parquet(pages).collect()}
+    got = {r["url"]: r["html"] for r in back.collect()}
+    for url, h in got.items():
+        want = src[url]
+        if want is None:
+            assert h is None
+        else:
+            assert base64.b64decode(h) == bytes(want)
