@@ -361,11 +361,18 @@ def read_pages_jsonl(spark: SparkSession, paths) -> DataFrame:
     per file split; gzip files are unsplittable, which matches the
     published-corpus grain of ~100 MB-1 GB per file.
     """
-    from pyspark.sql import functions as F
-
     if isinstance(paths, str):
         paths = [paths]
     raw = spark.read.schema(PAGES_JSONL_WIRE_SCHEMA).json(list(paths))
+    return pages_from_jsonl_raw(raw)
+
+
+def pages_from_jsonl_raw(raw: DataFrame) -> DataFrame:
+    """Wire-schema JSONL rows → PAGES_SCHEMA shape. Shared by the batch
+    reader above and the streaming front-end (readStream.json with the
+    same wire schema) so the two ingest paths can never drift."""
+    from pyspark.sql import functions as F
+
     return (raw.where(F.col("url").isNotNull()
                       | F.col("text").isNotNull())
                .select(F.col("url"),

@@ -41,8 +41,15 @@ def run_filter_stream(
     checkpoint_dir: str,
     cfg: FilterConfig | None = None,
     max_files_per_trigger: int | None = None,
+    input_format: str = "parquet",
 ) -> None:
     """Drain all available input through the filter once (AvailableNow).
+
+    ``input_format="jsonl"`` streams published-corpus dump files
+    instead (same wire schema + projection as the batch
+    `sources/io.read_pages_jsonl`, so the two ingest paths cannot
+    drift; Spark's file-source checkpoint tracks .jsonl[.gz] files
+    exactly like parquet ones).
 
     Restart-safe: Spark's checkpoint tracks processed files, so re-runs
     after new files land process ONLY the new files (incremental
@@ -58,10 +65,25 @@ def run_filter_stream(
     verdict_dir = os.path.join(output_dir, "verdicts")
     metrics_dir = os.path.join(output_dir, "metrics")
 
-    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if input_format == "jsonl":
+        from datacanary_spark.sources.io import (
+            PAGES_JSONL_WIRE_SCHEMA,
+            pages_from_jsonl_raw,
+        )
+
+        reader = spark.readStream.schema(PAGES_JSONL_WIRE_SCHEMA)
+    elif input_format == "parquet":
+        reader = spark.readStream.schema(PAGES_SCHEMA)
+    else:
+        raise ValueError(f"unknown input_format {input_format!r} "
+                         f"(parquet or jsonl)")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    pages = reader.parquet(input_dir)
+    if input_format == "jsonl":
+        pages = pages_from_jsonl_raw(
+            reader.option("pathGlobFilter", "*.json*").json(input_dir))
+    else:
+        pages = reader.parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         verdicts = filter_pages(batch_df, models_bc, cfg=cfg)

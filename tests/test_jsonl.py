@@ -91,3 +91,41 @@ def test_curate_from_jsonl_matches_parquet(spark, tmp_path):
     b = {(r["url"], r["text"]) for r in
          spark.read.parquet(str(tmp_path / "c_jl") + "/corpus").collect()}
     assert a == b
+
+
+def test_streaming_jsonl_matches_batch(spark, tmp_path):
+    """The streaming front-end over JSONL dumps produces the same
+    verdict rows as the batch reader + filter, and a restart after new
+    files land processes only the new files."""
+    from datacanary_spark.plans.pipeline import (
+        broadcast_models,
+        filter_pages,
+    )
+    from datacanary_spark.streaming.filter_stream import run_filter_stream
+
+    jl = str(tmp_path / "jl")
+    write_pages_jsonl(jl, n_docs=30, seed=42, files=2)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_filter_stream(spark, jl, out, ckpt, input_format="jsonl")
+    got = {r["url"]: (r["keep"], r["scrubbed_text"]) for r in
+           spark.read.parquet(out + "/verdicts").collect()}
+    from datacanary_spark.plans.checkpoint import _chunk_files
+
+    batch = filter_pages(
+        read_pages_jsonl(spark, _chunk_files(jl, 1, "jsonl")[0]),
+        broadcast_models(spark))
+    want = {r["url"]: (r["keep"], r["scrubbed_text"])
+            for r in batch.collect()}
+    assert got == want and len(got) == 30
+    # restart with one new file: only the delta is processed (write
+    # the drop to a staging dir, then land it under a fresh name so
+    # the already-tracked files are untouched)
+    import os as _os
+
+    stage = str(tmp_path / "stage")
+    write_pages_jsonl(stage, n_docs=10, seed=43, files=1, start_id=1000)
+    _os.rename(stage + "/part-0000.jsonl.gz", jl + "/part-new.jsonl.gz")
+    run_filter_stream(spark, jl, out, ckpt, input_format="jsonl")
+    n2 = spark.read.parquet(out + "/verdicts").count()
+    assert n2 == 40
