@@ -566,15 +566,6 @@ def cmd_export(args) -> int:
         counts["null_key" if r["split"] is None else r["split"]] = r["n"]
     staged = shuffle_to_shards(assigned, args.key_col, args.n_shards,
                                salt=args.shuffle_salt)
-    if args.output_format == "jsonl":
-        # JSON has no binary: base64 binary columns to the same wire
-        # form read_pages_jsonl ingests, so exports round-trip
-        from pyspark.sql import types as T
-
-        for f_ in staged.schema.fields:
-            if isinstance(f_.dataType, T.BinaryType):
-                staged = staged.withColumn(
-                    f_.name, F.base64(F.col(f_.name)))
     # one sorted file per (split, shard) — write_shards owns the
     # layout contract (including the write-time sort pinning)
     write_shards(staged, args.output, partition_cols=("split", "shard"),

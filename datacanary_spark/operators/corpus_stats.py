@@ -850,9 +850,9 @@ def write_shards(sharded: DataFrame, path: str,
     AND pins the in-file order.
 
     ``fmt="jsonl"`` emits gzipped JSON-lines shards instead (the
-    format most training loaders stream directly); binary columns
-    must be pre-encoded by the caller (JSON has no binary — the
-    export CLI base64s them, mirroring read_pages_jsonl's wire form).
+    format most training loaders stream directly); Spark's JSON writer
+    base64-encodes binary columns natively — the read_pages_jsonl wire
+    form — so no caller-side encoding is needed.
     """
     w = (sharded.sortWithinPartitions(*partition_cols, order_col)
                 .write.partitionBy(*partition_cols).mode("overwrite"))

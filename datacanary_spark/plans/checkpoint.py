@@ -37,14 +37,18 @@ from datacanary_spark.plans.lineage import partition_lineage
 from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
 
 
+from datacanary_spark.sources.io import JSONL_PATTERNS as _io_jsonl_patterns  # noqa: E501
+
 _FORMAT_GLOBS = {
     "parquet": ("*.parquet",),
     # raw crawls and their text-extracted twins; .gz variants are the
     # Common-Crawl publication format (multi-member gzip, one per record)
     "warc": ("*.warc", "*.warc.gz"),
     "wet": ("*.wet", "*.wet.gz", "*.warc.wet.gz"),
-    # published-corpus dumps: one JSON object per line, gzip per file
-    "jsonl": ("*.jsonl", "*.jsonl.gz", "*.json", "*.json.gz"),
+    # published-corpus dumps — single-sourced with the streaming /
+    # directory readers (sources/io.JSONL_GLOB) so no path reads files
+    # another excludes
+    "jsonl": _io_jsonl_patterns,
 }
 
 

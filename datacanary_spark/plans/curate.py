@@ -193,11 +193,11 @@ def run_curation_job(
         if input_format == "parquet":
             pages = read_table(spark, input_path)
         elif input_format == "jsonl":
-            from datacanary_spark.plans.checkpoint import _chunk_files
-            from datacanary_spark.sources.io import read_pages_jsonl
+            # directory form: Hadoop-FS aware, so s3a://... dumps work
+            # exactly like the parquet branch (a local glob would not)
+            from datacanary_spark.sources.io import read_pages_jsonl_dir
 
-            pages = read_pages_jsonl(
-                spark, _chunk_files(input_path, 1, "jsonl")[0])
+            pages = read_pages_jsonl_dir(spark, input_path)
         elif input_format in ("warc", "wet"):
             # raw crawl -> curated corpus in one job: reuse the filter
             # job's container source (per-file parallelism, record

@@ -347,6 +347,13 @@ def object_metadata(spark: SparkSession, uri: str) -> dict:
 PAGES_JSONL_WIRE_SCHEMA = (
     "url string, warc_ts string, html string, text string, lang string")
 
+# THE jsonl file-name contract, single-sourced: the Python-glob tuple
+# (checkpoint chunking) and the Hadoop-glob brace form (streaming /
+# directory reads) must match or one ingest path reads files — e.g.
+# half-written .tmp uploads — that another deliberately excludes.
+JSONL_PATTERNS = ("*.jsonl", "*.jsonl.gz", "*.json", "*.json.gz")
+JSONL_GLOB = "*.{" + ",".join(p[2:] for p in JSONL_PATTERNS) + "}"
+
 
 def read_pages_jsonl(spark: SparkSession, paths) -> DataFrame:
     """Read JSONL pages files into the PAGES_SCHEMA shape, lazily.
@@ -367,15 +374,31 @@ def read_pages_jsonl(spark: SparkSession, paths) -> DataFrame:
     return pages_from_jsonl_raw(raw)
 
 
+def read_pages_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/URI form of :func:`read_pages_jsonl` — Hadoop-FS aware
+    (``s3a://``/``abfss://``/``gs://`` work like local paths, unlike a
+    local-glob file listing), filtering to the shared JSONL_GLOB so
+    temp/partial uploads are never read."""
+    raw = (spark.read.schema(PAGES_JSONL_WIRE_SCHEMA)
+           .option("pathGlobFilter", JSONL_GLOB).json(path))
+    return pages_from_jsonl_raw(raw)
+
+
 def pages_from_jsonl_raw(raw: DataFrame) -> DataFrame:
     """Wire-schema JSONL rows → PAGES_SCHEMA shape. Shared by the batch
     reader above and the streaming front-end (readStream.json with the
     same wire schema) so the two ingest paths can never drift."""
     from pyspark.sql import functions as F
 
+    # field-level tolerance matches the line-level PERMISSIVE stance:
+    # under Spark 4 ANSI a plain to_timestamp ABORTS the job on one
+    # malformed timestamp, and unbase64 silently decodes non-base64
+    # into garbage bytes — both map to NULL instead (try_ variants),
+    # like every other malformed field in this reader.
     return (raw.where(F.col("url").isNotNull()
                       | F.col("text").isNotNull())
                .select(F.col("url"),
-                       F.to_timestamp("warc_ts").alias("warc_ts"),
-                       F.unbase64("html").alias("html"),
+                       F.try_to_timestamp("warc_ts").alias("warc_ts"),
+                       F.try_to_binary("html", F.lit("base64"))
+                        .alias("html"),
                        F.col("text"), F.col("lang")))

@@ -67,6 +67,7 @@ def run_filter_stream(
 
     if input_format == "jsonl":
         from datacanary_spark.sources.io import (
+            JSONL_GLOB,
             PAGES_JSONL_WIRE_SCHEMA,
             pages_from_jsonl_raw,
         )
@@ -80,8 +81,10 @@ def run_filter_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if input_format == "jsonl":
+        # the SHARED glob: "*.json*" would also ingest half-written
+        # .tmp uploads the batch chunker deliberately excludes
         pages = pages_from_jsonl_raw(
-            reader.option("pathGlobFilter", "*.json*").json(input_dir))
+            reader.option("pathGlobFilter", JSONL_GLOB).json(input_dir))
     else:
         pages = reader.parquet(input_dir)
 

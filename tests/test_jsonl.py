@@ -51,6 +51,11 @@ def test_read_pages_jsonl_semantics(spark, tmp_path):
         '{"lang":"fr"}',
         # text present, url missing -> kept (usable content)
         '{"text":"orphan text"}',
+        # valid JSON, malformed FIELDS: bad ts and non-base64 html must
+        # become NULL (ANSI to_timestamp would abort; unbase64 would
+        # silently decode garbage)
+        '{"url":"http://a.example/4","warc_ts":"20240301t",'
+        '"html":"<p>not base64</p>","text":"t4","lang":"en"}',
     ]
     (d / "a.jsonl").write_text("\n".join(lines) + "\n")
     # gzip twin in the same dir — transparent by extension
@@ -62,7 +67,9 @@ def test_read_pages_jsonl_semantics(spark, tmp_path):
     files = _chunk_files(str(d), 1, "jsonl")[0]
     rows = {r["url"]: r for r in read_pages_jsonl(spark, files).collect()}
     assert set(rows) == {"http://a.example/1", "http://a.example/2",
-                         "http://a.example/3", None}
+                         "http://a.example/3", "http://a.example/4", None}
+    assert rows["http://a.example/4"]["warc_ts"] is None
+    assert rows["http://a.example/4"]["html"] is None
     r1 = rows["http://a.example/1"]
     assert bytes(r1["html"]) == b"<b>x</b>"
     assert r1["warc_ts"].year == 2024 and r1["warc_ts"].minute == 30
@@ -72,6 +79,14 @@ def test_read_pages_jsonl_semantics(spark, tmp_path):
     got = dict(read_pages_jsonl(spark, files).dtypes)
     assert got == {"url": "string", "warc_ts": "timestamp",
                    "html": "binary", "text": "string", "lang": "string"}
+    # directory form (Hadoop-FS aware) reads the same rows and ignores
+    # half-written temp uploads
+    from datacanary_spark.sources.io import read_pages_jsonl_dir
+
+    (d / "upload.jsonl.gz.tmp").write_bytes(b"\x1f\x8b garbage")
+    via_dir = {r["url"] for r in
+               read_pages_jsonl_dir(spark, str(d)).collect()}
+    assert via_dir == set(rows)
 
 
 def test_curate_from_jsonl_matches_parquet(spark, tmp_path):
