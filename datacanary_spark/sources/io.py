@@ -141,6 +141,22 @@ def read_table(spark: SparkSession, source: str,
     if snapshot_id is not None or as_of_timestamp is not None:
         raise ValueError("snapshot reads need an iceberg: source "
                          "(parquet paths have no snapshot lineage)")
+    lower = source.lower()
+    # reference-parity tabular files (its README claims CSV/JSON
+    # validation; /root/reference reads everything into pandas —
+    # __main__.py:474-480 — so schema inference matches its behavior).
+    # These are the ANALYSE/CHECK small-file paths: inference costs an
+    # extra pass and multiLine CSV reads one file per task, both fine
+    # at data-quality-report scale and wrong for the 10^12-doc corpus
+    # paths, which use parquet or the explicit-schema jsonl readers.
+    if lower.endswith((".csv", ".csv.gz", ".tsv", ".tsv.gz")):
+        sep = "\t" if ".tsv" in lower else ","
+        return (spark.read.option("header", True)
+                .option("inferSchema", True)
+                .option("multiLine", True).option("escape", '"')
+                .csv(source, sep=sep))
+    if lower.endswith((".json", ".jsonl", ".json.gz", ".jsonl.gz")):
+        return spark.read.json(source)
     return spark.read.parquet(source)
 
 

@@ -148,3 +148,30 @@ def test_azure_conf_covers_both_endpoints():
         "endpoint_suffix": "dfs.core.chinacloudapi.cn"})
     assert list(sov) == ["spark.hadoop.fs.azure.account.key"
                          ".acct.dfs.core.chinacloudapi.cn"]
+
+
+def test_read_table_csv_and_json_reference_parity(spark, tmp_path):
+    """analyse/check accept CSV/TSV/JSON files like the reference
+    README claims (pandas-style inference); quoted newlines survive."""
+    import gzip
+    import json as _json
+
+    from datacanary_spark.sources.io import read_table
+
+    csv = tmp_path / "t.csv"
+    csv.write_text('id,score,name\n1,2.5,"line1\nline2"\n2,3.5,plain\n')
+    df = read_table(spark, str(csv))
+    rows = {r["id"]: (r["score"], r["name"]) for r in df.collect()}
+    assert rows[1] == (2.5, "line1\nline2")
+    assert dict(df.dtypes)["id"] == "int"
+
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("a\tb\n1\tx\n")
+    assert read_table(spark, str(tsv)).collect()[0]["b"] == "x"
+
+    jf = tmp_path / "t.jsonl.gz"
+    jf.write_bytes(gzip.compress(
+        (_json.dumps({"k": 1, "v": "a"}) + "\n"
+         + _json.dumps({"k": 2, "v": "b"}) + "\n").encode()))
+    got = {r["k"]: r["v"] for r in read_table(spark, str(jf)).collect()}
+    assert got == {1: "a", 2: "b"}
