@@ -551,9 +551,34 @@ def cmd_export(args) -> int:
         _validated_fractions(fractions)
     except ValueError as e:
         raise SystemExit(f"--split: {e}")
+    tags = args.tag or [f"corpus{i}" for i in range(len(args.input))]
+    if len(tags) != len(args.input):
+        raise SystemExit(f"--tag: got {len(tags)} tags for "
+                         f"{len(args.input)} --input values")
+    if len(set(tags)) != len(tags):
+        raise SystemExit(f"--tag: tags must be unique: {tags}")
     spark = _spark(args)
-    df = read_table(spark, args.input)
-    assigned = split_assign(df, args.key_col, fractions,
+    key_col = args.key_col
+    if len(args.input) == 1:
+        # single corpus: key and output schema unchanged (placement
+        # byte-compatible with prior exports of the same corpus)
+        df = read_table(spark, args.input[0])
+    else:
+        # mixture-of-sources export: tag every corpus and mix the tag
+        # into the placement key, so same-key docs from different
+        # corpora get independent placement instead of colliding
+        parts = []
+        for path, tag in zip(args.input, tags):
+            one = read_table(spark, path).withColumn("corpus", F.lit(tag))
+            parts.append(one.withColumn(
+                "_export_key",
+                F.concat_ws("\x1f", F.lit(tag),
+                            F.col(args.key_col).cast("string"))))
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        key_col = "_export_key"
+    assigned = split_assign(df, key_col, fractions,
                             salt=args.split_salt)
     # lineage pass over the PRE-shuffle assignment (scan + CASE only —
     # counting the sharded frame would execute the md5 Exchange twice).
@@ -561,18 +586,28 @@ def cmd_export(args) -> int:
     # count NULL keys (null split/shard by design) separately.
     counts: dict = {name: 0 for name in fractions}
     counts["null_key"] = 0
-    for r in (assigned.groupBy("split")
+    by_corpus: dict = {}
+    group_cols = ["split"] + (["corpus"] if key_col == "_export_key"
+                              else [])
+    for r in (assigned.groupBy(*group_cols)
               .agg(F.count(F.lit(1)).alias("n")).collect()):
-        counts["null_key" if r["split"] is None else r["split"]] = r["n"]
-    staged = shuffle_to_shards(assigned, args.key_col, args.n_shards,
+        name = "null_key" if r["split"] is None else r["split"]
+        counts[name] = counts.get(name, 0) + r["n"]
+        if "corpus" in group_cols:
+            by_corpus[r["corpus"]] = by_corpus.get(r["corpus"], 0) + r["n"]
+    staged = shuffle_to_shards(assigned, key_col, args.n_shards,
                                salt=args.shuffle_salt)
+    if key_col == "_export_key":
+        staged = staged.drop("_export_key")
     # one sorted file per (split, shard) — write_shards owns the
     # layout contract (including the write-time sort pinning)
     write_shards(staged, args.output, partition_cols=("split", "shard"),
                  fmt=args.output_format)
-    print(json.dumps({"output": args.output, "splits": counts,
-                      "n_shards": args.n_shards,
-                      "format": args.output_format}, sort_keys=True))
+    summary = {"output": args.output, "splits": counts,
+               "n_shards": args.n_shards, "format": args.output_format}
+    if by_corpus:
+        summary["by_corpus"] = by_corpus
+    print(json.dumps(summary, sort_keys=True))
     return 0
 
 
@@ -823,7 +858,17 @@ def build_parser() -> argparse.ArgumentParser:
         "export",
         help="training-data export: split + global shuffle + sharded "
              "write (output/split=S/shard=K, one sorted file per shard)")
-    ex.add_argument("--input", required=True)
+    ex.add_argument("--input", required=True, action="append",
+                    help="corpus table/dir; repeatable — multiple "
+                         "inputs are tagged (--tag) and interleaved "
+                         "into one deterministic shard stream (the "
+                         "mixture-of-sources training export)")
+    ex.add_argument("--tag", action="append", default=None,
+                    help="corpus tag per --input (same order; default "
+                         "corpus0, corpus1, ...); written as a "
+                         "'corpus' column and mixed into the placement "
+                         "key so same-key docs from different corpora "
+                         "never collide")
     ex.add_argument("--output", required=True)
     ex.add_argument("--key-col", default="url",
                     help="unique doc key; drives BOTH the split and the "

@@ -1409,3 +1409,56 @@ def test_export_jsonl_output(spark, tmp_path, capsys):
             assert h is None
         else:
             assert base64.b64decode(h) == bytes(want)
+
+
+def test_export_mixture_of_corpora(spark, tmp_path, capsys):
+    """Repeatable --input interleaves tagged corpora into one shard
+    stream: every shard mixes both sources, same-url docs from
+    different corpora don't collide, and the summary reports per-corpus
+    totals."""
+    import glob
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    # same seed -> identical urls in both corpora: the collision case
+    assert main(["gen-pages", "--output", a, "--docs", "80",
+                 "--files", "1"]) == 0
+    assert main(["gen-pages", "--output", b, "--docs", "80",
+                 "--files", "1"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "mix")
+    assert main(["export", "--input", a, "--input", b,
+                 "--tag", "web", "--tag", "books",
+                 "--output", out, "--key-col", "url", "--n-shards", "2",
+                 "--split", "train=0.9,val=0.1"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["by_corpus"] == {"web": 80, "books": 80}
+    assert s["splits"]["train"] + s["splits"]["val"] == 160
+    back = spark.read.parquet(out)
+    assert back.count() == 160
+    # every (split, shard) file contains BOTH corpora (the interleave)
+    for d in glob.glob(f"{out}/split=train/shard=*"):
+        srcs = {r["corpus"] for r in spark.read.parquet(d).collect()}
+        assert srcs == {"web", "books"}
+    # same-url docs from different corpora placed INDEPENDENTLY:
+    # the (split, shard) assignment must differ for at least some urls
+    rows = back.select("url", "corpus", "split", "shard").collect()
+    place = {}
+    diff = 0
+    for r in rows:
+        k = (r["url"], r["corpus"])
+        place[k] = (r["split"], r["shard"])
+    for r in rows:
+        other = place.get((r["url"],
+                           "books" if r["corpus"] == "web" else "web"))
+        if other and other != (r["split"], r["shard"]):
+            diff += 1
+    assert diff > 0
+    # tag validation
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="--tag"):
+        main(["export", "--input", a, "--input", b, "--tag", "only-one",
+              "--output", out])
+    with _pt.raises(SystemExit, match="unique"):
+        main(["export", "--input", a, "--input", b,
+              "--tag", "x", "--tag", "x", "--output", out])
