@@ -611,6 +611,23 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_corpus_report(args) -> int:
+    """Dataset-card markdown for a curated corpus (plans/report_card):
+    size, composition, diversity, top hosts, curation provenance."""
+    from datacanary_spark.plans.report_card import build_dataset_card
+
+    spark = _spark(args)
+    card = build_dataset_card(spark, args.input, lang_col=args.lang_col,
+                              title=args.title)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(card)
+        print(f"card written to {args.output}")
+    else:
+        print(card)
+    return 0
+
+
 def cmd_train_classifier(args) -> int:
     """Train the expression-inference quality classifier on a labeled
     parquet table and save the coefficient JSON (plans/classifier)."""
@@ -884,6 +901,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "columns base64d, the read_pages_jsonl wire "
                          "form) for loaders that stream text directly")
     ex.set_defaults(fn=cmd_export)
+
+    cr = sub.add_parser("corpus-report",
+                        help="dataset-card markdown for a curated "
+                             "corpus (size, composition, diversity, "
+                             "provenance)")
+    cr.add_argument("--input", required=True,
+                    help="curate output dir (corpus/ + summary) or any "
+                         "corpus table")
+    cr.add_argument("--output", default=None,
+                    help="write the markdown here (default: stdout)")
+    cr.add_argument("--lang-col", default="lang_pred")
+    cr.add_argument("--title", default=None)
+    cr.set_defaults(fn=cmd_corpus_report)
 
     cu = sub.add_parser("curate",
                         help="filter + dedup + mix end-to-end corpus job")

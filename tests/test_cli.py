@@ -1462,3 +1462,26 @@ def test_export_mixture_of_corpora(spark, tmp_path, capsys):
     with _pt.raises(SystemExit, match="unique"):
         main(["export", "--input", a, "--input", b,
               "--tag", "x", "--tag", "x", "--output", out])
+
+
+def test_corpus_report_dataset_card(spark, tmp_path, capsys):
+    """corpus-report renders a dataset card for a curate output: sizes,
+    per-language composition, top hosts, and the curation provenance."""
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "1"]) == 0
+    curated = str(tmp_path / "curated")
+    assert main(["curate", "--input", pages, "--output", curated]) == 0
+    capsys.readouterr()
+    card_path = str(tmp_path / "card.md")
+    assert main(["corpus-report", "--input", curated,
+                 "--output", card_path, "--title", "demo"]) == 0
+    card = open(card_path).read()
+    assert "# Dataset card — demo" in card
+    assert "## Size" in card and "## Composition by language" in card
+    assert "## Provenance (curation lineage)" in card
+    assert "final_docs:" in card
+    assert "## Top hosts" in card
+    # numbers agree with the corpus
+    n = spark.read.parquet(curated + "/corpus").count()
+    assert f"- documents: {n:,}" in card
