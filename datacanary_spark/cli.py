@@ -561,19 +561,39 @@ def cmd_export(args) -> int:
     key_col = args.key_col
     if len(args.input) == 1:
         # single corpus: key and output schema unchanged (placement
-        # byte-compatible with prior exports of the same corpus)
+        # byte-compatible with prior exports of the same corpus); an
+        # explicit --tag still lands as the corpus column so one-at-a-
+        # time exports carry the same accounting as mixtures
         df = read_table(spark, args.input[0])
+        if args.tag:
+            df = df.withColumn("corpus", F.lit(tags[0]))
     else:
         # mixture-of-sources export: tag every corpus and mix the tag
         # into the placement key, so same-key docs from different
-        # corpora get independent placement instead of colliding
+        # corpora get independent placement instead of colliding. The
+        # composite key must stay NULL for a NULL doc key — concat_ws
+        # SKIPS nulls (it would bucket every null-key doc at md5(tag),
+        # clumping them into one real split) — so the null is re-guarded
+        # explicitly, preserving the single-corpus null_key contract.
         parts = []
+        first_cols = None
         for path, tag in zip(args.input, tags):
-            one = read_table(spark, path).withColumn("corpus", F.lit(tag))
-            parts.append(one.withColumn(
-                "_export_key",
-                F.concat_ws("\x1f", F.lit(tag),
-                            F.col(args.key_col).cast("string"))))
+            one = read_table(spark, path)
+            if first_cols is None:
+                first_cols = set(one.columns)
+            elif set(one.columns) != first_cols:
+                missing = sorted(first_cols - set(one.columns))
+                extra = sorted(set(one.columns) - first_cols)
+                raise SystemExit(
+                    f"--input {path} (tag {tag!r}) schema differs from "
+                    f"the first corpus: missing {missing}, extra {extra}"
+                    f" — align the corpora before exporting one mixture")
+            k = F.col(args.key_col)
+            composite = F.when(
+                k.isNull(), F.lit(None).cast("string")).otherwise(
+                F.concat_ws("\x1f", F.lit(tag), k.cast("string")))
+            parts.append(one.withColumn("corpus", F.lit(tag))
+                            .withColumn("_export_key", composite))
         df = parts[0]
         for p_ in parts[1:]:
             df = df.unionByName(p_)
@@ -587,7 +607,7 @@ def cmd_export(args) -> int:
     counts: dict = {name: 0 for name in fractions}
     counts["null_key"] = 0
     by_corpus: dict = {}
-    group_cols = ["split"] + (["corpus"] if key_col == "_export_key"
+    group_cols = ["split"] + (["corpus"] if "corpus" in df.columns
                               else [])
     for r in (assigned.groupBy(*group_cols)
               .agg(F.count(F.lit(1)).alias("n")).collect()):

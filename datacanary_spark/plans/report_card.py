@@ -4,14 +4,14 @@ The corpus-world analogue of the reference's text report
 (/root/reference/src/datacanary/reporting/report_generator.py:51-182
 renders per-column stats; a TRAINING corpus is described instead by
 composition, size, diversity, and provenance). Everything is computed
-in three aggregate jobs over tiny outputs (one global row, one row per
-language, a top-k host list) and rendered driver-side as markdown —
-the "dataset card" that accompanies a published corpus.
+in two aggregate jobs over tiny outputs (one rollup for the global row
+AND the per-language rows, a top-k host list) and rendered driver-side
+as markdown — the "dataset card" that accompanies a published corpus.
 
-Scale shape: the global and per-language aggregates are single-scan
-hash aggregations with map-side partials; the host table reuses the
-same partial-agg + top-k-over-aggregates shape as top_terms_by_group
-(rows at the window = |hosts|, never |docs|).
+Scale shape: the rollup is one scan paying the per-doc token /
+fingerprint expressions once, with map-side partials; the host table
+reuses the same partial-agg + top-k-over-aggregates shape as
+top_terms_by_group (rows at the window = |hosts|, never |docs|).
 """
 
 from __future__ import annotations
@@ -34,10 +34,12 @@ def corpus_card_stats(corpus: DataFrame, lang_col: str = "lang_pred",
                       top_hosts: int = 10) -> dict:
     """The card's numbers: one global row, per-language rows, top hosts.
 
-    Collected driver-side (all three results are tiny); the corpus is
-    scanned twice (global+language share one cached expression set via
-    a single select; hosts aggregate separately because the host key
-    only exists for parseable urls).
+    Collected driver-side (all results are tiny). The global AND
+    per-language rows come from ONE rollup aggregation (one scan paying
+    the per-doc token/fingerprint expressions once; ``F.grouping``
+    distinguishes the grand-total row from a genuine NULL language
+    group); the host top-k aggregates separately because its key only
+    exists for parseable urls, and runs over aggregated hosts.
     """
     lang = F.col(lang_col) if lang_col in corpus.columns else F.lit("all")
     enriched = corpus.select(
@@ -61,11 +63,25 @@ def corpus_card_stats(corpus: DataFrame, lang_col: str = "lang_pred",
             F.countDistinct("_host").alias("distinct_hosts"),
         ]
 
-    g = enriched.agg(*aggs()).first().asDict()
-    by_lang = [r.asDict() for r in
-               (enriched.groupBy(F.col("_lang").alias("lang"))
-                .agg(*aggs()).orderBy(F.col("docs").desc(), "lang")
-                .collect())]
+    rolled = (enriched.rollup("_lang")
+              .agg(F.grouping("_lang").alias("_g"), *aggs())
+              .collect())
+    g = next((r.asDict() for r in rolled if r["_g"] == 1),
+             # a fully empty corpus rolls up to zero rows — the card
+             # must still render with zero counts
+             {"_g": 1, "_lang": None, "docs": 0, "chars": 0,
+              "ws_tokens": 0, "bpe_tokens": 0, "mean_chars": 0,
+              "distinct_fingerprints": 0, "distinct_hosts": 0})
+    by_lang = sorted((r.asDict() for r in rolled if r["_g"] == 0),
+                     key=lambda r: (-r["docs"], str(r["_lang"])))
+    for d in (g, *by_lang):
+        d.pop("_g", None)
+        d["lang"] = d.pop("_lang", None)
+        # sums/avgs over zero rows are NULL — an empty corpus must
+        # still render a card, not crash the formatter
+        for k, v in d.items():
+            if v is None and k != "lang":
+                d[k] = 0
     hosts = (enriched.where(F.col("_host").isNotNull())
              .groupBy("_host").agg(F.count(F.lit(1)).alias("docs")))
     w = Window.orderBy(F.col("docs").desc(), F.col("_host").asc())
@@ -127,16 +143,19 @@ def build_dataset_card(spark: SparkSession, input_path: str,
                        title: str | None = None) -> str:
     """Card for a `curate` output dir (corpus/ + curation_summary.json
     → provenance included) or any plain corpus table."""
-    from datacanary_spark.sources.io import read_table
+    from datacanary_spark.sources.io import read_table, read_text
 
     provenance = None
     corpus_path = input_path
-    summary_path = os.path.join(input_path, "curation_summary.json")
-    if os.path.isdir(os.path.join(input_path, "corpus")):
-        corpus_path = os.path.join(input_path, "corpus")
-        if os.path.exists(summary_path):
-            with open(summary_path) as f:
-                provenance = json.load(f)
+    # curate-layout detection must be Hadoop-FS aware: curate writes
+    # its sidecar via write_text and may live on s3a://… — a local
+    # os.path probe would silently misread remote outputs
+    try:
+        provenance = json.loads(read_text(
+            spark, input_path.rstrip("/") + "/curation_summary.json"))
+        corpus_path = input_path.rstrip("/") + "/corpus"
+    except Exception:
+        provenance = None
     corpus = read_table(spark, corpus_path)
     stats = corpus_card_stats(corpus, lang_col=lang_col)
     return render_dataset_card(

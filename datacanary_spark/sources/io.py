@@ -150,13 +150,18 @@ def read_table(spark: SparkSession, source: str,
     # at data-quality-report scale and wrong for the 10^12-doc corpus
     # paths, which use parquet or the explicit-schema jsonl readers.
     if lower.endswith((".csv", ".csv.gz", ".tsv", ".tsv.gz")):
-        sep = "\t" if ".tsv" in lower else ","
+        sep = "\t" if lower.endswith((".tsv", ".tsv.gz")) else ","
         return (spark.read.option("header", True)
                 .option("inferSchema", True)
                 .option("multiLine", True).option("escape", '"')
                 .csv(source, sep=sep))
-    if lower.endswith((".json", ".jsonl", ".json.gz", ".jsonl.gz")):
+    if lower.endswith((".jsonl", ".jsonl.gz")):
         return spark.read.json(source)
+    if lower.endswith((".json", ".json.gz")):
+        # .json = a pandas-style document (pretty-printed object/array
+        # of records) — needs multiLine; name line-delimited files
+        # .jsonl for the streaming-friendly line reader above
+        return spark.read.option("multiLine", True).json(source)
     return spark.read.parquet(source)
 
 

@@ -1485,3 +1485,24 @@ def test_corpus_report_dataset_card(spark, tmp_path, capsys):
     # numbers agree with the corpus
     n = spark.read.parquet(curated + "/corpus").count()
     assert f"- documents: {n:,}" in card
+
+
+def test_corpus_report_empty_and_plain_table(spark, tmp_path, capsys):
+    """An empty corpus still renders a card (zero sums, no crash); a
+    plain corpus table (no curate layout) gets no provenance section."""
+    from datacanary_spark.plans.report_card import build_dataset_card
+
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame([], "url string, text string, lang_pred string") \
+        .write.parquet(empty)
+    card = build_dataset_card(spark, empty, title="empty")
+    assert "- documents: 0" in card
+    assert "Provenance" not in card
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [("http://h.example/a", "some text here", "en")],
+        "url string, text string, lang_pred string").write.parquet(plain)
+    card2 = build_dataset_card(spark, plain)
+    assert "- documents: 1" in card2
+    assert "| en | 1 |" in card2
+    assert "h.example" in card2
