@@ -152,6 +152,19 @@ def filter_pages(
         if name not in df.columns:
             df = df.withColumn(name, F.lit(None).cast(dtype))
 
+    # Partition hygiene: a single-row-group parquet scans as ONE split,
+    # which would serialize every UDF stage below onto one core (the
+    # same failure class fixed for dedup/DSIR in plans/partitioning.py).
+    # At real scale (thousands of splits) this is a no-op; at small
+    # scale it is one narrow round-robin exchange that unlocks every
+    # core. Streaming micro-batches go through foreachBatch (batch
+    # frames), so the isStreaming guard only skips true streaming plans
+    # where .rdd is unavailable.
+    if not df.isStreaming:
+        from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+        df = spread_to_parallelism(df)
+
     structure_hits = {}
     if structure_rules:
         if "html" not in df.columns:

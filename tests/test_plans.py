@@ -84,7 +84,11 @@ def test_filter_pipeline_python_stages_fused(spark):
     plan = _executed(filter_pages(pages, broadcast_models(spark)))
     assert "BatchEvalPython" not in plan          # no per-row Python
     assert 1 <= plan.count("ArrowEvalPython") <= 3
-    assert "Exchange" not in plan                 # narrow end to end
+    # No KEYED shuffle end to end — the only allowed exchange is the
+    # single round-robin input spread (a no-op at real scale where the
+    # scan already has thousands of splits).
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan.lower()
 
 
 def test_line_dedup_first_occurrence_is_aggregate_not_window(spark, queries):
