@@ -44,6 +44,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + spread_to_parallelism: for queries whose FIRST stage does
+    expensive per-row expression work (tokenize / sort / fold) that a
+    single-row-group scan would otherwise serialize onto one core.
+    No-op at real scale; queries that filter the scan should keep _t
+    and spread after the filter so pushdown stays intact."""
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+    return spread_to_parallelism(_t(spark, sf_dir, name))
+
+
 def _r6(col):
     return F.bround(col.cast("double"), 6)
 

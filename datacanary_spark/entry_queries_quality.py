@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
 
-from datacanary_spark.entry_queries import _t, register
+from datacanary_spark.entry_queries import _t, _ts, register
 
 DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
 NUMERIC_COLUMNS = ["doc_id", "n_chars"]
@@ -455,7 +455,7 @@ def gopher_repetition_by_lang(spark, sf_dir):
 
     cfg = RepetitionConfig()
     d = with_repetition_stats(
-        _t(spark, sf_dir, "documents"), top_ns=(2,), dup_ns=(5, 10))
+        _ts(spark, sf_dir, "documents"), top_ns=(2,), dup_ns=(5, 10))
     top2 = F.col("rep_top_2gram_char_fraction")
     dup5 = F.col("rep_dup_5gram_char_fraction")
     dup10 = F.col("rep_dup_10gram_char_fraction")

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datacanary_spark.entry_queries import _t, register
+from datacanary_spark.entry_queries import _t, _ts, register
 from datacanary_spark.functions.scrub import SCRUB_PATTERNS
 from datacanary_spark.operators import boilerplate as bp
 from datacanary_spark.operators import text_analysis as ta
@@ -310,7 +310,7 @@ def char_entropy_noise_by_lang(spark, sf_dir):
     ZERO-SHUFFLE doc-side fold (sorted char array + one F.aggregate),
     so the whole query is one scan + one group-by — the shape that
     survives 10^12 docs."""
-    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = _ts(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t = _noise_planted_expr()
     per = d.select(
         "lang",

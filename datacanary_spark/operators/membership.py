@@ -223,7 +223,12 @@ def decontaminate_bloom(corpus: DataFrame, reference: DataFrame,
     m_bits, k = bloom_geometry(expected_items, fpp)
     spec = build_bloom(ref_fp, "_fp", m_bits, k)
 
-    keyed = corpus.withColumn("_fp", content_fingerprint(F.col(text_col)))
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+    # fingerprint + k probes per row is the heavy map stage: spread a
+    # single-split corpus scan across cores (no-op at real scale)
+    keyed = spread_to_parallelism(corpus).withColumn(
+        "_fp", content_fingerprint(F.col(text_col)))
     maybe = F.coalesce(might_contain_expr(F.col("_fp"), spec, mode),
                        F.lit(False))
     keyed = maybe_persist(keyed.withColumn("_maybe", maybe), persist)

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datacanary_spark.functions.heuristics import ngrams_expr, words_expr
+from datacanary_spark.plans.partitioning import spread_to_parallelism
 
 __all__ = ["ALPHA", "ngrams_expr", "ngram_counts", "score_stupid_backoff",
            "oov_stats", "duplicate_span_stats"]
@@ -74,6 +75,9 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 3,
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     words = words_expr(F.col(text_col))
+    # NOT spread: the heavy work here happens post-explode/post-shuffle
+    # (the count aggregations), so a pre-explode exchange of the full
+    # text only adds cost — measured 2.83s vs 3.59s at sf0.1
     live = df.where(F.col(text_col).isNotNull())
     # corpus token count: one narrow agg over size(words), no explode
     total = live.agg(
@@ -293,7 +297,7 @@ def duplicate_span_stats(df: DataFrame, group_col: str = "lang",
     docs_with_dup long)``.
     """
     words = words_expr(F.col(text_col))
-    spans = (df.where(F.col(text_col).isNotNull())
+    spans = (spread_to_parallelism(df.where(F.col(text_col).isNotNull()))
                .select(id_col, group_col,
                        F.explode(ngrams_expr(words, k)).alias("_s"))
                .select(id_col, group_col, F.md5(F.col("_s")).alias("h"))

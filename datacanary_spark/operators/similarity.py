@@ -586,8 +586,8 @@ def semdedup(df: DataFrame, dim: int, threshold: float = 0.95,
     cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
         else centroids
     mode = _resolve_assignment(assignment, dim * len(cents))
-    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
-                     norm_expr(F.col(vec_col)).alias("_nrm"))
+    base = _spread(df).select(F.col(id_col), F.col(vec_col).alias("_v"),
+                              norm_expr(F.col(vec_col)).alias("_nrm"))
     if mode == "udf":
         cell_udf = make_ivf_cell_udf(base, cents)
         base = base.withColumn("cell", cell_udf(F.col("_v")))

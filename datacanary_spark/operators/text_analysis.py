@@ -503,7 +503,11 @@ def rule_ablation(df, cfg=None, group_col: str = "lang",
         FilterConfig, heuristic_hit_exprs, stat_cols, with_text_stats)
 
     cfg = cfg or FilterConfig()
-    d = with_text_stats(df, text_col, prefix="_ab_")
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+    # the stats projection is the expensive per-row stage: spread a
+    # single-split scan across cores first (no-op at real scale)
+    d = with_text_stats(spread_to_parallelism(df), text_col, prefix="_ab_")
     hits = heuristic_hit_exprs(cfg, stat_cols("_ab_"))
     nh = None
     for c in hits.values():
