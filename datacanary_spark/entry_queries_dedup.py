@@ -995,3 +995,87 @@ def origin_split_leakage_pairs(spark, sf_dir):
     return _cs.split_leakage_stats(
         pairs, "id_a", "id_b", _LEAK_FRACTIONS,
         key_a=F.col("id_a") % 100000, key_b=F.col("id_b") % 100000)
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive n-gram decontamination (GPT-3 appendix-C style): per-language
+# contamination profile of the corpus against a reference subset, with the
+# survivor set under an overlap-fraction threshold. The oracle builds the
+# same 5-token spans with positional self-joins and the same md5 keys.
+# ---------------------------------------------------------------------------
+
+_NGDC_K = 5            # word k-gram size (13 at web scale; 5 fits fixture)
+_NGDC_MAX_FRAC = 0.2   # survivors have overlap_frac <= this
+
+_NGDC_TOKS = r"""
+    ngdocs AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+               AS arr
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ngtoks AS (
+      SELECT doc_id, lang, unnest(arr) AS w,
+             generate_subscripts(arr, 1) AS pos
+      FROM ngdocs
+    )
+"""
+
+
+@register(
+    "ngram_decontam_by_lang",
+    f"""
+    WITH {_NGDC_TOKS},
+    spans AS (
+      SELECT a.doc_id, a.lang,
+             md5(a.w || ' ' || b.w || ' ' || c2.w || ' ' || d.w || ' ' || e.w)
+               AS h
+      FROM ngtoks a
+      JOIN ngtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN ngtoks c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2
+      JOIN ngtoks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+      JOIN ngtoks e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+    ),
+    ref AS (SELECT DISTINCT h FROM spans WHERE doc_id % 7 = 0),
+    per_doc AS (
+      SELECT s.doc_id, count(*) AS n,
+             sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS c
+      FROM spans s LEFT JOIN ref r USING (h) GROUP BY 1
+    ),
+    all_docs AS (
+      SELECT dd.doc_id, dd.lang,
+             coalesce(CAST(p.c AS DOUBLE) / p.n, 0.0) AS frac
+      FROM documents dd LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN frac <= {_NGDC_MAX_FRAC} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
+           CAST(sum(CASE WHEN frac <= {_NGDC_MAX_FRAC} THEN doc_id ELSE 0 END)
+                AS BIGINT) AS sum_survivor_ids,
+           round(avg(frac), 6) AS mean_overlap_frac
+    FROM all_docs GROUP BY lang
+    """,
+)
+def ngram_decontam_by_lang(spark, sf_dir):
+    """Exhaustive word-5-gram decontamination profile: the reference is
+    the doc_id % 7 == 0 subset (a stand-in benchmark that guarantees
+    planted 100%-contaminated docs — the refs themselves — plus partial
+    overlaps from shared phrasing); per language, how many docs survive
+    an overlap_frac <= 0.2 cut, their id-sum (exact membership pin),
+    and the mean overlap fraction over ALL docs (absent-from-stats docs
+    — NULL text or < k tokens — count as 0, the survivor-exemption
+    rule). One broadcast probe join + two aggregations; the survivor
+    set equals decontaminate_ngrams(k=5, max_overlap_frac=0.2) by
+    construction (pinned in tests)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ref = d.where(F.col("doc_id") % 7 == 0).select("text")
+    stats = dd.ngram_overlap_stats(d, ref, k=_NGDC_K)
+    frac = F.coalesce(F.col("overlap_frac"), F.lit(0.0))
+    surv = frac <= _NGDC_MAX_FRAC
+    return (d.join(stats, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(surv.cast("int")).cast("long").alias("n_survivors"),
+                 F.sum(F.when(surv, F.col("doc_id")).otherwise(0))
+                  .cast("long").alias("sum_survivor_ids"),
+                 F.bround(F.avg(frac), 6).alias("mean_overlap_frac")))

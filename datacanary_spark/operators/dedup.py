@@ -555,6 +555,85 @@ def decontaminate(corpus: DataFrame, reference: DataFrame,
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def ngram_overlap_stats(corpus: DataFrame, reference: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        ref_text_col: str = "text", k: int = 13,
+                        broadcast_ref: bool = True) -> DataFrame:
+    """Per-document word-k-gram contamination against a reference set —
+    the exhaustive n-gram decontamination measurement (GPT-3 appendix C
+    used 13-grams; Llama-class pipelines use token-overlap fractions):
+    for each corpus doc, the fraction of its k-gram POSITIONS whose
+    gram also occurs anywhere in the reference.
+
+    Differs from ``decontaminate(mode="winnow")``: winnowing samples
+    fingerprints (cheap, threshold = shared FINGERPRINTS), this scores
+    every position (exhaustive, threshold = an interpretable fraction
+    of the document). Tokenization is the shared ``words_expr``
+    whitespace contract; grams are space-joined, compared via md5 (the
+    16-byte key is what travels, never the gram text).
+
+    Scale shape: the reference's DISTINCT gram hashes are benchmark-
+    sized — broadcast by default so the corpus-side probe is a map-only
+    broadcast join (one scan, no corpus shuffle before the per-doc
+    aggregate). ``broadcast_ref=False`` shuffles both sides on the hash
+    for a reference too big to ship (then the corpus explode shuffles
+    ~one 16-byte row per position — still never doc×doc).
+
+    Docs with fewer than k tokens (or NULL text) have no positions and
+    are ABSENT from the result (same contract as score_stupid_backoff;
+    ``decontaminate`` treats absent as overlap 0 — no positions is not
+    evidence of contamination).
+
+    Returns ``(id_col, n_grams long, n_contaminated long,
+    overlap_frac double)``.
+    """
+    from datacanary_spark.functions.heuristics import ngrams_expr, words_expr
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+    ref_grams = (reference
+                 .where(F.col(ref_text_col).isNotNull())
+                 .select(F.explode(
+                     ngrams_expr(words_expr(F.col(ref_text_col)), k))
+                     .alias("_g"))
+                 .select(F.md5(F.col("_g")).alias("_h"))
+                 .distinct()
+                 .withColumn("_hit", F.lit(1)))
+    if broadcast_ref:
+        ref_grams = F.broadcast(ref_grams)
+    pos = (spread_to_parallelism(
+               corpus.where(F.col(text_col).isNotNull()))
+           .select(F.col(id_col),
+                   F.explode(ngrams_expr(words_expr(F.col(text_col)), k))
+                   .alias("_g"))
+           .select(F.col(id_col), F.md5(F.col("_g")).alias("_h")))
+    per_doc = (pos.join(ref_grams, "_h", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                     .alias("n_contaminated")))
+    return per_doc.withColumn(
+        "overlap_frac",
+        F.col("n_contaminated").cast("double") / F.col("n_grams"))
+
+
+def decontaminate_ngrams(corpus: DataFrame, reference: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         ref_text_col: str = "text", k: int = 13,
+                         max_overlap_frac: float = 0.0,
+                         broadcast_ref: bool = True) -> DataFrame:
+    """Drop corpus docs whose k-gram overlap fraction against the
+    reference EXCEEDS ``max_overlap_frac`` (default 0.0: any shared
+    k-gram contaminates — the GPT-3 rule). Docs with NULL text or
+    fewer than k tokens always survive (no positions is not evidence).
+    Returns surviving corpus rows, schema unchanged."""
+    stats = ngram_overlap_stats(corpus, reference, id_col, text_col,
+                                ref_text_col, k, broadcast_ref)
+    contaminated = (stats
+                    .where(F.col("overlap_frac") > max_overlap_frac)
+                    .select(id_col))
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def lsh_bucket_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k_shingle: int = 5,
                      n_hashes: int = 16, bands: int = 4,
