@@ -993,7 +993,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="benchmark table (text column); overlapping "
                          "docs are removed")
     cu.add_argument("--decontaminate-mode",
-                    choices=["exact", "winnow", "bloom"],
+                    choices=["exact", "winnow", "bloom", "ngrams"],
                     default="winnow")
     cu.add_argument("--blocklist", default=None,
                     help="domain blocklist: comma-separated domains, or "

@@ -90,9 +90,11 @@ def run_curation_job(
     stage; strata not listed are dropped (default_fraction=0). Without
     it every surviving doc is kept. ``decontaminate_path`` points at a
     benchmark/test-set table with a ``text`` column; overlapping corpus
-    docs are removed (``decontaminate_mode``: "exact", "winnow", or
+    docs are removed (``decontaminate_mode``: "exact", "winnow",
     "bloom" — exact semantics behind a broadcast Bloom prefilter, the
-    no-corpus-shuffle path for 10^9-fingerprint references).
+    no-corpus-shuffle path for 10^9-fingerprint references — or
+    "ngrams" — the exhaustive GPT-3 13-gram overlap rule via a
+    broadcast gram-set probe join, operators/dedup.py).
     ``blocklist`` (a domain list, or a path to a table with a
     ``domain`` column) drops docs whose url host or any parent domain
     is listed, BEFORE any content processing — the UT1-style
@@ -433,6 +435,16 @@ def run_curation_job(
                 stage = scope.persist(
                     decontaminate_bloom(stage, reference, text_col="text",
                                         persist=scope))
+            elif decontaminate_mode == "ngrams":
+                # exhaustive word-n-gram overlap (GPT-3 13-gram rule):
+                # any shared 13-gram with the reference contaminates
+                from datacanary_spark.operators.dedup import (
+                    decontaminate_ngrams,
+                )
+
+                stage = scope.persist(
+                    decontaminate_ngrams(stage, reference, id_col="url",
+                                         text_col="text"))
             else:
                 stage = scope.persist(
                     decontaminate(stage, reference, id_col="url",

@@ -1055,6 +1055,17 @@ def test_curate_blocklist_and_bloom_decontamination(spark, tmp_path, capsys):
     b = {tuple(r) for r in spark.read.parquet(
         os.path.join(str(tmp_path / "dbloom"), "corpus")).collect()}
     assert a == b
+    # ngrams mode (13-gram overlap) removes AT LEAST the exact dups —
+    # an identical doc shares all its 13-grams — and never a doc
+    # sharing none; on this corpus the benchmark docs are verbatim
+    # members, so the count matches exact mode
+    sn = run_curation_job(spark, pages, str(tmp_path / "dngrams"),
+                          decontaminate_path=bench,
+                          decontaminate_mode="ngrams")
+    assert sn["after_decontamination"] <= se["after_decontamination"]
+    n = {tuple(r) for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "dngrams"), "corpus")).collect()}
+    assert n <= a
 
 
 def test_curate_c4_clean_stage(spark, tmp_path, capsys):
