@@ -35,6 +35,11 @@ __all__ = ["boilerplate_lines", "strip_boilerplate"]
 def _line_rows(df: DataFrame, host_col: str, id_col: str, text_col: str):
     """Exploded (host, doc, pos, raw line, trimmed-line md5 key); empty
     trimmed lines get a NULL key (blank lines are never template)."""
+    # NOT spread_to_parallelism here: the heavy work is post-explode
+    # (the (host, lnkey) aggregation is already parallel after its
+    # shuffle), _line_rows runs twice per strip, and the measured A/B
+    # at sf0.1 showed the extra full-text exchange is a net loss
+    # (1.26s -> 2.11s) — same finding as ngram_counts/oov_stats.
     lines = F.split(F.col(text_col), "\n")
     out = (df.where(F.col(text_col).isNotNull())
              .select(host_col, id_col,
