@@ -529,6 +529,7 @@ from datacanary_spark import entry_queries_webclean  # noqa: E402,F401
 from datacanary_spark import entry_queries_websrc  # noqa: E402,F401
 from datacanary_spark import entry_queries_linkgraph  # noqa: E402,F401
 from datacanary_spark import entry_queries_textnorm  # noqa: E402,F401
+from datacanary_spark import entry_queries_tokenizer  # noqa: E402,F401
 
 # ---- driver-gate rotation ---------------------------------------------------
 # The driver's correctness gate verifies exactly the FIRST 50 registered
@@ -589,6 +590,12 @@ _TAIL_ROTATION = [
     "dedup_exact_survivors",
     "orders_semi_high_qty",
     "orders_anti_high_qty",
+    # r04l: NEW queries registered straight to the tail — the 50-query
+    # driver window is fully packed with never-driver-checked rows, so
+    # displacing one for a newcomer loses a driver row either way;
+    # these are verified by scripts/check_oracle.py instead.
+    "bpe_top_pairs_by_lang",
+    "ccnet_ppl_buckets_by_lang",
 ]
 
 
