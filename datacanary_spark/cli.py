@@ -598,6 +598,23 @@ def cmd_export(args) -> int:
         for p_ in parts[1:]:
             df = df.unionByName(p_)
         key_col = "_export_key"
+    merges: list = []
+    if args.bpe_merges:
+        # train-the-tokenizer-with-the-export: learn the merge table on
+        # the exact (mixed) corpus being shipped, tokenize every doc
+        # with it, and ship the table alongside the shards. Both steps
+        # are deterministic, so re-exports are byte-identical here too.
+        from datacanary_spark.operators.bpe import (
+            apply_bpe,
+            learn_bpe_merges,
+        )
+        if args.bpe_text_col not in df.columns:
+            raise SystemExit(f"--bpe-merges: column "
+                             f"{args.bpe_text_col!r} not in the corpus")
+        merges = learn_bpe_merges(df, num_merges=args.bpe_merges,
+                                  text_col=args.bpe_text_col)
+        df = (apply_bpe(df, merges, text_col=args.bpe_text_col)
+              .withColumn("n_bpe_tokens", F.size("bpe_tokens")))
     assigned = split_assign(df, key_col, fractions,
                             salt=args.split_salt)
     # lineage pass over the PRE-shuffle assignment (scan + CASE only —
@@ -627,6 +644,11 @@ def cmd_export(args) -> int:
                "n_shards": args.n_shards, "format": args.output_format}
     if by_corpus:
         summary["by_corpus"] = by_corpus
+    if args.bpe_merges:
+        from datacanary_spark.sources.io import write_text
+        write_text(spark, args.output.rstrip("/") + "/_bpe_merges.json",
+                   json.dumps([list(m) for m in merges]))
+        summary["bpe_merges"] = len(merges)
     print(json.dumps(summary, sort_keys=True))
     return 0
 
@@ -920,6 +942,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="jsonl = gzipped JSON-lines shards (binary "
                          "columns base64d, the read_pages_jsonl wire "
                          "form) for loaders that stream text directly")
+    ex.add_argument("--bpe-merges", type=int, default=0,
+                    help="learn N BPE merges on the (mixed) corpus and "
+                         "ship the tokenizer with the data: adds "
+                         "bpe_tokens + n_bpe_tokens columns to every "
+                         "shard and writes the ordered merge list to "
+                         "output/_bpe_merges.json (deterministic — "
+                         "re-exports learn the identical table)")
+    ex.add_argument("--bpe-text-col", default="text",
+                    help="column --bpe-merges trains on and tokenizes")
     ex.set_defaults(fn=cmd_export)
 
     cr = sub.add_parser("corpus-report",

@@ -39,12 +39,13 @@ Scale shape (10^12 docs):
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
 
 from datacanary_spark.functions.heuristics import words_expr
@@ -205,11 +206,14 @@ def apply_bpe(df: DataFrame, merges: Sequence[tuple[str, str]],
     """Tokenize ``text_col`` with a learned merge table: adds
     ``out_col array<string>`` (null text → null tokens).
 
-    Scale shape: the ranks dict rides the serialized UDF once per
-    executor (same ship-once lifecycle as ``functions/models.py``'s
-    broadcast models — merge tables are tiny: 50k merges ≈ a few
-    hundred KiB); batches stream through Arrow; a per-stream word→tokens
-    memo collapses the per-token cost to per-DISTINCT-word cost, which
+    Scale shape: a SCALAR Arrow pandas UDF — only the text column
+    crosses the Python boundary; every other column (html binaries,
+    metadata) stays JVM-side, unlike a mapInPandas enrichment which
+    would round-trip whole rows through Arrow. The ranks dict rides the
+    serialized UDF once per executor (same ship-once lifecycle as
+    ``functions/models.py``'s broadcast models — merge tables are tiny:
+    50k merges ≈ a few hundred KiB); a per-worker word→tokens memo
+    (bounded) collapses per-token cost to per-DISTINCT-word cost, which
     on web text (Zipf) is a 10-100× cut. No per-row Python.
     """
     ranks = {tuple(p): i for i, p in enumerate(merges)}
@@ -217,10 +221,13 @@ def apply_bpe(df: DataFrame, merges: Sequence[tuple[str, str]],
     # class [ \t\n\x0b\f\r] — Python str.split() also breaks on Unicode
     # whitespace (\xa0 etc.) and would disagree on mojibake-bearing text
     ws = re.compile("[ \t\n\x0b\f\r]+")
+    memo_cap = 1_000_000  # reset past this, don't grow unbounded
+    # the closure dict deserializes empty with each task, then persists
+    # across that task's Arrow batches — hot words segment once per task
+    memo: dict[str, list[str]] = {}
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, list[str]] = {}
-
+    @pandas_udf(ArrayType(StringType()))
+    def tokenize(texts: pd.Series) -> pd.Series:
         def tok(text):
             if text is None:
                 return None
@@ -230,18 +237,13 @@ def apply_bpe(df: DataFrame, merges: Sequence[tuple[str, str]],
                     continue
                 got = memo.get(wrd)
                 if got is None:
+                    if len(memo) >= memo_cap:
+                        memo.clear()
                     got = list(bpe_segment_word(wrd, ranks))
                     memo[wrd] = got
                 out.extend(got)
             return out
 
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = pdf[text_col].map(tok)
-            yield pdf
+        return texts.map(tok)
 
-    # fresh StructType — StructType.add MUTATES in place, and df.schema
-    # hands back the DataFrame's cached schema object
-    schema = StructType(list(df.schema.fields)
-                        + [StructField(out_col, ArrayType(StringType()))])
-    return df.mapInPandas(run, schema=schema)
+    return df.withColumn(out_col, tokenize(F.col(text_col)))

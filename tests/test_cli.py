@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import zipfile
 
 from pyspark.sql import functions as F
@@ -1473,6 +1474,53 @@ def test_export_mixture_of_corpora(spark, tmp_path, capsys):
     with _pt.raises(SystemExit, match="unique"):
         main(["export", "--input", a, "--input", b,
               "--tag", "x", "--tag", "x", "--output", out])
+
+
+def test_export_bpe_tokenizer_shipped_with_shards(spark, tmp_path, capsys):
+    """--bpe-merges N learns the merge table on the exported corpus,
+    tokenizes every doc into bpe_tokens/n_bpe_tokens, and ships the
+    ordered merge list as output/_bpe_merges.json — all deterministic:
+    the shipped table equals learn_bpe_merges on the same input, and
+    re-applying it reproduces the shard tokens."""
+    from datacanary_spark.operators.bpe import (
+        bpe_segment_word,
+        learn_bpe_merges,
+    )
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "40",
+                 "--files", "1"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "bpe_export")
+    assert main(["export", "--input", pages, "--output", out,
+                 "--key-col", "url", "--n-shards", "2",
+                 "--split", "train=0.9,val=0.1",
+                 "--bpe-merges", "30"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["bpe_merges"] == 30
+    merges = [tuple(m) for m in
+              json.loads((tmp_path / "bpe_export"
+                          / "_bpe_merges.json").read_text())]
+    assert merges == learn_bpe_merges(spark.read.parquet(pages), 30)
+    back = spark.read.parquet(out)
+    rows = back.select("text", "bpe_tokens", "n_bpe_tokens").collect()
+    ranks = {m: i for i, m in enumerate(merges)}
+    checked = 0
+    for r in rows:
+        if r["text"] is None:
+            assert r["bpe_tokens"] is None and r["n_bpe_tokens"] is None
+            continue
+        want = [t for w in re.split("[ \t\n\x0b\f\r]+", r["text"]) if w
+                for t in bpe_segment_word(w, ranks)]
+        assert r["bpe_tokens"] == want
+        assert r["n_bpe_tokens"] == len(want)
+        checked += 1
+    assert checked >= 30
+    # unknown text column fails fast
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="--bpe-merges"):
+        main(["export", "--input", pages, "--output", out,
+              "--bpe-merges", "5", "--bpe-text-col", "nope"])
 
 
 def test_corpus_report_dataset_card(spark, tmp_path, capsys):
