@@ -551,6 +551,11 @@ def cmd_export(args) -> int:
         _validated_fractions(fractions)
     except ValueError as e:
         raise SystemExit(f"--split: {e}")
+    if args.bpe_merges < 0:
+        # same fail-fast contract as --split: reject before JVM startup
+        # instead of surfacing learn_bpe_merges' ValueError mid-job
+        raise SystemExit(f"--bpe-merges: must be >= 0, "
+                         f"got {args.bpe_merges}")
     tags = args.tag or [f"corpus{i}" for i in range(len(args.input))]
     if len(tags) != len(args.input):
         raise SystemExit(f"--tag: got {len(tags)} tags for "

@@ -59,6 +59,25 @@ def _r6(col):
     return F.bround(col.cast("double"), 6)
 
 
+# The DuckDB-side statement of the repo-wide whitespace tokenization
+# contract (words_expr: non-empty splits on Java \s+), shared by every
+# oracle that reasons about token positions (LM family, n-gram
+# decontamination, tokenizer stats) — ONE source of truth, so a change
+# to the contract can't silently diverge a subset of the oracles.
+_TOKS = r"""
+    docs AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT doc_id, lang, unnest(arr) AS w,
+             generate_subscripts(arr, 1) AS pos
+      FROM docs
+    )
+"""
+
+
 # --------------------------------------------------------------------------
 # Profiling aggregates (SURVEY.md §2.3) — single-pass global aggregation.
 # --------------------------------------------------------------------------

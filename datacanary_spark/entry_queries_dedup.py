@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datacanary_spark.entry_queries import ORACLE_SQL, QUERIES, _t, register
+from datacanary_spark.entry_queries import (
+    ORACLE_SQL,
+    QUERIES,
+    _TOKS,
+    _t,
+    register,
+)
 from datacanary_spark.operators import dedup as dd
 from datacanary_spark.operators import text_analysis as ta
 from datacanary_spark.sources.fixtures import LANGS, STOPWORDS
@@ -1007,34 +1013,20 @@ def origin_split_leakage_pairs(spark, sf_dir):
 _NGDC_K = 5            # word k-gram size (13 at web scale; 5 fits fixture)
 _NGDC_MAX_FRAC = 0.2   # survivors have overlap_frac <= this
 
-_NGDC_TOKS = r"""
-    ngdocs AS (
-      SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-               AS arr
-      FROM documents WHERE text IS NOT NULL
-    ),
-    ngtoks AS (
-      SELECT doc_id, lang, unnest(arr) AS w,
-             generate_subscripts(arr, 1) AS pos
-      FROM ngdocs
-    )
-"""
-
 
 @register(
     "ngram_decontam_by_lang",
     f"""
-    WITH {_NGDC_TOKS},
+    WITH {_TOKS},
     spans AS (
       SELECT a.doc_id, a.lang,
              md5(a.w || ' ' || b.w || ' ' || c2.w || ' ' || d.w || ' ' || e.w)
                AS h
-      FROM ngtoks a
-      JOIN ngtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      JOIN ngtoks c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2
-      JOIN ngtoks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
-      JOIN ngtoks e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2
+      JOIN toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+      JOIN toks e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
     ),
     ref AS (SELECT DISTINCT h FROM spans WHERE doc_id % 7 = 0),
     per_doc AS (

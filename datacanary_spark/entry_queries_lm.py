@@ -13,31 +13,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datacanary_spark.entry_queries import _t, register
+from datacanary_spark.entry_queries import _TOKS, _t, register
 from datacanary_spark.operators import ngram_lm as nl
 
 _A1 = repr(nl.ALPHA)          # 0.4
 _A2 = repr(nl.ALPHA ** 2)     # 0.16000000000000003 (exact double of 0.4**2)
 _OOV_MIN_COUNT = 5            # one constant, interpolated into BOTH twins
 
-_TOKS = r"""
-    docs AS (
-      SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
-      FROM documents WHERE text IS NOT NULL
-    ),
-    toks AS (
-      SELECT doc_id, lang, unnest(arr) AS w,
-             generate_subscripts(arr, 1) AS pos
-      FROM docs
-    )
-"""
-
-
-@register(
-    "sb_trigram_logscore_by_lang",
-    f"""
-    WITH {_TOKS},
+# Trigram Stupid-Backoff self-scoring over the _TOKS positions, ending
+# in per_doc(doc_id, lang, ds = mean log10 score, np = positions).
+# Shared verbatim by sb_trigram_logscore_by_lang (here) and
+# ccnet_ppl_buckets_by_lang (entry_queries_tokenizer) so a fix to the
+# backoff CASE or the per-doc aggregation can never diverge the two.
+_SB_SCORE_CTES = f"""
     tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
     uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
     bi AS (
@@ -79,6 +67,14 @@ _TOKS = r"""
       SELECT doc_id, lang, avg(log10(s)) AS ds, count(*) AS np
       FROM sc GROUP BY 1, 2
     )
+"""
+
+
+@register(
+    "sb_trigram_logscore_by_lang",
+    f"""
+    WITH {_TOKS},
+    {_SB_SCORE_CTES}
     SELECT lang, count(*) AS n_docs,
            round(avg(ds), 4) AS mean_sb_log10,
            CAST(sum(np) AS BIGINT) AS n_positions

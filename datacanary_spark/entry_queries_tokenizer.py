@@ -15,8 +15,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datacanary_spark.entry_queries import _t, register
-from datacanary_spark.entry_queries_lm import _A1, _A2, _TOKS
+from datacanary_spark.entry_queries import _TOKS, _t, register
+from datacanary_spark.entry_queries_lm import _SB_SCORE_CTES
 from datacanary_spark.operators import bpe
 from datacanary_spark.operators import ngram_lm as nl
 
@@ -57,47 +57,7 @@ def bpe_top_pairs_by_lang(spark, sf_dir):
     "ccnet_ppl_buckets_by_lang",
     f"""
     WITH {_TOKS},
-    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
-    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
-    bi AS (
-      SELECT a.w || ' ' || b.w AS g, count(*) AS c
-      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      GROUP BY 1
-    ),
-    tri AS (
-      SELECT a.w || ' ' || b.w || ' ' || c2.w AS g, count(*) AS c
-      FROM toks a
-      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      JOIN toks c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2
-      GROUP BY 1
-    ),
-    pos AS (
-      SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2, c2.w AS w3
-      FROM toks a
-      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      JOIN toks c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2
-    ),
-    sc AS (
-      SELECT p.doc_id, p.lang,
-        CASE
-          WHEN t3.c IS NOT NULL AND bx.c IS NOT NULL
-            THEN CAST(t3.c AS DOUBLE) / bx.c
-          WHEN b2.c IS NOT NULL AND ux.c IS NOT NULL
-            THEN {_A1} * CAST(b2.c AS DOUBLE) / ux.c
-          ELSE {_A2} * CAST(coalesce(u3.c, 1) AS DOUBLE) / tot.n
-        END AS s
-      FROM pos p
-      LEFT JOIN tri t3 ON t3.g = p.w1 || ' ' || p.w2 || ' ' || p.w3
-      LEFT JOIN bi bx ON bx.g = p.w1 || ' ' || p.w2
-      LEFT JOIN bi b2 ON b2.g = p.w2 || ' ' || p.w3
-      LEFT JOIN uni ux ON ux.w = p.w2
-      LEFT JOIN uni u3 ON u3.w = p.w3
-      CROSS JOIN tot
-    ),
-    per_doc AS (
-      SELECT doc_id, lang, avg(log10(s)) AS ds
-      FROM sc GROUP BY 1, 2
-    ),
+    {_SB_SCORE_CTES},
     b AS (
       SELECT lang, ds,
              ntile(3) OVER (PARTITION BY lang

@@ -38,6 +38,7 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
+import heapq
 import re
 from collections.abc import Sequence
 
@@ -142,11 +143,18 @@ def learn_bpe_merges(df: DataFrame, num_merges: int,
     a deterministic head cap — ``row_number`` over (count desc, word
     asc) ≤ ``max_vocab`` — so the driver collect is bounded by
     ``max_vocab`` REGARDLESS of corpus size (10^12 docs collect the
-    same ≤ max_vocab rows as 10^3 docs do). Driver part: the classic
-    merge loop over the in-memory word-count dict, O(max_vocab ·
-    mean_word_len) per merge — this is how every production BPE trainer
-    works; the merge recurrence is inherently sequential, so the right
-    split is "corpus work on the cluster, vocab work on the driver".
+    same ≤ max_vocab rows as 10^3 docs do). Driver part: the merge
+    recurrence is inherently sequential, so the right split is "corpus
+    work on the cluster, vocab work on the driver" — and the driver
+    loop is the INCREMENTAL trainer (subword-nmt style): pair counts
+    are built once, each merge pops the max off a lazy-deletion heap
+    and re-counts ONLY the words that contain the merged pair (tracked
+    by a pair→words index), so per-merge cost is proportional to the
+    affected words, not to max_vocab — the difference between minutes
+    and days at the 50k-merge / 100k-vocab scale ``apply_bpe``
+    advertises. Output is EXACTLY the textbook recurrence's (the
+    naive-equivalence property test pins it): the heap orders by
+    (-count, pair), the same total order the from-scratch argmax uses.
 
     Deterministic everywhere: the cap tie-breaks on the word, the merge
     choice tie-breaks on the pair (max count, then lexicographically
@@ -166,21 +174,70 @@ def learn_bpe_merges(df: DataFrame, num_merges: int,
             .select("w", "c"))
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["w"]): int(r["c"]) for r in head.collect()}
+    return _learn_from_vocab(vocab, num_merges)
+
+
+def _learn_from_vocab(vocab: dict[tuple[str, ...], int],
+                      num_merges: int) -> list[tuple[str, str]]:
+    """The driver-side incremental merge loop over an in-memory
+    word-frequency dict (``vocab`` is consumed). Split out of
+    ``learn_bpe_merges`` so the naive-recurrence equivalence property
+    test can drive it directly, without a Spark pass per example."""
+    # one full counting pass, then incremental maintenance: counts is
+    # the exact pair→frequency table at all times; index maps each pair
+    # to the vocab keys currently containing it. Distinct words keep
+    # distinct symbol tuples forever (merging never changes a word's
+    # character concatenation), so merged keys never collide.
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[tuple[str, ...]]] = {}
+    for sym, freq in vocab.items():
+        for pair in zip(sym, sym[1:]):
+            counts[pair] = counts.get(pair, 0) + freq
+            index.setdefault(pair, set()).add(sym)
+    # lazy-deletion max-heap: entries go stale when a count changes;
+    # the pop loop discards any entry disagreeing with counts. Tuple
+    # order (-count, pair) == the textbook argmax's tie-break, so the
+    # winner each round is identical to a from-scratch recount.
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for sym, freq in vocab.items():
-            for pair in zip(sym, sym[1:]):
-                counts[pair] = counts.get(pair, 0) + freq
-        if not counts:
+        best = None
+        while heap:
+            negc, p = heap[0]
+            if counts.get(p) == -negc:
+                best = p
+                break
+            heapq.heappop(heap)  # stale
+        if best is None:
             break
-        best = min(counts, key=lambda p: (-counts[p], p))
         merges.append(best)
         a, b = best
-        vocab = {
-            _merge_seq(sym, a, b) if a in sym else sym: freq
-            for sym, freq in vocab.items()}
+        changed: set[tuple[str, str]] = set()
+        for sym in index.pop(best, ()):  # only words containing (a, b)
+            freq = vocab.pop(sym)
+            for pair in zip(sym, sym[1:]):
+                left = counts[pair] - freq
+                if left > 0:
+                    counts[pair] = left
+                    changed.add(pair)
+                else:
+                    del counts[pair]
+                    changed.discard(pair)
+                entry = index.get(pair)
+                if entry is not None:
+                    entry.discard(sym)
+                    if not entry:
+                        del index[pair]
+            new = _merge_seq(sym, a, b)
+            vocab[new] = freq
+            for pair in zip(new, new[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+                changed.add(pair)
+                index.setdefault(pair, set()).add(new)
+        for pair in changed:
+            heapq.heappush(heap, (-counts[pair], pair))
     return merges
 
 

@@ -12,6 +12,8 @@ edge cases (single-char words, null text, empty corpus, early stop).
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -115,6 +117,23 @@ def test_learn_rejects_negative(spark):
     df = _docs(spark, [("en", "x")])
     with pytest.raises(ValueError):
         bpe.learn_bpe_merges(df, num_merges=-1)
+
+
+@given(st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=9),
+    min_size=0, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_incremental_trainer_equals_naive_recurrence(word_freq):
+    """The heap/index incremental trainer (_learn_from_vocab) must
+    reproduce the textbook from-scratch recurrence EXACTLY — including
+    overlapping self-pairs like ('a','a') on runs, count ties broken by
+    lexicographic pair order, and early stop on a fully-merged vocab.
+    The 3-letter alphabet maximizes pair collisions and re-additions."""
+    want, _ = _naive_learn(dict(word_freq), num_merges=25)
+    got = bpe._learn_from_vocab(
+        {tuple(w): c for w, c in word_freq.items()}, num_merges=25)
+    assert got == want
 
 
 # ---------------------------------------------------------------------------

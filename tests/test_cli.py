@@ -1521,6 +1521,10 @@ def test_export_bpe_tokenizer_shipped_with_shards(spark, tmp_path, capsys):
     with _pt.raises(SystemExit, match="--bpe-merges"):
         main(["export", "--input", pages, "--output", out,
               "--bpe-merges", "5", "--bpe-text-col", "nope"])
+    # negative merge count fails fast (pre-JVM, like --split errors)
+    with _pt.raises(SystemExit, match="--bpe-merges"):
+        main(["export", "--input", pages, "--output", out,
+              "--bpe-merges", "-5"])
 
 
 def test_corpus_report_dataset_card(spark, tmp_path, capsys):
