@@ -1,13 +1,14 @@
 """Driver-contract queries: BPE tokenizer-training statistics
-(operators/bpe.py) and CCNet perplexity-tercile bucketing
+(operators/bpe.py), Unigram-LM seed-lexicon statistics
+(operators/unigram.py), and CCNet perplexity-tercile bucketing
 (operators/ngram_lm.py composed with ntile).
 
 Registered into datacanary_spark.entry_queries.{QUERIES,ORACLE_SQL}.
-Both are deliberately tail-registered (appended to ``_TAIL_ROTATION``):
-the driver's correctness gate reads exactly the first 50 keys and that
-window is fully packed with queries that have never had a driver row —
-these two are verified instead by ``scripts/check_oracle.py`` (recorded
-in BENCH/BASELINE.md) like the rest of the tail.
+All are deliberately tail-registered: the driver's correctness gate
+reads exactly the first 50 keys and that window is fully packed with
+queries that have never had a driver row — these are verified instead
+by ``scripts/check_oracle.py`` (recorded in BENCH/BASELINE.md) like
+the rest of the tail.
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ from pyspark.sql.window import Window
 
 from datacanary_spark.entry_queries import _TOKS, _t, register
 from datacanary_spark.entry_queries_lm import _SB_SCORE_CTES
+from datacanary_spark.operators import unigram as ug
 from datacanary_spark.operators import bpe
 from datacanary_spark.operators import ngram_lm as nl
 
@@ -51,6 +53,49 @@ def bpe_top_pairs_by_lang(spark, sf_dir):
     the corpus contributes exactly one explode + one aggregation."""
     d = _t(spark, sf_dir, "documents")
     return bpe.top_pairs_by_group(d, "text", "lang", k=5)
+
+
+@register(
+    "unigram_seed_candidates_by_lang",
+    f"""
+    WITH {_TOKS},
+    wf AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    subs AS (
+      SELECT lang,
+             substring(w, CAST(i AS INT), CAST(L AS INT)) AS sub, c
+      FROM wf,
+           unnest(range(1, length(w) + 1)) AS t(i),
+           unnest(range(1, least(4, length(w) - CAST(i AS INT) + 1) + 1))
+             AS u(L)
+    ),
+    agg AS (
+      SELECT lang, sub, CAST(sum(c) AS BIGINT) AS sub_count
+      FROM subs GROUP BY 1, 2
+    )
+    SELECT lang, sub, sub_count,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY sub_count DESC, sub ASC)
+                AS INT) AS rank
+    FROM agg
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY sub_count DESC, sub ASC) <= 5
+    """,
+)
+def unigram_seed_candidates_by_lang(spark, sf_dir):
+    """Top-5 Unigram-LM seed-lexicon candidates per language: every
+    ≤4-char substring of every word, weighted by word frequency — the
+    statistic ``train_unigram`` seeds its EM from (SentencePiece's
+    frequent-substring seeding). Like the BPE twin, the substring
+    explode runs over the AGGREGATED vocabulary (one corpus-sized
+    explode + aggregation, then vocabulary-sized work), and the
+    ranking window's per-group input is |substrings| ≤ |vocab|·O(len·4)
+    — bounded by Heaps' law, not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    sc = ug.substring_counts(d, "text", max_len=4, group_cols=("lang",))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("sub_count").desc(), F.col("sub").asc())
+    return (sc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5))
 
 
 @register(
