@@ -556,6 +556,9 @@ def cmd_export(args) -> int:
         # instead of surfacing learn_bpe_merges' ValueError mid-job
         raise SystemExit(f"--bpe-merges: must be >= 0, "
                          f"got {args.bpe_merges}")
+    if args.unigram_vocab < 0:
+        raise SystemExit(f"--unigram-vocab: must be >= 0, "
+                         f"got {args.unigram_vocab}")
     tags = args.tag or [f"corpus{i}" for i in range(len(args.input))]
     if len(tags) != len(args.input):
         raise SystemExit(f"--tag: got {len(tags)} tags for "
@@ -620,6 +623,21 @@ def cmd_export(args) -> int:
                                   text_col=args.bpe_text_col)
         df = (apply_bpe(df, merges, text_col=args.bpe_text_col)
               .withColumn("n_bpe_tokens", F.size("bpe_tokens")))
+    lexicon: dict = {}
+    if args.unigram_vocab:
+        # the Unigram-LM sibling of --bpe-merges: same ship-the-
+        # tokenizer-with-the-data contract, same determinism
+        from datacanary_spark.operators.unigram import (
+            apply_unigram,
+            train_unigram,
+        )
+        if args.bpe_text_col not in df.columns:
+            raise SystemExit(f"--unigram-vocab: column "
+                             f"{args.bpe_text_col!r} not in the corpus")
+        lexicon = train_unigram(df, vocab_size=args.unigram_vocab,
+                                text_col=args.bpe_text_col)
+        df = (apply_unigram(df, lexicon, text_col=args.bpe_text_col)
+              .withColumn("n_unigram_tokens", F.size("unigram_tokens")))
     assigned = split_assign(df, key_col, fractions,
                             salt=args.split_salt)
     # lineage pass over the PRE-shuffle assignment (scan + CASE only —
@@ -654,6 +672,11 @@ def cmd_export(args) -> int:
         write_text(spark, args.output.rstrip("/") + "/_bpe_merges.json",
                    json.dumps([list(m) for m in merges]))
         summary["bpe_merges"] = len(merges)
+    if args.unigram_vocab:
+        from datacanary_spark.sources.io import write_text
+        write_text(spark, args.output.rstrip("/") + "/_unigram_lexicon.json",
+                   json.dumps(lexicon, sort_keys=True))
+        summary["unigram_lexicon"] = len(lexicon)
     print(json.dumps(summary, sort_keys=True))
     return 0
 
@@ -955,7 +978,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "output/_bpe_merges.json (deterministic — "
                          "re-exports learn the identical table)")
     ex.add_argument("--bpe-text-col", default="text",
-                    help="column --bpe-merges trains on and tokenizes")
+                    help="column --bpe-merges/--unigram-vocab train on "
+                         "and tokenize")
+    ex.add_argument("--unigram-vocab", type=int, default=0,
+                    help="train a SentencePiece-style Unigram-LM lexicon "
+                         "of <= N tokens (plus required single chars) on "
+                         "the (mixed) corpus and ship it with the data: "
+                         "adds unigram_tokens + n_unigram_tokens columns "
+                         "and writes the {token: logprob} map to "
+                         "output/_unigram_lexicon.json (deterministic). "
+                         "Composable with --bpe-merges — each adds its "
+                         "own columns")
     ex.set_defaults(fn=cmd_export)
 
     cr = sub.add_parser("corpus-report",

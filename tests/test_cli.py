@@ -1527,6 +1527,63 @@ def test_export_bpe_tokenizer_shipped_with_shards(spark, tmp_path, capsys):
               "--bpe-merges", "-5"])
 
 
+def test_export_unigram_tokenizer_shipped_with_shards(spark, tmp_path,
+                                                      capsys):
+    """--unigram-vocab N trains the Unigram-LM lexicon on the exported
+    corpus, tokenizes every doc into unigram_tokens/n_unigram_tokens,
+    and ships {token: logprob} as output/_unigram_lexicon.json — all
+    deterministic: the shipped lexicon equals train_unigram on the same
+    input, and driver-side Viterbi under it reproduces the shard
+    tokens."""
+    from datacanary_spark.operators.unigram import (
+        train_unigram,
+        viterbi_segment,
+    )
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "30",
+                 "--files", "1"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "ug_export")
+    assert main(["export", "--input", pages, "--output", out,
+                 "--key-col", "url", "--n-shards", "2",
+                 "--unigram-vocab", "512"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lexicon = json.loads((tmp_path / "ug_export"
+                          / "_unigram_lexicon.json").read_text())
+    assert s["unigram_lexicon"] == len(lexicon)
+    assert lexicon == train_unigram(spark.read.parquet(pages),
+                                    vocab_size=512)
+    required = {t for t in lexicon if len(t) == 1}
+    multi = [t for t in lexicon if len(t) > 1]
+    # bound holds AND the lexicon is non-degenerate (the fixture corpus
+    # has ~383 distinct chars, all kept by the required-chars rule)
+    assert 0 < len(multi) <= 512 - len(required)
+    back = spark.read.parquet(out)
+    rows = back.select("text", "unigram_tokens",
+                       "n_unigram_tokens").collect()
+    checked = 0
+    for r in rows:
+        if r["text"] is None:
+            assert (r["unigram_tokens"] is None
+                    and r["n_unigram_tokens"] is None)
+            continue
+        want = [t for w in re.split("[ \t\n\x0b\f\r]+", r["text"]) if w
+                for t in viterbi_segment(w, lexicon, 8)]
+        assert r["unigram_tokens"] == want
+        assert r["n_unigram_tokens"] == len(want)
+        checked += 1
+    assert checked >= 20
+    # fail-fast validation, pre-JVM
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="--unigram-vocab"):
+        main(["export", "--input", pages, "--output", out,
+              "--unigram-vocab", "-1"])
+    with _pt.raises(SystemExit, match="--unigram-vocab"):
+        main(["export", "--input", pages, "--output", out,
+              "--unigram-vocab", "9", "--bpe-text-col", "nope"])
+
+
 def test_corpus_report_dataset_card(spark, tmp_path, capsys):
     """corpus-report renders a dataset card for a curate output: sizes,
     per-language composition, top hosts, and the curation provenance."""
