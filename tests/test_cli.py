@@ -311,7 +311,8 @@ def test_examples_importable():
     import importlib.util
     import pathlib
 
-    for name in ["analyse_data", "custom_rules_demo", "filter_pipeline_demo"]:
+    for name in ["analyse_data", "custom_rules_demo", "filter_pipeline_demo",
+                 "tokenizer_training_demo"]:
         path = pathlib.Path(__file__).parent.parent / "examples" / f"{name}.py"
         spec = importlib.util.spec_from_file_location(name, path)
         mod = importlib.util.module_from_spec(spec)
