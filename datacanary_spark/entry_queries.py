@@ -615,6 +615,7 @@ _TAIL_ROTATION = [
     # these are verified by scripts/check_oracle.py instead.
     "bpe_top_pairs_by_lang",
     "ccnet_ppl_buckets_by_lang",
+    "unigram_seed_candidates_by_lang",  # r04m, same tail contract
 ]
 
 

@@ -52,7 +52,8 @@ from pyspark.sql.window import Window
 from datacanary_spark.functions.heuristics import words_expr
 
 __all__ = ["word_freqs", "pair_counts", "top_pairs_by_group",
-           "learn_bpe_merges", "apply_bpe", "bpe_segment_word"]
+           "learn_bpe_merges", "apply_bpe", "bpe_segment_word",
+           "word_tokenizer_udf"]
 
 
 def word_freqs(df: DataFrame, text_col: str = "text",
@@ -257,23 +258,24 @@ def bpe_segment_word(word: str, ranks: dict[tuple[str, str], int]
     return sym
 
 
-def apply_bpe(df: DataFrame, merges: Sequence[tuple[str, str]],
-              text_col: str = "text",
-              out_col: str = "bpe_tokens") -> DataFrame:
-    """Tokenize ``text_col`` with a learned merge table: adds
-    ``out_col array<string>`` (null text → null tokens).
+def word_tokenizer_udf(segment_word):
+    """Scalar Arrow pandas-UDF factory shared by every subword
+    tokenizer's apply path (``apply_bpe`` here, ``apply_unigram`` in
+    ``operators/unigram.py``): ONE statement of the repo's whitespace
+    contract and the memo bound, so the two tokenizers cannot drift.
 
-    Scale shape: a SCALAR Arrow pandas UDF — only the text column
-    crosses the Python boundary; every other column (html binaries,
-    metadata) stays JVM-side, unlike a mapInPandas enrichment which
-    would round-trip whole rows through Arrow. The ranks dict rides the
-    serialized UDF once per executor (same ship-once lifecycle as
-    ``functions/models.py``'s broadcast models — merge tables are tiny:
-    50k merges ≈ a few hundred KiB); a per-worker word→tokens memo
-    (bounded) collapses per-token cost to per-DISTINCT-word cost, which
-    on web text (Zipf) is a 10-100× cut. No per-row Python.
+    ``segment_word`` (str → sequence of tokens, plus whatever model it
+    closes over) rides the serialized UDF once per executor — the
+    ship-once lifecycle of ``functions/models.py``'s broadcast models;
+    merge tables / lexicons are tiny (50k entries ≈ a few hundred KiB).
+
+    Scale shape: a SCALAR pandas UDF — only the text column crosses the
+    Python boundary; every other column (html binaries, metadata) stays
+    JVM-side, unlike a mapInPandas enrichment which would round-trip
+    whole rows through Arrow. A bounded per-task word→tokens memo
+    collapses per-token cost to per-DISTINCT-word cost, a 10-100× cut
+    on Zipf-distributed web text. Null text → null tokens.
     """
-    ranks = {tuple(p): i for i, p in enumerate(merges)}
     # mirror words_expr's Java-regex \s+ EXACTLY: Java \s is the ASCII
     # class [ \t\n\x0b\f\r] — Python str.split() also breaks on Unicode
     # whitespace (\xa0 etc.) and would disagree on mojibake-bearing text
@@ -296,11 +298,22 @@ def apply_bpe(df: DataFrame, merges: Sequence[tuple[str, str]],
                 if got is None:
                     if len(memo) >= memo_cap:
                         memo.clear()
-                    got = list(bpe_segment_word(wrd, ranks))
+                    got = list(segment_word(wrd))
                     memo[wrd] = got
                 out.extend(got)
             return out
 
         return texts.map(tok)
 
+    return tokenize
+
+
+def apply_bpe(df: DataFrame, merges: Sequence[tuple[str, str]],
+              text_col: str = "text",
+              out_col: str = "bpe_tokens") -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge table: adds
+    ``out_col array<string>`` (null text → null tokens). Plan shape and
+    lifecycle: see ``word_tokenizer_udf``."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    tokenize = word_tokenizer_udf(lambda w: bpe_segment_word(w, ranks))
     return df.withColumn(out_col, tokenize(F.col(text_col)))

@@ -46,16 +46,13 @@ cluster, vocabulary work on the driver":
 from __future__ import annotations
 
 import math
-import re
 from collections.abc import Sequence
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.storagelevel import StorageLevel
 
-from datacanary_spark.operators.bpe import word_freqs
+from datacanary_spark.operators.bpe import word_freqs, word_tokenizer_udf
 
 __all__ = ["substring_counts", "train_unigram", "viterbi_segment",
            "apply_unigram"]
@@ -69,14 +66,23 @@ def substring_counts(df: DataFrame, text_col: str = "text",
     ``(*group_cols, sub, sub_count)``.
 
     Runs over the ``word_freqs`` table, so the explode is
-    vocabulary-sized × O(mean_len · max_len), never corpus-sized. The
-    nested transform/flatten stays whole-stage-codegen'd JVM work: the
-    lambda binds ``w``/``c`` as bound refs (no unbound-subtree
-    re-evaluation — see ``heuristics.ngrams_expr``'s caveat).
+    vocabulary-sized × O(mean_len · max_len), never corpus-sized.
+    """
+    return _substring_counts_from_wf(
+        word_freqs(df, text_col, group_cols), max_len, group_cols)
+
+
+def _substring_counts_from_wf(wf: DataFrame, max_len: int,
+                              group_cols: Sequence[str] = ()) -> DataFrame:
+    """``substring_counts`` over an already-aggregated ``(w, c)`` table
+    — lets ``train_unigram`` derive both of its heads from ONE
+    ``word_freqs`` pass. The nested transform/flatten stays
+    whole-stage-codegen'd JVM work: the lambda binds ``w`` as a bound
+    ref (no unbound-subtree re-evaluation — see
+    ``heuristics.ngrams_expr``'s caveat).
     """
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
-    wf = word_freqs(df, text_col, group_cols)
     w = F.col("w")
     n = F.length(w)
     # starts i = 1..len; lengths L = 1..min(max_len, len-i+1)
@@ -170,12 +176,20 @@ def train_unigram(df: DataFrame, vocab_size: int,
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     if not 0.0 < prune_frac < 1.0:
         raise ValueError(f"prune_frac must be in (0, 1), got {prune_frac}")
-    cand = substring_counts(df, text_col, max_len)
-    seed_head = (cand.orderBy(F.col("sub_count").desc(), F.col("sub").asc())
-                 .limit(seed_size).collect())
-    wf_head = (word_freqs(df, text_col)
-               .orderBy(F.col("c").desc(), F.col("w").asc())
-               .limit(max_vocab).collect())
+    # ONE corpus-sized pass: both heads (seed substrings, EM words)
+    # derive from the same persisted word_freqs table — vocabulary-
+    # sized blocks with a deterministic lifetime (both collects happen
+    # right here, so the unpersist point is safe; cf. plans/caching.py)
+    wf = word_freqs(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cand = _substring_counts_from_wf(wf, max_len)
+        seed_head = (cand.orderBy(F.col("sub_count").desc(),
+                                  F.col("sub").asc())
+                     .limit(seed_size).collect())
+        wf_head = (wf.orderBy(F.col("c").desc(), F.col("w").asc())
+                   .limit(max_vocab).collect())
+    finally:
+        wf.unpersist()
     words = {r["w"]: int(r["c"]) for r in wf_head}
 
     # seed model: relative substring frequencies; single chars of the
@@ -225,34 +239,11 @@ def apply_unigram(df: DataFrame, logp: dict[str, float],
                   max_len: int = 8, text_col: str = "text",
                   out_col: str = "unigram_tokens") -> DataFrame:
     """Tokenize ``text_col`` with a trained unigram lexicon: adds
-    ``out_col array<string>`` (null text → null tokens). Same plan
-    shape and lifecycle as ``apply_bpe``: scalar Arrow pandas UDF (only
-    the text column crosses the Python boundary), lexicon ships once
-    per executor with the serialized closure, bounded per-task
-    word→tokens memo."""
+    ``out_col array<string>`` (null text → null tokens). Plan shape and
+    lifecycle: see ``bpe.word_tokenizer_udf`` — the one shared apply
+    scaffold, reusing the driver ``viterbi_segment`` verbatim so
+    executor==driver segmentation is definitional."""
     model = dict(logp)
-    ws = re.compile("[ \t\n\x0b\f\r]+")  # mirror words_expr's Java \s
-    memo_cap = 1_000_000
-    memo: dict[str, tuple[str, ...]] = {}
-
-    @pandas_udf(ArrayType(StringType()))
-    def tokenize(texts: pd.Series) -> pd.Series:
-        def tok(text):
-            if text is None:
-                return None
-            out: list[str] = []
-            for wrd in ws.split(text):
-                if not wrd:
-                    continue
-                got = memo.get(wrd)
-                if got is None:
-                    if len(memo) >= memo_cap:
-                        memo.clear()
-                    got = viterbi_segment(wrd, model, max_len)
-                    memo[wrd] = got
-                out.extend(got)
-            return out
-
-        return texts.map(tok)
-
+    tokenize = word_tokenizer_udf(
+        lambda w: viterbi_segment(w, model, max_len))
     return df.withColumn(out_col, tokenize(F.col(text_col)))
