@@ -497,6 +497,8 @@ def cmd_curate(args) -> int:
         near_dup_threshold=args.near_dup_threshold,
         near_dup_keep=args.near_dup_keep,
         block_url_patterns=args.block_url_patterns,
+        robots_table=args.robots_table,
+        robots_agent=args.robots_agent,
         normalize_unicode=args.normalize,
         fix_encoding=args.fix_encoding,
         span_dedup_k=args.span_dedup_k,
@@ -1023,6 +1025,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "(repeatable; path/query component of UT1-style "
                          "blocklists — domains go in --blocklist). Pure "
                          "column predicate, applied before extraction")
+    cu.add_argument("--robots-table", default=None,
+                    help="path to a (host, robots_txt) table: enforce "
+                         "RFC 9309 crawl policy — drop docs whose url "
+                         "path the host's robots.txt disallows for "
+                         "--robots-agent (rules broadcast per host, "
+                         "longest-match/allow-tie precedence)")
+    cu.add_argument("--robots-agent", default="*",
+                    help="user-agent product token for --robots-table "
+                         "group selection (default '*')")
     cu.add_argument("--normalize", default=None,
                     choices=["NFC", "NFKC"],
                     help="unicode-normalize the text column before the "

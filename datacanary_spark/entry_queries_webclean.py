@@ -461,3 +461,94 @@ def url_pattern_block_by_lang(spark, sf_dir):
                   F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
                   F.sum("k").alias("n_kept"),
                   F.sum(F.col("k") * F.col("doc_id")).alias("kept_id_sum")))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl policy (operators/robots.py): plant per-host robots
+# files + page urls, run the real RFC 9309 parser + longest-match
+# filter, account per language. The oracle computes the verdict in
+# closed form from the plant formula (robots parsing is not SQL), so a
+# parser/precedence bug surfaces as a membership mismatch:
+#   host  = floor(doc_id/10) % 9  -> site{h}.example; host 8 serves NO
+#           robots.txt (allow-all branch)
+#   path  = /p{doc_id%5}/page{doc_id}
+#   rules (identical * group on hosts 0..7; a canarybot Disallow-/
+#   group that MUST be ignored for agent *):
+#     Disallow: /p1/        -> m==1 dropped ...
+#     Allow:    /p1/page2   -> ... unless id starts with '2' (plen 9>4)
+#     Disallow: /*3$        -> ids ending in 3 dropped (wildcard+anchor;
+#                              note id%10==3 => id%5==3, disjoint from
+#                              the /p1/ and /p2/ branches)
+#     Disallow: /p2/ + Allow: /p2/ -> equal plen 4: Allow wins the tie,
+#                              m==2 always kept
+# ---------------------------------------------------------------------------
+
+_ROBOTS_DOCS = 500
+
+_ROBOTS_TXT = ("# crawl policy for site{h}.example\r\n"
+               "User-agent: canarybot\r\n"
+               "Disallow: /\r\n"
+               "\r\n"
+               "User-agent: *\r\n"
+               "Disallow: /p1/\r\n"
+               "Allow: /p1/page2\r\n"
+               "Disallow: /*3$\r\n"
+               "Disallow: /p2/\r\n"
+               "Allow: /p2/\r\n"
+               "Sitemap: https://site{h}.example/sitemap.xml\r\n")
+
+_ROBOTS_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             CAST(floor(doc_id / 10) AS BIGINT) % 9 AS h,
+             doc_id % 5 AS m,
+             CAST(doc_id AS VARCHAR) AS ids
+      FROM documents WHERE doc_id < {_ROBOTS_DOCS}
+    ),
+    verdict AS (
+      SELECT doc_id, lang,
+             CASE WHEN h = 8 THEN TRUE
+                  WHEN m = 1 THEN (ids LIKE '2%')
+                  WHEN m = 2 THEN TRUE
+                  WHEN ids LIKE '%3' THEN FALSE
+                  ELSE TRUE END AS keep
+      FROM raw
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM verdict GROUP BY lang
+"""
+
+
+@register("robots_policy_by_lang", _ROBOTS_SQL)
+def robots_policy_by_lang(spark, sf_dir):
+    """RFC 9309 robots.txt enforcement end-to-end: 8 planted robots
+    files (CRLF, comments, a specific-agent group that must be ignored
+    for *, wildcard, $ anchor, longest-match override, allow-tie) are
+    compiled by the real parser (operators/robots.py pandas UDF over
+    the host-count table) and enforced on 500 planted page urls via
+    the broadcast rules join + expression-only longest-match.
+    kept_id_sum pins exact keep/drop membership per doc."""
+    from datacanary_spark.operators.robots import robots_filter
+
+    i = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").where(i < _ROBOTS_DOCS)
+    url = F.concat(
+        F.lit("https://site"),
+        (F.floor(i / 10) % 9).cast("string"),
+        F.lit(".example/p"), (i % 5).cast("string"),
+        F.lit("/page"), i.cast("string"))
+    pages = d.select("doc_id", "lang", url.alias("url"))
+    robots = spark.createDataFrame(
+        [(f"site{h}.example", _ROBOTS_TXT.replace("{h}", str(h)))
+         for h in range(8)],
+        "host string, robots_txt string")
+    out = robots_filter(pages, robots, agent="*", keep_col="_keep")
+    k = F.col("_keep").cast("long")
+    return (out.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(k).alias("n_kept"),
+                    F.sum(k * F.col("doc_id")).alias("kept_id_sum")))

@@ -58,6 +58,8 @@ def run_curation_job(
     line_dedup: bool = True,
     blocklist: list[str] | str | None = None,
     block_url_patterns: list[str] | None = None,
+    robots_table: str | None = None,
+    robots_agent: str = "*",
     normalize_unicode: str | None = None,
     fix_encoding: bool = False,
     near_dup_threshold: float | None = None,
@@ -101,6 +103,11 @@ def run_curation_job(
     origin-level filter. ``block_url_patterns`` (a list of regexes)
     drops docs whose url matches any pattern at the same early point —
     the path/query component of those lists, a pure column predicate.
+    ``robots_table`` (a ``(host, robots_txt)`` table — the robots.txt
+    each host served at crawl time) enforces RFC 9309 crawl policy for
+    ``robots_agent`` at the same URL-level tier: rules compile once on
+    the host-count table and broadcast; disallowed paths drop before
+    any content work (operators/robots.py).
     ``normalize_unicode`` ("NFC"/"NFKC") and ``fix_encoding`` (ftfy-lite
     mojibake repair, runs before composition) canonicalize the text
     column ahead of the filter, so heuristics, fingerprints, and every
@@ -264,6 +271,20 @@ def run_curation_job(
             pages = filter_blocked_url_patterns(pages, block_url_patterns,
                                                 url_col="url")
             blocklist_count["after_url_patterns"] = pages.count()
+        if robots_table is not None:
+            from datacanary_spark.operators.robots import robots_filter
+
+            # crawl-policy enforcement (RFC 9309): same URL-level,
+            # run-FIRST tier as the blocklists. The robots table is
+            # per-HOST (orders of magnitude smaller than pages), so its
+            # compiled rules broadcast; the per-page longest-match is
+            # expression-only and pipelines with the scan. Docs with no
+            # parseable host or no robots row pass (policy can't apply).
+            if blocklist_count is None:
+                blocklist_count = {"docs_in": pages.count()}
+            pages = robots_filter(pages, read_table(spark, robots_table),
+                                  agent=robots_agent, url_col="url")
+            blocklist_count["after_robots"] = pages.count()
         if normalize_unicode or fix_encoding:
             from datacanary_spark.functions.normalize import normalize_text
 
