@@ -477,3 +477,86 @@ def canonical_dedup_by_lang(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n_survivors"),
                     F.sum("doc_id").alias("sum_survivor_ids"),
                     F.sum("n_variants").alias("n_pages_absorbed")))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual dHash near-dup (operators/media_hash.py): plant FAKEMM
+# images whose dHash is constructed EXACTLY (each group g in 0..7 gets
+# target hash 0xFF << 8g; every third member flips one bit), run the
+# real decode -> luma grid -> dHash -> hamming-banded candidate join ->
+# bit_count verify, and account pairs per group. Cross-group hashes
+# differ by >= 14 bits (>> max_distance 2) but DO collide on all-zero
+# bands -- the verify stage must kill exactly those. The oracle derives
+# the pair set in closed form: all within-group pairs, distance 1 iff
+# exactly one member is a bit-flipped variant (i//8 % 3 == 2).
+# ---------------------------------------------------------------------------
+
+_PH_DOCS = 240
+
+
+_PH_SQL = f"""
+    WITH m AS (
+      SELECT doc_id AS i, doc_id % 8 AS grp,
+             CAST(floor(doc_id / 8) AS BIGINT) % 3 AS v
+      FROM documents WHERE doc_id < {_PH_DOCS}
+    ),
+    pairs AS (
+      SELECT a.grp AS grp, a.i AS id_a, b.i AS id_b,
+             CASE WHEN (a.v = 2) <> (b.v = 2) THEN 1 ELSE 0 END AS d
+      FROM m a JOIN m b ON a.grp = b.grp AND a.i > b.i
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS id_sum,
+           CAST(sum(d) AS BIGINT) AS dist_sum
+    FROM pairs GROUP BY grp
+"""
+
+
+@register("image_phash_pairs", _PH_SQL)
+def image_phash_pairs(spark, sf_dir):
+    """End-to-end perceptual near-dup: 240 planted 9x8 FAKEMM images
+    (pixel walk encodes each target hash exactly; see
+    tests/test_media_hash.py::grid_image) through the REAL
+    decode+dHash mapInPandas pass and the hamming-banded pair join at
+    max_distance=2. id_sum/dist_sum pin exact pair membership AND
+    exact distances, so a hash-bit, banding, or verify bug cannot
+    cancel out. Payload construction is driver-side by design (240
+    rows -- the fixture-construction pattern of warc_ingest_by_lang);
+    decode, hashing, banding, and verification are the distributed
+    operator paths."""
+    import numpy as np
+
+    from datacanary_spark.operators.media_hash import (
+        HASH_H, HASH_W, dhash_media, phash_near_pairs,
+    )
+    from datacanary_spark.operators.multimodal import encode_fake_media
+
+    def grid_image(target_bits: int) -> bytes:
+        px = np.zeros((HASH_H, HASH_W), np.uint8)
+        for r in range(HASH_H):
+            px[r, 0] = 128
+            for c in range(HASH_W - 1):
+                bit = (target_bits >> (r * 8 + c)) & 1
+                px[r, c + 1] = px[r, c] + (1 if bit else -1)
+        return px.tobytes()
+
+    ids = [r.doc_id for r in
+           _t(spark, sf_dir, "documents").where(F.col("doc_id") < _PH_DOCS)
+           .select("doc_id").collect()]
+    rows = []
+    for i in sorted(int(x) for x in ids):
+        g, v = i % 8, (i // 8) % 3
+        target = 0xFF << (8 * g)
+        if v == 2:
+            target ^= 1 << (8 * g + 3)
+        rows.append((i, encode_fake_media("I", HASH_W, HASH_H, 1,
+                                          grid_image(target))))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary") \
+                 .repartition(8)
+    hashes = dhash_media(media)
+    pairs = phash_near_pairs(hashes, max_distance=2, bands=4)
+    return (pairs.groupBy((F.col("id_a") % 8).alias("grp"))
+                 .agg(F.count(F.lit(1)).alias("n_pairs"),
+                      F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
+                      F.sum("distance").alias("dist_sum")))
