@@ -525,21 +525,11 @@ def image_phash_pairs(spark, sf_dir):
     rows -- the fixture-construction pattern of warc_ingest_by_lang);
     decode, hashing, banding, and verification are the distributed
     operator paths."""
-    import numpy as np
-
     from datacanary_spark.operators.media_hash import (
-        HASH_H, HASH_W, dhash_media, phash_near_pairs,
+        HASH_H, HASH_W, dhash_media, encode_hash_image as grid_image,
+        phash_near_pairs,
     )
     from datacanary_spark.operators.multimodal import encode_fake_media
-
-    def grid_image(target_bits: int) -> bytes:
-        px = np.zeros((HASH_H, HASH_W), np.uint8)
-        for r in range(HASH_H):
-            px[r, 0] = 128
-            for c in range(HASH_W - 1):
-                bit = (target_bits >> (r * 8 + c)) & 1
-                px[r, c + 1] = px[r, c] + (1 if bit else -1)
-        return px.tobytes()
 
     ids = [r.doc_id for r in
            _t(spark, sf_dir, "documents").where(F.col("doc_id") < _PH_DOCS)
@@ -555,6 +545,123 @@ def image_phash_pairs(spark, sf_dir):
     media = spark.createDataFrame(rows, "media_id bigint, payload binary") \
                  .repartition(8)
     hashes = dhash_media(media)
+    pairs = phash_near_pairs(hashes, max_distance=2, bands=4)
+    return (pairs.groupBy((F.col("id_a") % 8).alias("grp"))
+                 .agg(F.count(F.lit(1)).alias("n_pairs"),
+                      F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
+                      F.sum("distance").alias("dist_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (operators/media_hash.py): plant 5-frame FAKEMM videos
+# where consecutive doc pairs (2k, 2k+1) overlap on exactly 3 honest
+# frame hashes, and EVERY video carries one ubiquitous "black frame"
+# hash that the posting cap must drop. The oracle is closed-form:
+# pair (2k+1, 2k) with shared_frames = 3 — if the posting cap failed,
+# the black frame would make it 4 (and spray pairs across all videos),
+# so the cap itself is oracle-pinned.
+# ---------------------------------------------------------------------------
+
+_VID_DOCS = 200
+_VID_BLACK = 1 << 40      # ubiquitous frame target
+
+
+_VID_SQL = f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(3 AS BIGINT) AS shared_frames
+    FROM documents a JOIN documents b ON a.doc_id = b.doc_id + 1
+    WHERE b.doc_id % 2 = 0
+      AND a.doc_id < {_VID_DOCS} AND b.doc_id < {_VID_DOCS}
+"""
+
+
+@register("video_near_dup_pairs", _VID_SQL)
+def video_near_dup_pairs_q(spark, sf_dir):
+    """End-to-end video near-dup: video i carries frames
+    ``100*(i//2) + (i%2) + j`` for j in 0..3 plus the shared black
+    frame — so videos 2k and 2k+1 overlap on 3 honest hashes and all
+    videos overlap on the black one. Runs the real per-frame decode +
+    dHash mapInPandas pass and the posting-capped shared-frame join
+    (max_posting=50 << 200 videos drops the black frame; min_shared=3
+    admits exactly the consecutive pairs)."""
+    from datacanary_spark.operators.media_hash import (
+        HASH_H, HASH_W, encode_hash_image,
+        video_near_dup_pairs, video_phash_frames,
+    )
+    from datacanary_spark.operators.multimodal import encode_fake_media
+
+    ids = [int(r.doc_id) for r in
+           _t(spark, sf_dir, "documents").where(F.col("doc_id") < _VID_DOCS)
+           .select("doc_id").collect()]
+    rows = []
+    for i in sorted(ids):
+        targets = [100 * (i // 2) + (i % 2) + j for j in range(4)]
+        targets.append(_VID_BLACK)
+        body = b"".join(encode_hash_image(t) for t in targets)
+        rows.append((i, encode_fake_media("V", HASH_W, HASH_H,
+                                          len(targets), body)))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary") \
+                 .repartition(8)
+    frames = video_phash_frames(media)
+    return video_near_dup_pairs(frames, min_shared=3, max_posting=50)
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup: the 1-D envelope-dHash twin of image_phash_pairs —
+# same residue-class group design (target 0xFF << 8g per group g,
+# every third member flips one bit), same closed-form oracle, but the
+# hash comes from the audio envelope pass and the pairs reuse the SAME
+# hamming-banded join. Pins the whole audio path end to end.
+# ---------------------------------------------------------------------------
+
+_AU_DOCS = 240
+
+
+_AU_SQL = f"""
+    WITH m AS (
+      SELECT doc_id AS i, doc_id % 8 AS grp,
+             CAST(floor(doc_id / 8) AS BIGINT) % 3 AS v
+      FROM documents WHERE doc_id < {_AU_DOCS}
+    ),
+    pairs AS (
+      SELECT a.grp AS grp, a.i AS id_a, b.i AS id_b,
+             CASE WHEN (a.v = 2) <> (b.v = 2) THEN 1 ELSE 0 END AS d
+      FROM m a JOIN m b ON a.grp = b.grp AND a.i > b.i
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS id_sum,
+           CAST(sum(d) AS BIGINT) AS dist_sum
+    FROM pairs GROUP BY grp
+"""
+
+
+@register("audio_phash_pairs", _AU_SQL)
+def audio_phash_pairs(spark, sf_dir):
+    """End-to-end audio near-dup: 240 planted FAKEMM audio streams
+    (constant-window walks encode each target envelope hash exactly)
+    through the real envelope-dHash mapInPandas pass and the
+    hamming-banded pair join at max_distance=2. Same closed-form
+    oracle as image_phash_pairs: pair membership + distances pinned."""
+    from datacanary_spark.operators.media_hash import (
+        audio_dhash, encode_hash_wave, phash_near_pairs,
+    )
+    from datacanary_spark.operators.multimodal import encode_fake_media
+
+    ids = [int(r.doc_id) for r in
+           _t(spark, sf_dir, "documents").where(F.col("doc_id") < _AU_DOCS)
+           .select("doc_id").collect()]
+    rows = []
+    for i in sorted(ids):
+        g, v = i % 8, (i // 8) % 3
+        target = 0xFF << (8 * g)
+        if v == 2:
+            target ^= 1 << (8 * g + 3)
+        rows.append((i, encode_fake_media("A", 0, 0, 1,
+                                          encode_hash_wave(target))))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary") \
+                 .repartition(8)
+    hashes = audio_dhash(media)
     pairs = phash_near_pairs(hashes, max_distance=2, bands=4)
     return (pairs.groupBy((F.col("id_a") % 8).alias("grp"))
                  .agg(F.count(F.lit(1)).alias("n_pairs"),

@@ -162,3 +162,137 @@ def test_phash_plan_stays_jvm_side(spark):
             .executedPlan().toString())
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# video: per-frame hashes + shared-frame pairs
+# ---------------------------------------------------------------------------
+
+def video_payload(frame_targets):
+    body = b"".join(grid_image(t) for t in frame_targets)
+    return encode_fake_media("V", HASH_W, HASH_H, len(frame_targets), body)
+
+
+def test_video_phash_frames_and_sampling(spark):
+    from datacanary_spark.operators.media_hash import video_phash_frames
+
+    targets = [0x11, 0x22, 0x33, 0x44, 0x55]
+    df = _media_df(spark, [(1, video_payload(targets)),
+                           (2, b"not media"),
+                           (3, encode_fake_media("A", 0, 0, 1, b"\x01" * 99))])
+    rows = video_phash_frames(df).collect()
+    good = sorted((r.frame_ix, r.dhash) for r in rows if r.media_id == 1)
+    assert good == [(i, t) for i, t in enumerate(targets)]
+    bad = [r for r in rows if r.media_id in (2, 3)]
+    assert len(bad) == 2 and all(not r.ok and r.error for r in bad)
+
+    sampled = video_phash_frames(df, sample_every=2, max_frames=2) \
+        .where("media_id = 1").collect()
+    assert sorted(r.frame_ix for r in sampled) == [0, 2]
+
+
+def test_video_near_dup_pairs_shared_frames(spark):
+    from datacanary_spark.operators.media_hash import (
+        video_near_dup_pairs,
+        video_phash_frames,
+    )
+
+    # v1 and v2 share 3 frame hashes (one repeated in v2 counts once);
+    # v3 shares only 1 with v1; v4 disjoint
+    df = _media_df(spark, [
+        (1, video_payload([0xA, 0xB, 0xC, 0xD])),
+        (2, video_payload([0xC, 0xB, 0xB, 0xA, 0xFF])),
+        (3, video_payload([0xA, 0x111, 0x222])),
+        (4, video_payload([0x333, 0x444])),
+    ])
+    frames = video_phash_frames(df)
+    got = {(r.id_a, r.id_b): r.shared_frames
+           for r in video_near_dup_pairs(frames, min_shared=3).collect()}
+    assert got == {(2, 1): 3}
+    got1 = {(r.id_a, r.id_b): r.shared_frames
+            for r in video_near_dup_pairs(frames, min_shared=1).collect()}
+    assert got1 == {(2, 1): 3, (3, 1): 1, (3, 2): 1}
+
+
+def test_video_pairs_posting_cap_drops_ubiquitous_frames(spark):
+    from datacanary_spark.operators.media_hash import video_near_dup_pairs
+
+    # a black frame (hash 0) in 30 videos + one honest 3-frame overlap
+    rows = [(i, 0, 0) for i in range(30)]
+    rows += [(100, f, h) for f, h in enumerate([0x1, 0x2, 0x3])]
+    rows += [(101, f, h) for f, h in enumerate([0x3, 0x2, 0x1])]
+    frames = spark.createDataFrame(
+        rows, "media_id bigint, frame_ix int, dhash bigint")
+    got = {(r.id_a, r.id_b): r.shared_frames
+           for r in video_near_dup_pairs(frames, min_shared=2,
+                                         max_posting=10).collect()}
+    assert got == {(101, 100): 3}
+
+
+# ---------------------------------------------------------------------------
+# audio: envelope dHash
+# ---------------------------------------------------------------------------
+
+def audio_wave(target_bits: int, samples_per_window: int = 4) -> bytes:
+    """65 constant windows walking +1/-1 per target bit."""
+    vals, cur = [], 128
+    for w in range(65):
+        vals.extend([cur] * samples_per_window)
+        if w < 64:
+            bit = (target_bits >> w) & 1
+            cur += 1 if bit else -1
+    return bytes(vals)
+
+
+def test_audio_dhash_bits_constructed_and_edge_cases():
+    from datacanary_spark.operators.media_hash import audio_dhash_bits
+
+    for target in (0, 0xFFFFFFFFFFFFFFFF, 0x0F0F0F0F12345678):
+        got = audio_dhash_bits(audio_wave(target))
+        assert got & 0xFFFFFFFFFFFFFFFF == target
+    assert audio_dhash_bits(b"") == 0
+    assert audio_dhash_bits(b"\x05" * 10) == 0      # shorter than 65
+    assert audio_dhash_bits(b"\x07" * 130) == 0     # constant: no rise
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        audio_dhash_bits(b"\x00" * 100, n_windows=64)
+
+
+def test_audio_dhash_uneven_window_exact_integer_compare():
+    from datacanary_spark.operators.media_hash import audio_dhash_bits
+
+    # 97 samples -> uneven windows; compare vs a float-mean reference
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 255, 97).astype(np.uint8)
+    got = audio_dhash_bits(arr.tobytes())
+    bounds = (np.arange(66) * 97) // 65
+    means = [arr[bounds[i]:bounds[i + 1]].mean() for i in range(65)]
+    want = 0
+    for i in range(64):
+        if means[i] < means[i + 1]:
+            want |= 1 << i
+    assert got & 0xFFFFFFFFFFFFFFFF == want
+
+
+def test_audio_dhash_end_to_end_with_banded_pairs(spark):
+    from datacanary_spark.operators.media_hash import (
+        audio_dhash,
+        phash_near_pairs,
+    )
+
+    t = 0x00FF00FF12345678
+    rows = [
+        (1, encode_fake_media("A", 0, 0, 1, audio_wave(t))),
+        (2, encode_fake_media("A", 0, 0, 1, audio_wave(t))),
+        (3, encode_fake_media("A", 0, 0, 1, audio_wave(flip(t, 7)))),
+        (4, encode_fake_media("A", 0, 0, 1, audio_wave(flip(t, 1, 20, 40)))),
+        (5, encode_fake_media("I", HASH_W, HASH_H, 1, grid_image(t))),
+        (6, b"junk"),
+    ]
+    hashes = audio_dhash(_media_df(spark, rows))
+    rowmap = {r.media_id: r for r in hashes.collect()}
+    assert rowmap[1].ok and rowmap[1].dhash == rowmap[2].dhash
+    assert not rowmap[5].ok and not rowmap[6].ok   # image/junk contained
+    got = {(r.id_a, r.id_b): r.distance
+           for r in phash_near_pairs(hashes, max_distance=1).collect()}
+    assert got == {(2, 1): 0, (3, 1): 1, (3, 2): 1}
