@@ -346,6 +346,22 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_dedup_media(args) -> int:
+    """Perceptual media dedup job (plans/media_dedup.py): per-modality
+    near-dup pairs -> transitive clusters -> one survivor each."""
+    from datacanary_spark.plans.media_dedup import run_media_dedup_job
+
+    spark = _spark(args)
+    summary = run_media_dedup_job(
+        spark, args.input, args.output, keep=args.keep,
+        image_distance=args.image_distance,
+        audio_distance=args.audio_distance,
+        video_min_shared=args.video_min_shared,
+        frame_stride=args.frame_stride, max_frames=args.max_frames)
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """Batch-incremental dedup ingest: dedup one new batch against a
     persisted signature store (plans/incremental.py), write the
@@ -880,6 +896,28 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--hash-fn", choices=["md5", "xxhash64"], default="md5",
                    help="near mode: xxhash64 is the cluster-scale mode")
     d.set_defaults(fn=cmd_dedup)
+
+    md = sub.add_parser(
+        "dedup-media",
+        help="perceptual near-dup over a (media_id, kind, payload) "
+             "table: image dHash, video shared-frame, audio envelope")
+    md.add_argument("--input", required=True)
+    md.add_argument("--output", required=True)
+    md.add_argument("--keep", choices=["largest", "min-id"],
+                    default="largest",
+                    help="survivor per cluster: largest payload "
+                         "(highest-quality copy) or smallest id")
+    md.add_argument("--image-distance", type=int, default=2,
+                    help="max hamming distance for image dHash pairs")
+    md.add_argument("--audio-distance", type=int, default=2,
+                    help="max hamming distance for audio envelope pairs")
+    md.add_argument("--video-min-shared", type=int, default=3,
+                    help="min shared frame hashes for a video pair")
+    md.add_argument("--frame-stride", type=int, default=1,
+                    help="hash every Nth video frame")
+    md.add_argument("--max-frames", type=int, default=None,
+                    help="cap hashed frames per video")
+    md.set_defaults(fn=cmd_dedup_media)
 
     ing = sub.add_parser(
         "ingest",

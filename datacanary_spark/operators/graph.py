@@ -96,9 +96,37 @@ def _signature(e: DataFrame) -> tuple[int, str]:
     return int(row["n"]), str(row["h"]) if row["h"] is not None else "0"
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint(eager=True)`` frame's blocks NOW.
+    ``DataFrame.unpersist`` only talks to the SQL CacheManager and is a
+    no-op for checkpoint persistence, so this reaches the LogicalRDD
+    plan node's RDD directly. Best-effort: on any reflection surprise
+    the blocks are left for the ContextCleaner (the pre-existing
+    behavior). The frame is UNUSABLE afterwards — truncated lineage
+    cannot recompute."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+class _CheckpointHandle:
+    """Adapter so a CacheScope can release a localCheckpoint frame (its
+    unpersist_all calls ``.unpersist(blocking)`` on tracked items)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _release_local_checkpoint(self._df)
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", *,
-                         max_iterations: int = 50) -> DataFrame:
+                         max_iterations: int = 50,
+                         scope=None) -> DataFrame:
     """Component assignment for every node appearing in ``edges``.
 
     Returns ``(id, component)`` — one row per distinct node, where
@@ -117,6 +145,15 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     ``max_iterations`` is a diverged-input backstop (the algorithm
     provably converges in O(log^2 n) rounds); hitting it raises rather
     than returning a partial clustering.
+
+    Block lifetimes: each round's checkpoint is explicitly unpersisted
+    once the next round's is materialized (eager), so peak storage is
+    TWO rounds of edges, not the whole iteration history. The RETURNED
+    frame's checkpoint must outlive the call; pass a ``CacheScope`` as
+    ``scope`` to release it deterministically on scope exit — with the
+    caveat that a localCheckpoint CANNOT recompute after release
+    (lineage is truncated), so the result, like everything derived
+    from it, is only usable inside the scope.
     """
     spark = edges.sparkSession
     id_type = edges.schema[id_a].dataType.simpleString()
@@ -125,12 +162,15 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 
     cur = _canonical_edges(edges, id_a, id_b).localCheckpoint(eager=True)
     if cur.isEmpty():
+        _release_local_checkpoint(cur)
         return empty
     prev_sig = _signature(cur)
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # nxt is materialized; last round's blocks can free immediately
+        _release_local_checkpoint(cur)
         sig = _signature(nxt)
-        cur = nxt  # previous round's blocks: reclaimed by ContextCleaner
+        cur = nxt
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -147,12 +187,17 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                           F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("id"),
                        F.col("v").alias("component")).distinct()
-    return children.unionByName(roots).localCheckpoint(eager=True)
+    out = children.unionByName(roots).localCheckpoint(eager=True)
+    _release_local_checkpoint(cur)
+    if scope is not None:
+        scope.track(_CheckpointHandle(out))
+    return out
 
 
 def components_of_pairs(df: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id",
-                        max_iterations: int = 50) -> DataFrame:
+                        max_iterations: int = 50,
+                        scope=None) -> DataFrame:
     """``df`` with a ``component`` column: the min reachable id through
     ``pairs`` (columns ``id_a``/``id_b``), or the row's own id when it
     has no similarity edge (singleton cluster).
@@ -162,7 +207,8 @@ def components_of_pairs(df: DataFrame, pairs: DataFrame,
     which is the standard cluster-level dedup on top of
     :func:`~datacanary_spark.operators.dedup.near_dup_pairs`.
     """
-    asg = connected_components(pairs, max_iterations=max_iterations)
+    asg = connected_components(pairs, max_iterations=max_iterations,
+                               scope=scope)
     asg = asg.select(F.col("id").alias(id_col),
                      F.col("component").alias("_comp"))
     return (df.join(asg, on=id_col, how="left")
@@ -201,11 +247,15 @@ def cluster_survivors(df: DataFrame, pairs: DataFrame, rank_col: Column,
     ``persist=False`` only if recomputing that join twice is cheaper
     than caching it.
     """
-    from datacanary_spark.plans.caching import maybe_persist
+    from datacanary_spark.plans.caching import CacheScope, maybe_persist
 
+    # a CacheScope persist also adopts the component iteration's final
+    # localCheckpoint, so the whole clustering releases on scope exit
+    cc_scope = persist if isinstance(persist, CacheScope) else None
     withc = maybe_persist(
         components_of_pairs(df, pairs, id_col=id_col,
-                            max_iterations=max_iterations), persist)
+                            max_iterations=max_iterations,
+                            scope=cc_scope), persist)
     pick = (withc.groupBy("component")
             .agg(F.min(F.struct((-rank_col).alias("neg_r"),
                                 F.col(id_col).alias("id")))

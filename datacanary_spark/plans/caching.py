@@ -51,6 +51,16 @@ class CacheScope:
         self._frames.append(df)
         return df
 
+    def track(self, item) -> "object":
+        """Register an ALREADY-persisted frame — or any object with an
+        ``unpersist(blocking)`` method, e.g. graph._CheckpointHandle
+        for localCheckpoint frames — for release on scope exit, without
+        re-persisting it. For checkpointed frames note the stronger
+        caveat: after release they cannot recompute (truncated
+        lineage), so they are only usable inside the scope."""
+        self._frames.append(item)
+        return item
+
     def unpersist_all(self, blocking: bool = False) -> None:
         while self._frames:
             self._frames.pop().unpersist(blocking)

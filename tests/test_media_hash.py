@@ -296,3 +296,97 @@ def test_audio_dhash_end_to_end_with_banded_pairs(spark):
     got = {(r.id_a, r.id_b): r.distance
            for r in phash_near_pairs(hashes, max_distance=1).collect()}
     assert got == {(2, 1): 0, (3, 1): 1, (3, 2): 1}
+
+
+# ---------------------------------------------------------------------------
+# media dedup job (plans/media_dedup.py + CLI dedup-media)
+# ---------------------------------------------------------------------------
+
+def _mixed_media_rows():
+    t1 = 0x1111111122222222
+    t2 = 0xAAAA5555AAAA5555
+    img = lambda t: encode_fake_media("I", HASH_W, HASH_H, 1, grid_image(t))
+
+    def img_rgb(t):
+        # R=G=B replica: same luma hash as img(t), 3x the payload bytes
+        gray = np.frombuffer(grid_image(t), np.uint8)
+        return encode_fake_media("I", HASH_W, HASH_H, 1,
+                                 np.repeat(gray, 3).tobytes())
+
+    aud = lambda t: encode_fake_media("A", 0, 0, 1, audio_wave(t))
+    vid = lambda ts: video_payload(ts)
+    return [
+        # image cluster {1,2,3}: 2 is byte-identical, 3 within distance
+        # 1 and RGB (largest payload)
+        (1, "image", img(t1)),
+        (2, "image", img(t1)),
+        (3, "image", img_rgb(flip(t1, 9))),
+        (4, "image", img(t2)),                    # singleton
+        # video cluster {10,11}: share 3 of 4 frames; 12 disjoint
+        (10, "video", vid([0xA1, 0xA2, 0xA3, 0xA4])),
+        (11, "video", vid([0xA2, 0xA3, 0xA4, 0xFFF])),
+        (12, "video", vid([0xB1, 0xB2, 0xB3])),
+        # audio cluster {20,21}; 22 far away
+        (20, "audio", aud(t1)),
+        (21, "audio", aud(flip(t1, 2))),
+        (22, "audio", aud(t2)),
+        # undecodable row: singleton survivor (no hash -> no edges)
+        (30, "image", b"not an image"),
+    ]
+
+
+def test_run_media_dedup_job_end_to_end(spark, tmp_path):
+    from datacanary_spark.plans.media_dedup import run_media_dedup_job
+
+    src = str(tmp_path / "media")
+    spark.createDataFrame(_mixed_media_rows(),
+                          "media_id bigint, kind string, payload binary") \
+        .write.parquet(src)
+    out = str(tmp_path / "deduped")
+    s = run_media_dedup_job(spark, src, out, keep="largest")
+    assert s["media_in"] == 11
+    assert s["image_pairs"] == 3 and s["video_pairs"] == 1
+    assert s["audio_pairs"] == 1
+    kept = sorted(r.media_id
+                  for r in spark.read.parquet(out).select("media_id")
+                                .collect())
+    # image cluster survivor = 3 (largest payload); video = min id 10
+    # (equal sizes -> id tie-break); audio = 20; singletons 4, 12, 22, 30
+    assert kept == [3, 4, 10, 12, 20, 22, 30]
+    assert s["media_out"] == 7 and s["by_kind_out"]["image"] == 3
+
+    # min-id keep rule flips the image survivor to 1
+    s2 = run_media_dedup_job(spark, src, str(tmp_path / "d2"), keep="min-id")
+    kept2 = sorted(r.media_id
+                   for r in spark.read.parquet(str(tmp_path / "d2"))
+                                 .select("media_id").collect())
+    assert kept2 == [1, 4, 10, 12, 20, 22, 30]
+
+
+def test_media_dedup_job_releases_caches(spark, tmp_path):
+    from datacanary_spark.plans.media_dedup import run_media_dedup_job
+
+    src = str(tmp_path / "media")
+    spark.createDataFrame(_mixed_media_rows(),
+                          "media_id bigint, kind string, payload binary") \
+        .write.parquet(src)
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    run_media_dedup_job(spark, src, str(tmp_path / "out"))
+    # the job's CacheScope released every block it pinned
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+
+
+def test_dedup_media_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from datacanary_spark.cli import main
+
+    src = str(tmp_path / "media")
+    spark.createDataFrame(_mixed_media_rows(),
+                          "media_id bigint, kind string, payload binary") \
+        .write.parquet(src)
+    out = str(tmp_path / "out")
+    assert main(["dedup-media", "--input", src, "--output", out,
+                 "--keep", "largest"]) == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["media_in"] == 11 and s["media_out"] == 7
