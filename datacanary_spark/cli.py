@@ -530,6 +530,8 @@ def cmd_curate(args) -> int:
         classifier_model=args.classifier_model,
         classifier_threshold=args.classifier_threshold,
         gopher_repetition=args.gopher_repetition,
+        badwords=parse_blocklist_arg(args.badwords),
+        badword_max_fraction=args.badword_max_fraction,
         c4_clean=args.c4_clean,
         c4_min_line_words=args.c4_min_line_words,
         c4_require_terminal=not args.c4_no_terminal_punct,
@@ -1129,6 +1131,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop docs violating the Gopher char-weighted "
                          "repetition thresholds (top-2/3/4-gram, "
                          "dup-5..10-gram char fractions)")
+    cu.add_argument("--badwords", default=None,
+                    help="bad-words lexicon: comma-separated words, or "
+                         "a table path with a 'word' column; docs with "
+                         "any lexicon token are dropped (C4 rule)")
+    cu.add_argument("--badword-max-fraction", type=float, default=None,
+                    help="switch the badwords stage to the density "
+                         "rule: drop only docs whose lexicon-token "
+                         "fraction exceeds this")
     cu.add_argument("--c4-clean", action="store_true",
                     help="C4 line-quality cleaning before dedup: drop "
                          "short / unpunctuated / javascript lines per "

@@ -616,6 +616,7 @@ _TAIL_ROTATION = [
     "bpe_top_pairs_by_lang",
     "ccnet_ppl_buckets_by_lang",
     "unigram_seed_candidates_by_lang",  # r04m, same tail contract
+    "badword_stats_by_lang",  # r04n, same tail contract
 ]
 
 

@@ -1047,3 +1047,65 @@ def doc_chunks_by_lang(spark, sf_dir):
                   .alias("chunk_chars"),
                  F.sum("chunk_ix").cast("long").alias("sum_ix"),
                  F.max("chunk_ix").cast("int").alias("max_ix")))
+
+
+# ---------------------------------------------------------------------------
+# C4-style bad-words accounting (text_analysis.with_badword_stats)
+# ---------------------------------------------------------------------------
+
+_BW_LEX = ("gorram", "frak", "smeg", "feldercarb", "frell", "dren")
+
+
+@register(
+    "badword_stats_by_lang",
+    """
+    WITH t AS (
+      SELECT lang, doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, doc_id, len(toks) AS words,
+             len(list_filter(toks,
+                 x -> list_contains(['gorram', 'frak', 'smeg',
+                                     'feldercarb', 'frell', 'dren'], x)))
+               AS hits
+      FROM t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           round(avg(CASE WHEN words > 0
+                          THEN CAST(hits AS DOUBLE) / words
+                          ELSE 0.0 END), 6) AS avg_fraction,
+           CAST(sum(CASE WHEN hits = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS sum_kept_ids
+    FROM s GROUP BY lang
+    """,
+)
+def badword_stats_by_lang(spark, sf_dir):
+    """Doc-level bad-words lexicon signal (C4's "dirty word list" drop
+    rule) over the REAL corpus text: per language, flagged-doc and
+    total-hit counts, mean hit fraction, and the id-sum of the docs
+    C4's strict any-hit rule would KEEP (pins exact keep membership).
+    The fixture's planted toxicity terms serve as the lexicon; the
+    oracle replays the identical lowercase/[a-z]+ token law. Pure
+    column expressions — no shuffle before the groupBy; the join-mode
+    twin for multi-million-word lexicons is pinned equal by tests."""
+    d = _t(spark, sf_dir, "documents")
+    s = ta.with_badword_stats(d, list(_BW_LEX), mode="expr")
+    hits = F.col("badword_hits")
+    frac = F.col("badword_fraction")
+    return (s.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((hits > 0).cast("int")).cast("long")
+                  .alias("n_flagged"),
+                 F.sum(hits).cast("long").alias("total_hits"),
+                 F.bround(F.avg(frac), 6).alias("avg_fraction"),
+                 F.sum(F.when(hits == 0, F.col("doc_id"))
+                        .otherwise(F.lit(0))).cast("long")
+                  .alias("sum_kept_ids")))

@@ -669,3 +669,125 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
     start = F.col("chunk_ix") * stride + 1  # substr is 1-based
     return out.withColumn("chunk",
                           t.substr(start, F.lit(chunk_chars)))
+
+
+def badword_tokens_expr(text_col: Column) -> Column:
+    """Lowercased ASCII-letter tokens of a document, the token law the
+    bad-words lexicon is matched against: lowercase, split on any
+    non-[a-z] run, drop empties. Deliberately ASCII-only — published
+    lexicons (LDNOOBW and kin) are lowercase ASCII words, and keeping
+    the token alphabet to [a-z]+ makes the rule replayable verbatim in
+    any SQL dialect (the oracle uses the same split regex). Null text
+    → empty array (no tokens, never a hit)."""
+    t = F.coalesce(text_col, F.lit(""))
+    return F.filter(F.split(F.lower(t), "[^a-z]+"),
+                    lambda w: w != F.lit(""))
+
+
+def badword_stats_exprs(text_col: Column, lexicon) -> dict[str, Column]:
+    """Per-document bad-word accounting as pure Column expressions:
+    ``badword_hits`` (lexicon tokens in the doc, with multiplicity),
+    ``badword_words`` (total tokens), ``badword_fraction``
+    (hits/words, 0.0 for empty docs). This is the C4 "List of Dirty,
+    Naughty…"-style doc-level signal: C4 drops on ANY hit
+    (max_hits=0); softer pipelines drop on a hit FRACTION so a news
+    report quoting one slur survives while porn spam does not.
+
+    Literal-array membership is O(|lexicon|) per token — right for
+    per-language lists (hundreds of words). For a merged multi-million
+    entry list use :func:`filter_badwords` mode="join"."""
+    toks = badword_tokens_expr(text_col)
+    lex = sorted({w.lower() for w in lexicon})
+    hits = F.size(F.filter(toks, lambda t: t.isin(*lex))) \
+        if lex else F.lit(0)
+    words = F.size(toks)
+    frac = F.when(words > 0,
+                  hits.cast("double") / words.cast("double")) \
+            .otherwise(F.lit(0.0))
+    return {"badword_hits": hits.cast("long"),
+            "badword_words": words.cast("long"),
+            "badword_fraction": frac}
+
+
+def with_badword_stats(df, lexicon, text_col: str = "text",
+                       mode: str = "auto", id_col: str = "doc_id"):
+    """``df`` plus the three badword_stats_exprs columns.
+
+    Dispatch (the blocklist/ANN two-tier shape):
+
+    * ``"expr"`` — lexicon inlined as an ``isin`` literal; zero joins,
+      zero Python, pipelined with the scan. Cost O(tokens·|lexicon|)
+      per row: the small-lexicon fast path.
+    * ``"join"`` — huge lexicons: explode tokens, INNER join against
+      the broadcast lexicon (only MATCHING tokens survive the join, so
+      the groupBy that recounts them shuffles hit rows only — rare by
+      construction), then join the per-doc hit counts back. The
+      count-back join keys on ``id_col``; the hits side is a
+      broadcast-sized frame whenever bad docs are rare, and AQE picks
+      that up at runtime. Token totals stay expression-side either
+      way.
+
+    ``mode="auto"``: expr for ≤ 512 words, join beyond.
+    """
+    is_list = isinstance(lexicon, (list, tuple, set, frozenset))
+    if mode == "auto":
+        mode = "expr" if (is_list and len(lexicon) <= 512) else "join"
+    if mode == "expr":
+        if not is_list:
+            raise ValueError("expr mode needs an in-memory lexicon")
+        exprs = badword_stats_exprs(F.col(text_col), lexicon)
+        out = df
+        for name, c in exprs.items():
+            out = out.withColumn(name, c)
+        return out
+    if mode != "join":
+        raise ValueError(f"unknown mode: {mode!r} (auto|expr|join)")
+    if is_list:
+        lex = df.sparkSession.createDataFrame(
+            [(w.lower(),) for w in sorted({w.lower() for w in lexicon})],
+            "word string")
+    else:
+        lex = lexicon.select(F.lower(F.col("word")).alias("word")).distinct()
+    toks = badword_tokens_expr(F.col(text_col))
+    base = df.withColumn("badword_words",
+                         F.size(toks).cast("long"))
+    hit_counts = (base.select(F.col(id_col), F.explode(toks).alias("word"))
+                  .join(F.broadcast(lex), "word", "inner")
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("_bw_hits")))
+    words = F.col("badword_words")
+    hits = F.coalesce(F.col("_bw_hits"), F.lit(0)).cast("long")
+    return (base.join(hit_counts, id_col, "left")
+            .withColumn("badword_hits", hits)
+            .withColumn(
+                "badword_fraction",
+                F.when(words > 0, hits.cast("double") / words.cast("double"))
+                 .otherwise(F.lit(0.0)))
+            .drop("_bw_hits"))
+
+
+def filter_badwords(df, lexicon, text_col: str = "text",
+                    max_hits: int | None = 0,
+                    max_fraction: float | None = None,
+                    mode: str = "auto", id_col: str = "doc_id",
+                    keep_stats: bool = False):
+    """Drop documents over the bad-word budget. Defaults to C4's
+    strict rule (``max_hits=0``: any lexicon hit drops the page);
+    set ``max_fraction`` (and ``max_hits=None``) for the softer
+    density rule. Both set → a doc must satisfy BOTH to survive.
+    Docs with no tokens (null/empty/non-ASCII text) have zero hits and
+    always survive — this stage owns profanity policy, not language or
+    null policy."""
+    if max_hits is None and max_fraction is None:
+        raise ValueError("set max_hits and/or max_fraction")
+    out = with_badword_stats(df, lexicon, text_col=text_col, mode=mode,
+                             id_col=id_col)
+    keep = F.lit(True)
+    if max_hits is not None:
+        keep = keep & (F.col("badword_hits") <= max_hits)
+    if max_fraction is not None:
+        keep = keep & (F.col("badword_fraction") <= max_fraction)
+    out = out.where(keep)
+    if not keep_stats:
+        out = out.drop("badword_hits", "badword_words", "badword_fraction")
+    return out

@@ -77,6 +77,8 @@ def run_curation_job(
     classifier_threshold: float = 0.5,
     gopher_repetition: bool = False,
     repetition_cfg=None,
+    badwords: list[str] | str | None = None,
+    badword_max_fraction: float | None = None,
     c4_clean: bool = False,
     c4_min_line_words: int = 3,
     c4_require_terminal: bool = True,
@@ -135,7 +137,11 @@ def run_curation_job(
     filter — the DCLM-style learned-quality stage. Scoring is a pure
     Column projection (sigmoid of plan-literal weights): no UDF, no
     shuffle, so it adds a narrow stage even at 10^12 docs.
-    ``gopher_repetition`` drops docs violating any Gopher table-A1
+    ``badwords`` (a word list, or a path to a table with a ``word``
+    column) drops docs by the C4 dirty-word-list rule — strict any-hit
+    by default, or the density rule when ``badword_max_fraction`` is
+    set — after the heuristic/classifier stages and before any dedup
+    shuffle. ``gopher_repetition`` drops docs violating any Gopher table-A1
     char-weighted repetition threshold (``repetition_cfg`` overrides
     the thresholds) — pure narrow expressions, applied after the
     classifier so lineage separates heuristic / learned / repetition
@@ -351,6 +357,30 @@ def run_curation_job(
             kept = scope.persist(
                 rep.where(n_hits == 0).select(*kept.columns))
             summary["after_repetition_filter"] = kept.count()
+
+        if badwords is not None:
+            from datacanary_spark.operators.text_analysis import (
+                filter_badwords,
+            )
+
+            # C4's dirty-word-list rule: strict any-hit drop by
+            # default; badword_max_fraction switches to the density
+            # rule (a news doc quoting one slur survives). A str is a
+            # table path (word column, join dispatch); a list inlines
+            # as expressions under the auto threshold. Runs on the
+            # filtered text BEFORE dedup so flagged docs never cost a
+            # fingerprint shuffle. Note: this sees POST-scrub text —
+            # terms the PII/toxicity scrubber already replaced with
+            # <TOX> can't hit here; keep the drop lexicon disjoint
+            # from the scrub lexicon (they serve different policies).
+            bw = (read_table(spark, badwords)
+                  if isinstance(badwords, str) else list(badwords))
+            kept = scope.persist(filter_badwords(
+                kept, bw, text_col="text", id_col="url",
+                max_hits=(None if badword_max_fraction is not None
+                          else 0),
+                max_fraction=badword_max_fraction))
+            summary["after_badwords"] = kept.count()
 
         if c4_clean:
             from datacanary_spark.operators.text_analysis import (

@@ -941,6 +941,56 @@ def test_curate_gopher_repetition_stage(spark, tmp_path, capsys):
         rep["after_repetition_filter"]
 
 
+def test_curate_badwords_stage(spark, tmp_path, capsys):
+    """Opt-in C4 bad-words stage: docs carrying a lexicon token are
+    dropped under the strict rule, survive under a loose density rule;
+    lineage records the stage; the CLI flags reach the plan."""
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    # adopt a word from a surviving doc as the "bad word": it is
+    # guaranteed to appear post-scrub (scrub never touches it) and to
+    # pass the heuristic filter inside its donor doc
+    import re as _re
+
+    donor = corpus.orderBy("url").first()
+    bad = next(w for w in donor["text"].lower().split()
+               if w.isalpha() and w.isascii() and len(w) >= 4)
+
+    def _hit(text):  # the stage's exact token law
+        return bad in _re.split("[^a-z]+", (text or "").lower())
+
+    n_docs_with = sum(_hit(r["text"]) for r in corpus.collect())
+    assert n_docs_with >= 1
+
+    s = run_curation_job(spark, pages, str(tmp_path / "bw"),
+                         badwords=[bad])
+    assert "after_badwords" in s
+    assert s["after_badwords"] == base["kept"] - n_docs_with
+    out = spark.read.parquet(os.path.join(str(tmp_path / "bw"), "corpus"))
+    assert not any(_hit(r["text"]) for r in out.collect())
+
+    # density rule at 100% never drops anything
+    loose = run_curation_job(spark, pages, str(tmp_path / "bw2"),
+                             badwords=[bad], badword_max_fraction=1.0)
+    assert loose["after_badwords"] == base["kept"]
+
+    # CLI flags reach the plan
+    assert main(["curate", "--input", pages,
+                 "--output", str(tmp_path / "cli_bw"),
+                 "--badwords", bad]) == 0
+    cli_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_summary["after_badwords"] == s["after_badwords"]
+
+
+
 def test_curate_dsir_stage(spark, tmp_path, capsys):
     """Optional DSIR importance-selection stage: train vs a target
     table, keep the top fraction by weight, record lineage; docs
