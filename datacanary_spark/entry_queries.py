@@ -617,6 +617,7 @@ _TAIL_ROTATION = [
     "ccnet_ppl_buckets_by_lang",
     "unigram_seed_candidates_by_lang",  # r04m, same tail contract
     "badword_stats_by_lang",  # r04n, same tail contract
+    "ccard_luhn_by_lang",  # r04n, same tail contract
 ]
 
 

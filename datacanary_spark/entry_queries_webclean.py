@@ -552,3 +552,61 @@ def robots_policy_by_lang(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum(k).alias("n_kept"),
                     F.sum(k * F.col("doc_id")).alias("kept_id_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Luhn card-checksum validation (text_analysis.luhn_valid_expr)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ccard_luhn_by_lang",
+    """
+    WITH c AS (
+      SELECT lang, doc_id,
+             '4' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 14, '0')
+                 || CAST(doc_id % 10 AS VARCHAR) AS d
+      FROM documents
+    ),
+    v AS (
+      SELECT lang, doc_id,
+             (list_sum(list_transform(range(1, length(d) + 1), i ->
+                CASE WHEN i % 2 = 0 THEN
+                  CASE WHEN CAST(substring(reverse(d), i, 1) AS INT) >= 5
+                       THEN CAST(substring(reverse(d), i, 1) AS INT) * 2 - 9
+                       ELSE CAST(substring(reverse(d), i, 1) AS INT) * 2
+                  END
+                ELSE CAST(substring(reverse(d), i, 1) AS INT)
+                END)) % 10 = 0) AS ok
+      FROM c
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN ok THEN doc_id ELSE 0 END) AS BIGINT)
+               AS sum_valid_ids
+    FROM v GROUP BY lang
+    """,
+)
+def ccard_luhn_by_lang(spark, sf_dir):
+    """Luhn checksum fold over deterministically constructed 16-digit
+    card-shaped strings (issuer '4' + zero-padded doc_id + trailing
+    digit — validity falls out of the checksum itself, ~10% of rows).
+    sum_valid_ids pins EXACT membership, so a doubling-rule, overflow,
+    position-parity, or direction bug cannot cancel. Pure fold
+    expression, pipelined with the scan — the detection-only scale
+    path; the byte-rewriting scrub twin (card_scrub_entry) is pinned
+    against this law by tests."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    card = F.concat(F.lit("4"),
+                    F.lpad((i % 1000000).cast("string"), 14, "0"),
+                    (i % 10).cast("string"))
+    ok = ta.luhn_valid_expr(card)
+    return (d.select("lang", "doc_id", ok.alias("ok"))
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("ok").cast("int")).cast("long")
+                   .alias("n_valid"),
+                  F.sum(F.when(F.col("ok"), i).otherwise(F.lit(0)))
+                   .cast("long").alias("sum_valid_ids")))

@@ -791,3 +791,30 @@ def filter_badwords(df, lexicon, text_col: str = "text",
     if not keep_stats:
         out = out.drop("badword_hits", "badword_words", "badword_fraction")
     return out
+
+
+def luhn_valid_expr(digits: Column) -> Column:
+    """Luhn mod-10 validity of a digit-string column (ISO/IEC 7812 —
+    the payment-card checksum), as a pure fold: from the right, double
+    every second digit, overflow subtracts 9, sum % 10 == 0. The
+    detection-only twin of ``functions.scrub.card_scrub_entry``'s
+    Python validator — use it to COUNT card-shaped PII JVM-side at
+    scan speed; the byte-rewriting scrub stays in the pandas UDF.
+    False for non-digit strings, nulls, and non-card lengths
+    (< 13 or > 19); the fold only evaluates under the gate (CaseWhen
+    is lazy), so ANSI mode never sees a '' → int cast."""
+    rev = F.reverse(digits)
+    n = F.length(digits)
+
+    def d(i):
+        return F.substring(rev, i, 1).cast("int")
+
+    def dbl(v):
+        return F.when(v >= 5, v * 2 - 9).otherwise(v * 2)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0),
+        lambda acc, i: acc + F.when(i % 2 == 0, dbl(d(i))).otherwise(d(i)))
+    gate = digits.isNotNull() & (n >= 13) & (n <= 19) \
+        & digits.rlike("^[0-9]+$")
+    return F.when(gate, total % 10 == 0).otherwise(F.lit(False))
