@@ -151,8 +151,30 @@ def main() -> None:
     first_run["filter_pipeline_full"] = round(filt_sec, 4)
     warm["filter_pipeline_full"] = round(filt_sec, 4)
 
+    # Same-window hardware control (r04n): this box's effective thread
+    # ceiling swings by >2x between host windows (BENCH/BASELINE.md
+    # "unstable host" sections) — a pure-C md5 probe alongside every
+    # bench run lets round-over-round diffs separate host drift from
+    # plan regressions. secs_per_md5_unit_1t is the absolute
+    # single-thread speed reference; eff_8_to_32 near or below 0.25
+    # means 32 workers run no faster than 8 in this window and every
+    # local[32] timing above carries that oversubscription.
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from hwcontrol import md5_thread_secs
+
+    hw = md5_thread_secs((1, 8, 32))
+    hw_control = {
+        "threads_1_sec": round(hw[1], 3),
+        "threads_8_sec": round(hw[8], 3),
+        "threads_32_sec": round(hw[32], 3),
+        "eff_1_to_8": round(hw[1] / hw[8] / 8, 3),
+        "eff_8_to_32": round(hw[8] / hw[32] / 4, 3),
+    }
+
     total = round(sum(warm.values()), 4)
     result = {
+        "hw_md5_control": hw_control,
         "metric": "quality_filter_suite_warm_total",
         "value": total,
         "unit": "sec",
