@@ -222,10 +222,56 @@ def main() -> None:
     # zero-pad numeric rounds so the artifact name matches the driver's
     # BENCH_r{NN}.json convention (bench_r02.json, not bench_r2.json)
     tag = f"{int(args.round):02d}" if str(args.round).isdigit() else args.round
-    with open(os.path.join(bench_dir, f"bench_r{tag}.json"), "w") as f:
+    artifact = f"bench_r{tag}.json"
+    with open(os.path.join(bench_dir, artifact), "w") as f:
         json.dump(result, f, indent=2, sort_keys=True)
-    print(json.dumps(result))
+
+    # The driver captures only the LAST 2000 CHARS of stdout and parses
+    # the JSON line out of that tail. r01's line fit; once the registry
+    # passed ~60 queries the line overflowed the buffer and the driver
+    # recorded "parsed": null for r02 and r03. So the PRINTED line is a
+    # compact summary trimmed to a hard byte budget — headline metric +
+    # the costliest warm queries — while the full 118-query detail
+    # (first-run + warm + notes) lives in BENCH/bench_r{tag}.json.
+    print(json.dumps(compact_line(result, artifact)))
     spark.stop()
+
+
+STDOUT_BUDGET = 1600  # chars; driver tail buffer is 2000 — leave headroom
+
+
+def compact_line(result: dict, artifact: str) -> dict:
+    """Build the stdout JSON line under ``STDOUT_BUDGET`` chars.
+
+    Keeps every scalar headline field and as many of the slowest warm
+    queries as fit (slowest first — those are the ones a regression
+    diff cares about); drops entries until the serialized line fits.
+    """
+    warm = result["queries"]
+    ranked = sorted(warm, key=lambda k: -warm[k])
+    line = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "round": result["round"],
+        "n_queries": len(warm),
+        "first_run_total": result["first_run_total"],
+        "n_docs": result["n_docs"],
+        "docs_per_sec": result["docs_per_sec"],
+        "hw_md5_control": result["hw_md5_control"],
+        "detail_file": f"BENCH/{artifact}",
+        "queries_note": "slowest warm queries only (stdout tail budget); "
+                        "full per-query map in detail_file",
+        "queries": {},
+    }
+    for k in ranked:
+        line["queries"][k] = warm[k]
+        if len(json.dumps(line)) > STDOUT_BUDGET:
+            del line["queries"][k]
+            break
+    return line
 
 
 if __name__ == "__main__":
