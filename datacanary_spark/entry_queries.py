@@ -549,6 +549,7 @@ from datacanary_spark import entry_queries_websrc  # noqa: E402,F401
 from datacanary_spark import entry_queries_linkgraph  # noqa: E402,F401
 from datacanary_spark import entry_queries_textnorm  # noqa: E402,F401
 from datacanary_spark import entry_queries_tokenizer  # noqa: E402,F401
+from datacanary_spark import entry_queries_signals  # noqa: E402,F401
 
 # ---- driver-gate rotation ---------------------------------------------------
 # The driver's correctness gate verifies exactly the FIRST 50 registered
@@ -618,6 +619,8 @@ _TAIL_ROTATION = [
     "unigram_seed_candidates_by_lang",  # r04m, same tail contract
     "badword_stats_by_lang",  # r04n, same tail contract
     "ccard_luhn_by_lang",  # r04n, same tail contract
+    "readability_by_lang",  # r04o, same tail contract
+    "compression_ratio_by_lang",  # r04o, same tail contract (rows-only)
 ]
 
 
