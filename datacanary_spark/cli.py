@@ -530,6 +530,8 @@ def cmd_curate(args) -> int:
         classifier_model=args.classifier_model,
         classifier_threshold=args.classifier_threshold,
         gopher_repetition=args.gopher_repetition,
+        max_code_line_fraction=args.max_code_line_fraction,
+        min_compression_ratio=args.min_compression_ratio,
         badwords=parse_blocklist_arg(args.badwords),
         badword_max_fraction=args.badword_max_fraction,
         c4_clean=args.c4_clean,
@@ -1131,6 +1133,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop docs violating the Gopher char-weighted "
                          "repetition thresholds (top-2/3/4-gram, "
                          "dup-5..10-gram char fractions)")
+    cu.add_argument("--max-code-line-fraction", type=float, default=None,
+                    help="drop docs whose fraction of code-shaped lines "
+                         "(trailing ;/braces, deep indent, keyword "
+                         "prefixes) exceeds this (source dumps / "
+                         "minified JS posing as prose)")
+    cu.add_argument("--min-compression-ratio", type=float, default=None,
+                    help="drop docs whose zlib-compressed/raw byte "
+                         "ratio is below this (hyper-compressible "
+                         "template spam; prose sits near ~0.4)")
     cu.add_argument("--badwords", default=None,
                     help="bad-words lexicon: comma-separated words, or "
                          "a table path with a 'word' column; docs with "

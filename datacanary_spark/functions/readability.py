@@ -212,6 +212,16 @@ def golden_readability(text: str | None) -> dict:
     }
 
 
+def flesch_from_counts(word_count: int, sentence_count: int,
+                       syllables: int) -> float | None:
+    """Flesch reading ease from integer counts (driver-side twin of
+    flesch_expr; None when a denominator is zero)."""
+    if not word_count or not sentence_count:
+        return None
+    return (_FLESCH_BASE - _FLESCH_SENT * (word_count / sentence_count)
+            - _FLESCH_SYLL * (syllables / word_count))
+
+
 def golden_compression_ratio(text: str | None) -> float | None:
     """Twin of the compression UDF (identical zlib call)."""
     if text is None:

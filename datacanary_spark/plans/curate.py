@@ -77,6 +77,8 @@ def run_curation_job(
     classifier_threshold: float = 0.5,
     gopher_repetition: bool = False,
     repetition_cfg=None,
+    max_code_line_fraction: float | None = None,
+    min_compression_ratio: float | None = None,
     badwords: list[str] | str | None = None,
     badword_max_fraction: float | None = None,
     c4_clean: bool = False,
@@ -357,6 +359,39 @@ def run_curation_job(
             kept = scope.persist(
                 rep.where(n_hits == 0).select(*kept.columns))
             summary["after_repetition_filter"] = kept.count()
+
+        if max_code_line_fraction is not None:
+            from datacanary_spark.functions.readability import (
+                with_readability,
+            )
+
+            # code-shaped pages (source dumps, minified JS): pure
+            # column expressions, fused into the same codegen span as
+            # the scan — no shuffle, no Python. Null fraction (empty
+            # text) is not a code page; it survives this stage.
+            rd = with_readability(kept, text_col="text")
+            kept = scope.persist(
+                rd.where(~(F.col("rd_code_line_fraction")
+                           > max_code_line_fraction))
+                  .select(*kept.columns))
+            summary["after_code_filter"] = kept.count()
+
+        if min_compression_ratio is not None:
+            from datacanary_spark.functions.readability import (
+                make_compression_ratio_udf,
+            )
+
+            # hyper-compressible docs are template/spam repetition the
+            # n-gram rules can miss (long-range repeats). One
+            # Arrow-batched UDF hop, map-only; placed before dedup so
+            # dropped docs never cost a fingerprint shuffle. Null
+            # ratio (empty text) survives.
+            ratio = make_compression_ratio_udf()(F.col("text"))
+            kept = scope.persist(
+                kept.withColumn("_zratio", ratio)
+                    .where(~(F.col("_zratio") < min_compression_ratio))
+                    .select(*kept.columns))
+            summary["after_compression_filter"] = kept.count()
 
         if badwords is not None:
             from datacanary_spark.operators.text_analysis import (

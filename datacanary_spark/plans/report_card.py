@@ -22,6 +22,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datacanary_spark.functions.heuristics import words_expr
+from datacanary_spark.functions.readability import (
+    code_line_count_expr,
+    flesch_from_counts,
+    sentence_count_expr,
+    syllables_expr,
+)
 from datacanary_spark.operators.text_analysis import (
     content_fingerprint,
     token_count_bpe,
@@ -49,6 +56,10 @@ def corpus_card_stats(corpus: DataFrame, lang_col: str = "lang_pred",
         token_count_ws(F.col(text_col)).alias("_ws"),
         token_count_bpe(F.col(text_col)).alias("_bpe"),
         content_fingerprint(F.col(text_col)).alias("_fp"),
+        sentence_count_expr(F.col(text_col)).alias("_sc"),
+        syllables_expr(words_expr(F.col(text_col))).alias("_syll"),
+        code_line_count_expr(F.split(F.col(text_col), "\n")).alias("_code"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("_lines"),
         F.lower(F.expr(f"parse_url({url_col}, 'HOST')")).alias("_host")
         if url_col in corpus.columns else F.lit(None).alias("_host"))
 
@@ -61,6 +72,12 @@ def corpus_card_stats(corpus: DataFrame, lang_col: str = "lang_pred",
             F.bround(F.avg("_chars"), 1).alias("mean_chars"),
             F.countDistinct("_fp").alias("distinct_fingerprints"),
             F.countDistinct("_host").alias("distinct_hosts"),
+            # readability/code sums: exact integers, zero extra cost
+            # (same rollup scan); Flesch is derived driver-side
+            F.sum("_sc").cast("long").alias("sentences"),
+            F.sum("_syll").cast("long").alias("syllables"),
+            F.sum("_code").cast("long").alias("code_lines"),
+            F.sum("_lines").cast("long").alias("lines"),
         ]
 
     rolled = (enriched.rollup("_lang")
@@ -71,7 +88,8 @@ def corpus_card_stats(corpus: DataFrame, lang_col: str = "lang_pred",
              # must still render with zero counts
              {"_g": 1, "_lang": None, "docs": 0, "chars": 0,
               "ws_tokens": 0, "bpe_tokens": 0, "mean_chars": 0,
-              "distinct_fingerprints": 0, "distinct_hosts": 0})
+              "distinct_fingerprints": 0, "distinct_hosts": 0,
+              "sentences": 0, "syllables": 0, "code_lines": 0, "lines": 0})
     by_lang = sorted((r.asDict() for r in rolled if r["_g"] == 0),
                      key=lambda r: (-r["docs"], str(r["_lang"])))
     for d in (g, *by_lang):
@@ -89,6 +107,11 @@ def corpus_card_stats(corpus: DataFrame, lang_col: str = "lang_pred",
            hosts.withColumn("_r", F.row_number().over(w))
                 .where(F.col("_r") <= top_hosts).orderBy("_r").collect()]
     return {"global": g, "by_lang": by_lang, "top_hosts": top}
+
+
+def _fmt_flesch(g: dict) -> str:
+    f = flesch_from_counts(g["ws_tokens"], g["sentences"], g["syllables"])
+    return "n/a (no sentences)" if f is None else f"{f:.1f}"
 
 
 def render_dataset_card(stats: dict, title: str = "corpus",
@@ -116,6 +139,13 @@ def render_dataset_card(stats: dict, title: str = "corpus",
         f"{g['distinct_fingerprints']:,} "
         f"({dup_pct:.2f}% residual exact duplication)",
         f"- distinct url hosts: {g['distinct_hosts']:,}",
+        "",
+        "## Quality signals",
+        "",
+        f"- Flesch reading ease (corpus): {_fmt_flesch(g)}",
+        f"- code-shaped lines: {g['code_lines']:,} of {g['lines']:,} "
+        f"({100.0 * g['code_lines'] / g['lines']:.2f}%)"
+        if g["lines"] else "- code-shaped lines: 0 of 0",
         "",
         "## Composition by language",
         "",

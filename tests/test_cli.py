@@ -941,6 +941,112 @@ def test_curate_gopher_repetition_stage(spark, tmp_path, capsys):
         rep["after_repetition_filter"]
 
 
+def test_curate_code_filter_stage(spark, tmp_path, capsys):
+    """Opt-in code-line filter: a planted doc that passes the base
+    heuristics but is one-third code-shaped lines is dropped; lineage
+    records the stage; expected drop count comes from the golden twin."""
+    from pyspark.sql import functions as F2
+
+    from datacanary_spark.functions.readability import golden_readability
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    donor = corpus.orderBy("url").first()
+    # code-shaped lines built from the donor's own (in-vocab) words so
+    # ppl/stopword/symbol rules stay satisfied: 4-space indent +
+    # trailing semicolon hits CODE_LINE_RE twice over
+    vocab = [w for w in donor["text"].split() if w.isalpha()][:6] or ["the"]
+    n_lines = len(donor["text"].split("\n"))
+    code_lines = [f"    {vocab[i % len(vocab)]} {vocab[(i + 1) % len(vocab)]} x{i};"
+                  for i in range(n_lines)]  # ~50% of planted lines
+    planted_text = donor["text"] + "\n" + "\n".join(code_lines)
+    g = golden_readability(planted_text)
+    assert g["code_line_fraction"] > 0.25
+
+    pages_df = spark.read.parquet(pages)
+    pages2 = str(tmp_path / "pages2")
+    pages_df.unionByName(spark.createDataFrame(
+        [("http://zzz-code.test/x", planted_text)],
+        "url string, text string").select(
+            "url", F2.lit(None).cast("timestamp").alias("warc_ts"),
+            F2.lit(None).cast("binary").alias("html"), "text",
+            F2.lit("en").alias("lang"))).write.parquet(pages2)
+
+    plain = run_curation_job(spark, pages2, str(tmp_path / "plain"))
+    out_plain = spark.read.parquet(
+        os.path.join(str(tmp_path / "plain"), "corpus"))
+    assert out_plain.where(
+        F2.col("url") == "http://zzz-code.test/x").count() == 1
+
+    # golden-twin expected survivors at the stage's exact law
+    n_over = sum(1 for r in out_plain.collect()
+                 if (golden_readability(r["text"])["code_line_fraction"]
+                     or 0.0) > 0.25)
+    assert n_over >= 1
+
+    cf = run_curation_job(spark, pages2, str(tmp_path / "cf"),
+                          max_code_line_fraction=0.25)
+    assert cf["after_code_filter"] == plain["kept"] - n_over
+    out_cf = spark.read.parquet(os.path.join(str(tmp_path / "cf"), "corpus"))
+    assert out_cf.where(
+        F2.col("url") == "http://zzz-code.test/x").count() == 0
+
+    # CLI flag reaches the plan
+    assert main(["curate", "--input", pages2,
+                 "--output", str(tmp_path / "cli_cf"),
+                 "--max-code-line-fraction", "0.25"]) == 0
+    cli_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_summary["after_code_filter"] == cf["after_code_filter"]
+
+
+def test_curate_compression_filter_stage(spark, tmp_path, capsys):
+    """Opt-in zlib compressibility filter: threshold placed (via the
+    golden twin) between the most-compressible survivor and the rest;
+    exactly the docs below it drop; lineage records the stage."""
+    from datacanary_spark.functions.readability import (
+        golden_compression_ratio,
+    )
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "80",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    ratios = sorted(golden_compression_ratio(r["text"])
+                    for r in corpus.collect())
+    assert len(ratios) == base["kept"]
+    lo, second = ratios[0], next(r for r in ratios if r > ratios[0])
+    threshold = (lo + second) / 2
+    n_below = sum(1 for r in ratios if r < threshold)
+    assert n_below >= 1
+
+    s = run_curation_job(spark, pages, str(tmp_path / "zf"),
+                         min_compression_ratio=threshold)
+    assert s["after_compression_filter"] == base["kept"] - n_below
+    out = spark.read.parquet(os.path.join(str(tmp_path / "zf"), "corpus"))
+    assert all(golden_compression_ratio(r["text"]) >= threshold
+               for r in out.collect())
+
+    # CLI flag reaches the plan
+    assert main(["curate", "--input", pages,
+                 "--output", str(tmp_path / "cli_zf"),
+                 "--min-compression-ratio", str(threshold)]) == 0
+    cli_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_summary["after_compression_filter"] == \
+        s["after_compression_filter"]
+
+
 def test_curate_badwords_stage(spark, tmp_path, capsys):
     """Opt-in C4 bad-words stage: docs carrying a lexicon token are
     dropped under the strict rule, survive under a loose density rule;
@@ -1656,6 +1762,20 @@ def test_corpus_report_dataset_card(spark, tmp_path, capsys):
     # numbers agree with the corpus
     n = spark.read.parquet(curated + "/corpus").count()
     assert f"- documents: {n:,}" in card
+    # quality-signal section: corpus Flesch from the golden twin's sums
+    from datacanary_spark.functions.readability import (
+        flesch_from_counts,
+        golden_readability,
+    )
+    rows = spark.read.parquet(curated + "/corpus").collect()
+    tw = [golden_readability(r["text"]) for r in rows]
+    wc = sum(len([w for w in re.split(r"[ \t\n\x0B\f\r]+", r["text"] or "")
+                  if w]) for r in rows)  # Java-\s tokenization contract
+    f = flesch_from_counts(wc, sum(t["sentence_count"] for t in tw),
+                           sum(t["syllable_count"] for t in tw))
+    assert "## Quality signals" in card
+    assert f"- Flesch reading ease (corpus): {f:.1f}" in card
+    assert "- code-shaped lines:" in card
 
 
 def test_corpus_report_empty_and_plain_table(spark, tmp_path, capsys):
