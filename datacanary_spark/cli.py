@@ -1115,7 +1115,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="benchmark table (text column); overlapping "
                          "docs are removed")
     cu.add_argument("--decontaminate-mode",
-                    choices=["exact", "winnow", "bloom", "ngrams"],
+                    choices=["exact", "winnow", "bloom", "ngrams",
+                             "minhash"],
                     default="winnow")
     cu.add_argument("--blocklist", default=None,
                     help="domain blocklist: comma-separated domains, or "

@@ -621,6 +621,7 @@ _TAIL_ROTATION = [
     "ccard_luhn_by_lang",  # r04n, same tail contract
     "readability_by_lang",  # r04o, same tail contract
     "compression_ratio_by_lang",  # r04o, same tail contract (rows-only)
+    "decontaminate_minhash_survivors",  # r04o, same tail contract
 ]
 
 

@@ -46,12 +46,18 @@ def _duck_minhash_list(n_hashes: int) -> str:
     return f"[{parts}]"
 
 
-def _duck_band_rows(bands: int, rows: int) -> str:
+def _duck_band_rows_from(table: str, id_sel: str, bands: int,
+                         rows: int) -> str:
     selects = []
     for b in range(bands):
         key = " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
-        selects.append(f"SELECT doc_id, {b} AS band_ix, {key} AS band_key FROM sig")
+        selects.append(f"SELECT {id_sel}, {b} AS band_ix, {key} AS band_key "
+                       f"FROM {table}")
     return " UNION ALL ".join(selects)
+
+
+def _duck_band_rows(bands: int, rows: int) -> str:
+    return _duck_band_rows_from("sig", "doc_id", bands, rows)
 
 
 # ---------------------------------------------------------------------------
@@ -543,6 +549,58 @@ def decontaminate_winnow_survivors(spark, sf_dir):
         F.concat(F.lit("BENCHMARK QUESTION: "),
                  F.substring(F.col("text"), 1, 120)).alias("text"))
     out = dd.decontaminate(corpus, reference, mode="winnow")
+    return out.agg(F.count(F.lit(1)).alias("n_survivors"),
+                   F.sum("doc_id").alias("sum_ids"))
+
+
+@register(
+    "decontaminate_minhash_survivors",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ),
+    ref AS (
+      SELECT text || '{_TRAILER}' AS rt FROM documents
+      WHERE doc_id < 150 AND doc_id % 6 = 0
+    ),
+    cn AS (SELECT doc_id, {_NORM.format(col='text')} AS nt FROM corpus),
+    csh AS (SELECT doc_id, {_SHINGLES.format(n='nt')} AS sh FROM cn),
+    csh2 AS (SELECT doc_id, sh FROM csh WHERE len(sh) > 0),
+    csig AS (SELECT doc_id, {_duck_minhash_list(16)} AS sig FROM csh2),
+    rn AS (SELECT {_NORM.format(col='rt')} AS nt FROM ref),
+    rsh AS (SELECT {_SHINGLES.format(n='nt')} AS sh FROM rn),
+    rsh2 AS (SELECT sh FROM rsh WHERE len(sh) > 0),
+    rsig0 AS (SELECT {_duck_minhash_list(16)} AS sig FROM rsh2),
+    rsig AS (SELECT DISTINCT sig FROM rsig0),
+    cband AS ({_duck_band_rows_from('csig', 'doc_id', 4, 4)}),
+    rband AS ({_duck_band_rows_from('rsig', 'sig AS ref_sig', 4, 4)}),
+    cand AS (
+      SELECT DISTINCT c.doc_id, r.ref_sig
+      FROM cband c JOIN rband r USING (band_ix, band_key)
+    ),
+    est AS (
+      SELECT cand.doc_id,
+             list_sum(list_transform(generate_series(1, 16),
+                 i -> CASE WHEN csig.sig[i] = cand.ref_sig[i]
+                      THEN 1 ELSE 0 END)) / 16.0 AS frac
+      FROM cand JOIN csig USING (doc_id)
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM est WHERE frac >= 0.5)
+    SELECT count(*) AS n_survivors, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminate_minhash_survivors(spark, sf_dir):
+    """Fuzzy (MinHash/LSH) decontamination: the reference holds EDITED
+    near-duplicates (appended trailer) of every 6th corpus doc — exact
+    fingerprints miss them, the signature-estimated Jaccard catches
+    them. sum(doc_id) pins exact survivor membership."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") < 150)
+    reference = corpus.where(F.col("doc_id") % 6 == 0).select(
+        F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"))
+    out = dd.decontaminate_minhash(corpus, reference, threshold=0.5)
     return out.agg(F.count(F.lit(1)).alias("n_survivors"),
                    F.sum("doc_id").alias("sum_ids"))
 

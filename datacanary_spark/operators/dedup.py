@@ -634,6 +634,77 @@ def decontaminate_ngrams(corpus: DataFrame, reference: DataFrame,
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def decontaminate_minhash(corpus: DataFrame, reference: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          ref_text_col: str = "text", k_shingle: int = 5,
+                          n_hashes: int = 16, bands: int = 4,
+                          threshold: float = 0.5, hash_fn: str = "md5",
+                          broadcast_ref: bool = True,
+                          persist: bool = False) -> DataFrame:
+    """Drop corpus docs NEAR-DUPLICATE to any reference doc — the fuzzy
+    tier of the decontamination stack (GPT-class pipelines run a
+    MinHash pass alongside exact/n-gram rules: it catches a benchmark
+    item that was reflowed, re-punctuated, or lightly edited, where
+    exact fingerprints miss and the 13-gram rule frays).
+
+    Contamination law: a corpus doc is contaminated iff its MinHash
+    signature shares >= 1 full LSH band with some reference doc AND the
+    signature-estimated Jaccard against that doc's signature is
+    >= ``threshold`` (``plans.incremental.sig_jaccard_estimate``).
+    NULL/empty corpus text has no shingles, hence no signature — it
+    always survives (unknown content is not evidence of contamination,
+    same contract as the exact mode).
+
+    Scale shape: reference signatures are benchmark-sized — their band
+    rows (carrying the ref signature for the verify) BROADCAST by
+    default, so the corpus side is one map-only probe; candidates are
+    rare, so the signature re-attach join and the final anti-join move
+    only candidate-sized rows. ``broadcast_ref=False`` shuffles the
+    band join for an oversized reference. The corpus is never
+    all-pairs'd and never shuffled in full.
+
+    ``persist=True`` caches the corpus (id, sig) rows read by both the
+    band explode and the verify join (same lifetime contract as
+    lsh_candidate_pairs — caller owns the release point); the default
+    recomputes, which at 100 TB is one extra signature pass over only
+    the candidate ids' rows.
+    """
+    from datacanary_spark.plans.caching import maybe_persist
+    from datacanary_spark.plans.incremental import sig_jaccard_estimate
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+    def sig_rows(df, idc, tc, spread):
+        d = spread_to_parallelism(df) if spread else df
+        d = d.select(F.col(idc),
+                     char_shingles(F.col(tc), k_shingle).alias("_sh"))
+        d = d.where(F.size("_sh") > 0)
+        return d.select(F.col(idc),
+                        minhash_signature(F.col("_sh"), n_hashes,
+                                          hash_fn).alias("sig"))
+
+    c_sig = maybe_persist(
+        sig_rows(corpus.select(id_col, text_col), id_col, text_col, True),
+        persist)
+    # the reference needs no id: DISTINCT signatures are its similarity
+    # identity, and the signature itself rides the band rows as the
+    # verify key (band_rows_from_sig carries whatever column is named)
+    r_sig = (sig_rows(reference.select(F.col(ref_text_col).alias("_rt")),
+                      "_rt", "_rt", False)
+             .select(F.col("sig").alias("_ref_sig")).distinct())
+    r_bands = band_rows_from_sig(r_sig, "_ref_sig", "_ref_sig",
+                                 n_hashes, bands)
+    if broadcast_ref:
+        r_bands = F.broadcast(r_bands)
+    c_bands = band_rows_from_sig(c_sig, id_col, "sig", n_hashes, bands)
+    cand = (c_bands.join(r_bands, ["band_ix", "band_key"])
+            .select(id_col, "_ref_sig").distinct())
+    est = sig_jaccard_estimate(F.col("sig"), F.col("_ref_sig"), n_hashes)
+    contaminated = (cand.join(c_sig, id_col)
+                    .where(est >= threshold)
+                    .select(id_col).distinct())
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def lsh_bucket_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k_shingle: int = 5,
                      n_hashes: int = 16, bands: int = 4,

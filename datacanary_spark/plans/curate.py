@@ -98,9 +98,11 @@ def run_curation_job(
     benchmark/test-set table with a ``text`` column; overlapping corpus
     docs are removed (``decontaminate_mode``: "exact", "winnow",
     "bloom" — exact semantics behind a broadcast Bloom prefilter, the
-    no-corpus-shuffle path for 10^9-fingerprint references — or
-    "ngrams" — the exhaustive GPT-3 13-gram overlap rule via a
-    broadcast gram-set probe join, operators/dedup.py).
+    no-corpus-shuffle path for 10^9-fingerprint references — "ngrams"
+    — the exhaustive GPT-3 13-gram overlap rule via a broadcast
+    gram-set probe join — or "minhash" — the fuzzy tier: MinHash/LSH
+    near-duplicates of a reference item drop too, catching reflowed or
+    lightly-edited benchmark copies; operators/dedup.py).
     ``blocklist`` (a domain list, or a path to a table with a
     ``domain`` column) drops docs whose url host or any parent domain
     is listed, BEFORE any content processing — the UT1-style
@@ -521,6 +523,17 @@ def run_curation_job(
                 stage = scope.persist(
                     decontaminate_bloom(stage, reference, text_col="text",
                                         persist=scope))
+            elif decontaminate_mode == "minhash":
+                # fuzzy tier: drops docs NEAR-duplicate to a reference
+                # item (reflowed/lightly-edited benchmark copies that
+                # exact fingerprints miss); broadcast reference bands
+                from datacanary_spark.operators.dedup import (
+                    decontaminate_minhash,
+                )
+
+                stage = scope.persist(
+                    decontaminate_minhash(stage, reference, id_col="url",
+                                          text_col="text"))
             elif decontaminate_mode == "ngrams":
                 # exhaustive word-n-gram overlap (GPT-3 13-gram rule):
                 # any shared 13-gram with the reference contaminates

@@ -560,6 +560,30 @@ def test_curate_with_decontamination(spark, tmp_path, capsys):
     out = spark.read.parquet(os.path.join(str(tmp_path / "dec"), "corpus"))
     assert out.where(F2.col("text").isin(list(leaked))).count() == 0
 
+    # minhash mode: the benchmark holds EDITED near-duplicates (trailer
+    # appended) — exact mode misses them, the fuzzy tier removes them
+    bench2 = str(tmp_path / "bench2")
+    corpus.orderBy("url").limit(5).select(
+        F2.concat(F2.col("text"),
+                  F2.lit(" lightly edited benchmark reflow trailer"))
+        .alias("text")).write.parquet(bench2)
+    s_exact = run_curation_job(spark, pages, str(tmp_path / "dec_e2"),
+                               decontaminate_path=bench2,
+                               decontaminate_mode="exact")
+    assert s_exact["after_decontamination"] == s_exact["after_line_dedup"]
+    s_mh = run_curation_job(spark, pages, str(tmp_path / "dec_mh"),
+                            decontaminate_path=bench2,
+                            decontaminate_mode="minhash")
+    # AT LEAST the 5 edited sources drop; the fixture corpus also
+    # contains planted near-duplicates of some docs, and a near-dup of
+    # a leaked doc is itself contaminated — more drops are correct,
+    # fewer are not
+    assert s_mh["after_decontamination"] <= s_mh["after_line_dedup"] - 5
+    sources = {r["text"] for r in corpus.orderBy("url").limit(5).collect()}
+    out_mh = spark.read.parquet(
+        os.path.join(str(tmp_path / "dec_mh"), "corpus"))
+    assert out_mh.where(F2.col("text").isin(list(sources))).count() == 0
+
 
 def test_curate_host_cap(spark, tmp_path, capsys):
     """--host-cap keeps at most N unique docs per url host, applied

@@ -765,6 +765,50 @@ def test_decontaminate_exact_and_winnow(spark):
     assert survivors == {200}
 
 
+def test_decontaminate_minhash_fuzzy_tier(spark):
+    """MinHash decontamination drops docs near-duplicate to an EDITED
+    reference copy (the case exact fingerprints miss); clean docs,
+    null-text docs, and sub-threshold similarity survive."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import dedup as dd
+
+    leaked = ("the benchmark answer key states that the capital of the "
+              "example country is exampleville and the river is long "
+              "according to the official survey of geography facts")
+    corpus = spark.createDataFrame(
+        [(1, "a perfectly clean training document all about cooking "
+             "pasta with garlic and olive oil in a large iron pan"),
+         (2, leaked),
+         (3, None),
+         (4, "another clean document describing mountain hiking trails "
+             "and the equipment required for a safe winter ascent")],
+        "doc_id: long, text: string")
+    reference = spark.createDataFrame(
+        [(leaked + " reflowed with a small trailing edit",)],
+        "text: string")
+
+    out = {r["doc_id"] for r in
+           dd.decontaminate_minhash(corpus, reference).collect()}
+    assert out == {1, 3, 4}  # edited near-dup caught; null survives
+
+    # an impossible threshold (> 1.0) keeps everything: the band match
+    # alone is not the contamination law, the estimate gate is
+    all_kept = {r["doc_id"] for r in
+                dd.decontaminate_minhash(corpus, reference,
+                                         threshold=1.01).collect()}
+    assert all_kept == {1, 2, 3, 4}
+
+    # schema unchanged contract
+    assert dd.decontaminate_minhash(corpus, reference).columns == \
+        corpus.columns
+
+    # reference bands ride a broadcast join by default
+    plan = (dd.decontaminate_minhash(corpus, reference)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
 def test_lsh_bucket_stats_accounts_for_cap(spark):
     """The max_bucket cap's coverage loss is measurable via
     lsh_bucket_stats (docstring contract)."""
