@@ -529,6 +529,7 @@ def cmd_curate(args) -> int:
         host_cap=args.host_cap,
         classifier_model=args.classifier_model,
         classifier_threshold=args.classifier_threshold,
+        classifier_keep_fraction=args.classifier_keep_fraction,
         gopher_repetition=args.gopher_repetition,
         max_code_line_fraction=args.max_code_line_fraction,
         min_compression_ratio=args.min_compression_ratio,
@@ -731,10 +732,17 @@ def cmd_train_classifier(args) -> int:
 
     spark = _spark(args)
     df = read_table(spark, args.input)
-    clf = train_quality_classifier(df, label_col=args.label_col,
-                                   text_col=args.text_col,
-                                   max_iter=args.max_iter,
-                                   reg_param=args.reg_param)
+    from datacanary_spark.plans.classifier import (
+        EXTENDED_FEATURE_NAMES,
+        FEATURE_NAMES,
+    )
+
+    clf = train_quality_classifier(
+        df, label_col=args.label_col, text_col=args.text_col,
+        max_iter=args.max_iter, reg_param=args.reg_param,
+        feature_names=(EXTENDED_FEATURE_NAMES
+                       if args.feature_set == "extended"
+                       else FEATURE_NAMES))
     save_classifier(spark, clf, args.output)
     print(json.dumps({"model": args.output,
                       "features": list(clf.feature_names),
@@ -1130,6 +1138,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JSON coefficient bundle from train-classifier; "
                          "docs scoring below the threshold are dropped")
     cu.add_argument("--classifier-threshold", type=float, default=0.5)
+    cu.add_argument("--classifier-keep-fraction", type=float, default=None,
+                    help="DCLM-style selection: keep the top fraction "
+                         "of docs by classifier score instead of the "
+                         "fixed probability threshold")
     cu.add_argument("--gopher-repetition", action="store_true",
                     help="drop docs violating the Gopher char-weighted "
                          "repetition thresholds (top-2/3/4-gram, "
@@ -1193,6 +1205,11 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--text-col", default="text")
     tc.add_argument("--max-iter", type=int, default=50)
     tc.add_argument("--reg-param", type=float, default=0.0)
+    tc.add_argument("--feature-set", choices=["base", "extended"],
+                    default="base",
+                    help="extended adds readability/code/entropy "
+                         "features; the bundle records its names, so "
+                         "scoring follows the bundle either way")
     tc.set_defaults(fn=cmd_train_classifier)
 
     g = sub.add_parser("gen-pages", help="deterministic pages fixture")

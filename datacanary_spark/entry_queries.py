@@ -622,6 +622,7 @@ _TAIL_ROTATION = [
     "readability_by_lang",  # r04o, same tail contract
     "compression_ratio_by_lang",  # r04o, same tail contract (rows-only)
     "decontaminate_minhash_survivors",  # r04o, same tail contract
+    "classifier_top_fraction_by_lang",  # r04o, same tail contract
 ]
 
 

@@ -298,7 +298,7 @@ def _duck_clf_features() -> str:
     T = (f"list_transform(generate_series(1, len({W}) - 2), "
          f"i -> {W}[i] || ' ' || {W}[i+1] || ' ' || {W}[i+2])")
     return f"""
-      SELECT lang,
+      SELECT doc_id, lang,
         COALESCE(CAST(length(text) AS DOUBLE), 0.0) AS f_n_chars,
         COALESCE(CAST(len({W}) AS DOUBLE), 0.0) AS f_word_count,
         CASE WHEN len({W}) > 0 THEN
@@ -331,7 +331,7 @@ def _duck_clf_margin() -> str:
     terms = " + ".join(f"{w!r} * f_{n}" for n, w in _CLF_W.items())
     return f"""
     WITH feats AS ({_duck_clf_features()}),
-    scored AS (SELECT lang, {_CLF_B!r} + {terms} AS z FROM feats)
+    scored AS (SELECT doc_id, lang, {_CLF_B!r} + {terms} AS z FROM feats)
     """
 
 
@@ -369,6 +369,40 @@ def classifier_margin_keep_by_lang(spark, sf_dir):
         F.sum(F.when(keep, 0).otherwise(1)).alias("dropped"),
         F.bround(F.min("z"), 6).alias("min_margin"),
         F.bround(F.max("z"), 6).alias("max_margin"),
+    )
+
+
+@register(
+    "classifier_top_fraction_by_lang",
+    _duck_clf_margin() + """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           round(min(z), 6) AS min_kept_margin
+    FROM scored
+    WHERE z >= (SELECT quantile_cont(z, 0.3) FROM scored)
+    GROUP BY lang
+    """,
+)
+def classifier_top_fraction_by_lang(spark, sf_dir):
+    """DCLM-style top-fraction selection with pinned coefficients: keep
+    the top 70% of docs by classifier margin (exact global percentile
+    threshold, ties kept). sum(doc_id) pins exact membership — the
+    selection must be a pure function of the score, never of partition
+    order."""
+    from datacanary_spark.plans.classifier import (
+        QualityClassifier,
+        classify_top_fraction,
+    )
+
+    clf = QualityClassifier(tuple(_CLF_W), tuple(_CLF_W.values()), _CLF_B)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = classify_top_fraction(d, clf, 0.7, tie_col="doc_id",
+                                 margin_col="z", persist=False)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.bround(F.min("z"), 6).alias("min_kept_margin"),
     )
 
 

@@ -75,6 +75,7 @@ def run_curation_job(
     host_cap: int | None = None,
     classifier_model: str | None = None,
     classifier_threshold: float = 0.5,
+    classifier_keep_fraction: float | None = None,
     gopher_repetition: bool = False,
     repetition_cfg=None,
     max_code_line_fraction: float | None = None,
@@ -337,14 +338,25 @@ def run_curation_job(
         if classifier_model:
             from datacanary_spark.plans.classifier import (
                 classify,
+                classify_top_fraction,
                 load_classifier,
             )
 
             clf = load_classifier(spark, classifier_model)
-            kept = scope.persist(
-                classify(kept, clf, text_col="text",
-                         threshold=classifier_threshold)
-                .where(F.col("keep_pred")).select(*kept.columns))
+            if classifier_keep_fraction is not None:
+                # DCLM-style: keep the top fraction by score rather
+                # than a fixed probability threshold — robust to score
+                # calibration drift across corpora
+                kept = scope.persist(
+                    classify_top_fraction(
+                        kept, clf, classifier_keep_fraction,
+                        text_col="text", tie_col="url", persist=scope)
+                    .select(*kept.columns))
+            else:
+                kept = scope.persist(
+                    classify(kept, clf, text_col="text",
+                             threshold=classifier_threshold)
+                    .where(F.col("keep_pred")).select(*kept.columns))
             summary["after_classifier"] = kept.count()
 
         if gopher_repetition:

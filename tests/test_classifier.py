@@ -160,3 +160,112 @@ def test_from_dict_rejects_mismatched_bundle():
            "intercept": 0.0}
     with pytest.raises(ValueError, match="mismatch"):
         qc.QualityClassifier.from_dict(bad)
+
+
+def test_extended_feature_space(spark, labeled_pages):
+    """EXTENDED_FEATURE_NAMES trains and scores end-to-end: the bundle
+    records the wider name list, classify featurizes FROM the bundle,
+    the scoring plan stays pure codegen, and an unknown name fails
+    fast instead of scoring a silently-zero feature."""
+    train = labeled_pages.where(
+        hash_sample_predicate(F.col("url"), 0.7, salt="clfsplit"))
+    clf = qc.train_quality_classifier(
+        train, "label", feature_names=qc.EXTENDED_FEATURE_NAMES)
+    assert clf.feature_names == qc.EXTENDED_FEATURE_NAMES
+    assert len(clf.weights) == len(qc.EXTENDED_FEATURE_NAMES)
+
+    # scoring follows the bundle (no feature_names arg needed)
+    scored = qc.classify(labeled_pages.select("url", "text"), clf)
+    assert scored.where(F.col("quality_prob").isNull()).count() == 0
+
+    # the wider space keeps the scoring plan a pure narrow projection
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Exchange",
+                "FlatMapGroupsInPandas"):
+        assert bad not in plan, bad
+
+    # bundle round-trips with the extended names
+    assert qc.QualityClassifier.from_dict(clf.to_dict()) == clf
+
+    # fail-fast on a typo'd feature name
+    with pytest.raises(ValueError, match="unknown feature names"):
+        qc.featurized(labeled_pages, feature_names=("flesch", "nope"))
+
+
+def test_extended_features_match_signal_modules(spark):
+    """The feat_* columns of the extended space agree with the signal
+    modules' own golden twins (no drift between the classifier's
+    feature expressions and the shipped signal definitions)."""
+    from datacanary_spark.functions.readability import golden_readability
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog. A fine day!",
+        "import os\n    total = 0;\n    emit(total);\nreturn total",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: int, text: string")
+    d = qc.featurized(df, feature_names=qc.EXTENDED_FEATURE_NAMES)
+    rows = {r["doc_id"]: r for r in d.collect()}
+    for i, t in enumerate(texts):
+        g = golden_readability(t)
+        want_flesch = g["flesch"] if g["flesch"] is not None else 0.0
+        assert rows[i]["feat_flesch"] == pytest.approx(want_flesch)
+        want_clf = (g["code_line_fraction"]
+                    if g["code_line_fraction"] is not None else 0.0)
+        assert rows[i]["feat_code_line_fraction"] == pytest.approx(want_clf)
+
+
+def test_classify_top_fraction_selection_law(spark, labeled_pages):
+    """Top-fraction selection: membership is a pure function of the
+    margin (partition-invariant), the kept count honors the fraction up
+    to threshold ties, and every kept margin >= every dropped margin."""
+    docs = labeled_pages.select("url", "text")
+    n = docs.count()
+    clf = qc.QualityClassifier(
+        qc.FEATURE_NAMES,
+        tuple(0.01 * (i + 1) for i in range(len(qc.FEATURE_NAMES))), -0.5)
+
+    kept = qc.classify_top_fraction(docs, clf, 0.25, persist=False)
+    k = kept.count()
+    # >= because ties at the exact percentile are all kept
+    assert n * 0.25 <= k + 1 and k < n
+    # boundary law: min kept margin >= max dropped margin
+    kept_ids = {r["url"] for r in kept.collect()}
+    scored = qc.classify(docs, clf).select(
+        "url", F.col("quality_prob").alias("p")).collect()
+    min_kept = min(r["p"] for r in scored if r["url"] in kept_ids)
+    dropped = [r["p"] for r in scored if r["url"] not in kept_ids]
+    assert not dropped or min_kept >= max(dropped)
+
+    # partition-invariance: same SET at any parallelism
+    kept2 = {r["url"] for r in qc.classify_top_fraction(
+        docs.repartition(13), clf, 0.25, persist=False).collect()}
+    assert kept2 == kept_ids
+
+    # keep_fraction=1.0 keeps everything; bad fraction fails fast
+    assert qc.classify_top_fraction(docs, clf, 1.0).count() == n
+    with pytest.raises(ValueError, match="keep_fraction"):
+        qc.classify_top_fraction(docs, clf, 0.0)
+
+
+def test_curate_classifier_keep_fraction(spark, tmp_path):
+    """curate --classifier-keep-fraction: DCLM-style top-fraction stage
+    replaces the fixed threshold; lineage counts honor the fraction."""
+    from datacanary_spark.plans.curate import run_curation_job
+    from datacanary_spark.sources.fixtures import write_pages_parquet
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, n_docs=250, seed=31)
+    clf = qc.train_quality_classifier(_labeled_pages(spark), "label")
+    model_uri = str(tmp_path / "model.json")
+    qc.save_classifier(spark, clf, model_uri)
+
+    s = run_curation_job(spark, pages, str(tmp_path / "frac"),
+                         classifier_model=model_uri,
+                         classifier_keep_fraction=0.5)
+    assert "after_classifier" in s
+    # top-50% of the heuristic-kept docs, ties kept
+    assert s["kept"] * 0.5 <= s["after_classifier"] + 1
+    assert s["after_classifier"] < s["kept"]
+    assert s["final_docs"] > 0
