@@ -62,7 +62,24 @@ def main(n_docs: int = 2000) -> dict:
     print(f"\nlabeled sample: {n_labeled} docs; corpus: {agg['n']} docs")
     print(f"classifier vs full-pipeline agreement: {agreement:.3f}")
     assert agreement > 0.85, agreement
+
+    # 4. same distillation with the EXTENDED feature space
+    #    (readability/code/entropy signals) — still a pure expression
+    #    scoring pass; prints the comparison so the wider space's value
+    #    is visible on the fixture
+    clf_ext = qc.train_quality_classifier(
+        labeled, "label", feature_names=qc.EXTENDED_FEATURE_NAMES)
+    joined_ext = (qc.classify(pages, clf_ext).select("url", "keep_pred")
+                  .join(full, "url"))
+    agg_ext = joined_ext.agg(
+        F.sum((F.col("keep_pred") == F.col("keep")).cast("int"))
+        .alias("agree"),
+        F.count(F.lit(1)).alias("n")).first()
+    agreement_ext = agg_ext["agree"] / agg_ext["n"]
+    print(f"extended-feature agreement:            {agreement_ext:.3f}")
+    assert agreement_ext > 0.85, agreement_ext
     return {"n_labeled": n_labeled, "agreement": agreement,
+            "agreement_extended": agreement_ext,
             "weights": clf.to_dict()}
 
 
