@@ -549,6 +549,48 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def _shard_manifest(spark, output: str, fmt: str) -> dict:
+    """Per-(split, shard) manifest of a written export: doc count, text
+    chars, whitespace-token count, and an order-insensitive 64-bit
+    content checksum (bit_xor of xxhash64 over every column's JSON form
+    — partition- and run-invariant because xor commutes).
+
+    Computed by READING BACK the written artifact (one narrow scan +
+    tiny aggregate, no shuffle of the corpus): the manifest must
+    describe the bytes a training loader will actually see, and the
+    read-back avoids re-executing the shard Exchange a second time.
+    """
+    from pyspark.sql import functions as F
+
+    out_df = (spark.read.parquet(output) if fmt == "parquet"
+              else spark.read.json(output))
+    data_cols = sorted(c for c in out_df.columns
+                       if c not in ("split", "shard"))
+    row_json = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    aggs = [F.count(F.lit(1)).alias("docs"),
+            F.bit_xor(F.xxhash64(row_json)).alias("xor64")]
+    if "text" in out_df.columns:
+        aggs.append(F.coalesce(F.sum(F.length("text")), F.lit(0))
+                    .cast("long").alias("chars"))
+        aggs.append(F.coalesce(F.sum(F.size(F.filter(
+            F.split(F.col("text"), r"\s+"),
+            lambda w: w != F.lit("")))), F.lit(0))
+            .cast("long").alias("ws_tokens"))
+    rows = (out_df.groupBy("split", "shard").agg(*aggs)
+            .orderBy("split", "shard").collect())
+    shards = [dict(r.asDict()) for r in rows]
+    for s in shards:  # JSON-safe: xor64 may exceed 2^53 but stays int
+        # null-key docs write the null (split, shard) partition — the
+        # manifest reports that bucket as nulls, same as the layout
+        s["shard"] = int(s["shard"]) if s["shard"] is not None else None
+        s["xor64"] = int(s["xor64"]) if s["xor64"] is not None else None
+    totals = {"docs": sum(s["docs"] for s in shards)}
+    if shards and "chars" in shards[0]:
+        totals["chars"] = sum(s["chars"] for s in shards)
+        totals["ws_tokens"] = sum(s["ws_tokens"] for s in shards)
+    return {"format": fmt, "shards": shards, "totals": totals}
+
+
 def cmd_export(args) -> int:
     """Training-data export: deterministic split + global shuffle +
     sharded write. Output layout ``output/split=S/shard=K/part-*`` —
@@ -688,6 +730,12 @@ def cmd_export(args) -> int:
                  fmt=args.output_format)
     summary = {"output": args.output, "splits": counts,
                "n_shards": args.n_shards, "format": args.output_format}
+    if not args.no_manifest:
+        manifest = _shard_manifest(spark, args.output, args.output_format)
+        from datacanary_spark.sources.io import write_text
+        write_text(spark, args.output.rstrip("/") + "/_manifest.json",
+                   json.dumps(manifest, sort_keys=True))
+        summary["manifest_shards"] = len(manifest["shards"])
     if by_corpus:
         summary["by_corpus"] = by_corpus
     if args.bpe_merges:
@@ -1032,6 +1080,11 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--bpe-text-col", default="text",
                     help="column --bpe-merges/--unigram-vocab train on "
                          "and tokenize")
+    ex.add_argument("--no-manifest", action="store_true",
+                    help="skip writing _manifest.json (per-shard doc/"
+                         "token counts + order-insensitive content "
+                         "checksums, computed by reading back the "
+                         "written shards)")
     ex.add_argument("--unigram-vocab", type=int, default=0,
                     help="train a SentencePiece-style Unigram-LM lexicon "
                          "of <= N tokens (plus required single chars) on "

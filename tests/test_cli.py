@@ -1821,3 +1821,57 @@ def test_corpus_report_empty_and_plain_table(spark, tmp_path, capsys):
     assert "- documents: 1" in card2
     assert "| en | 1 |" in card2
     assert "h.example" in card2
+
+
+def test_export_manifest(spark, tmp_path, capsys):
+    """export writes _manifest.json: per-(split,shard) doc/char/token
+    counts plus an order-insensitive content checksum; totals match the
+    corpus; re-runs produce byte-identical manifests; --no-manifest
+    skips it; the jsonl format gets one too."""
+    import glob
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "120",
+                 "--files", "2"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "export")
+    assert main(["export", "--input", pages, "--output", out,
+                 "--key-col", "url", "--n-shards", "4",
+                 "--split", "train=0.5,heldout=0.5"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    mpath = os.path.join(out, "_manifest.json")
+    assert os.path.exists(mpath)
+    m = json.loads(open(mpath).read())
+    assert m["totals"]["docs"] == 120
+    assert s["manifest_shards"] == len(m["shards"]) \
+        == len(glob.glob(f"{out}/split=*/shard=*"))
+    # per-shard rows agree with the written artifact
+    back = spark.read.parquet(out)
+    got = {(r["split"], r["shard"]): r["n"] for r in
+           back.groupBy("split", "shard")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for row in m["shards"]:
+        assert got[(row["split"], row["shard"])] == row["docs"]
+        assert row["ws_tokens"] > 0 and row["chars"] > 0
+        assert isinstance(row["xor64"], int)
+    # deterministic: a re-export yields a byte-identical manifest
+    out2 = str(tmp_path / "export2")
+    assert main(["export", "--input", pages, "--output", out2,
+                 "--key-col", "url", "--n-shards", "4",
+                 "--split", "train=0.5,heldout=0.5"]) == 0
+    capsys.readouterr()
+    assert open(mpath).read() == \
+        open(os.path.join(out2, "_manifest.json")).read()
+    # opt-out
+    out3 = str(tmp_path / "export3")
+    assert main(["export", "--input", pages, "--output", out3,
+                 "--no-manifest"]) == 0
+    capsys.readouterr()
+    assert not os.path.exists(os.path.join(out3, "_manifest.json"))
+    # jsonl artifact gets a manifest over the written wire form
+    out4 = str(tmp_path / "export4")
+    assert main(["export", "--input", pages, "--output", out4,
+                 "--n-shards", "2", "--output-format", "jsonl"]) == 0
+    capsys.readouterr()
+    m4 = json.loads(open(os.path.join(out4, "_manifest.json")).read())
+    assert m4["totals"]["docs"] == 120 and m4["format"] == "jsonl"
