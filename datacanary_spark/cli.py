@@ -562,8 +562,16 @@ def _shard_manifest(spark, output: str, fmt: str) -> dict:
     """
     from pyspark.sql import functions as F
 
-    out_df = (spark.read.parquet(output) if fmt == "parquet"
-              else spark.read.json(output))
+    from datacanary_spark.operators.text_analysis import token_count_ws
+
+    if fmt == "parquet":
+        out_df = spark.read.parquet(output)
+    else:
+        # one inference pass over the shards is unavoidable without a
+        # caller-threaded wire schema, but cap it: sample one file's
+        # worth of lines for the schema, then one full scan aggregates
+        inferred = spark.read.option("samplingRatio", 0.1).json(output)
+        out_df = spark.read.schema(inferred.schema).json(output)
     data_cols = sorted(c for c in out_df.columns
                        if c not in ("split", "shard"))
     row_json = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
@@ -572,10 +580,10 @@ def _shard_manifest(spark, output: str, fmt: str) -> dict:
     if "text" in out_df.columns:
         aggs.append(F.coalesce(F.sum(F.length("text")), F.lit(0))
                     .cast("long").alias("chars"))
-        aggs.append(F.coalesce(F.sum(F.size(F.filter(
-            F.split(F.col("text"), r"\s+"),
-            lambda w: w != F.lit("")))), F.lit(0))
-            .cast("long").alias("ws_tokens"))
+        # the repo-wide whitespace tokenization contract — shared with
+        # the dataset card so the two ws_tokens never drift
+        aggs.append(F.coalesce(F.sum(token_count_ws(F.col("text"))),
+                               F.lit(0)).cast("long").alias("ws_tokens"))
     rows = (out_df.groupBy("split", "shard").agg(*aggs)
             .orderBy("split", "shard").collect())
     shards = [dict(r.asDict()) for r in rows]

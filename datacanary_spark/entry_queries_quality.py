@@ -390,6 +390,7 @@ def classifier_top_fraction_by_lang(spark, sf_dir):
     threshold, ties kept). sum(doc_id) pins exact membership — the
     selection must be a pure function of the score, never of partition
     order."""
+    from datacanary_spark.plans.caching import CacheScope
     from datacanary_spark.plans.classifier import (
         QualityClassifier,
         classify_top_fraction,
@@ -397,17 +398,23 @@ def classifier_top_fraction_by_lang(spark, sf_dir):
 
     clf = QualityClassifier(tuple(_CLF_W), tuple(_CLF_W.values()), _CLF_B)
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    # persist: the scored frame feeds BOTH the percentile collect and
-    # the survivor aggregate — unpersisted, the featurization stack
-    # (trigram/dup-line stats) runs twice (measured 4.7 -> ~2.4 s warm
-    # at sf0.1)
-    kept = classify_top_fraction(d, clf, 0.7, tie_col="doc_id",
-                                 margin_col="z", persist=True)
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("doc_id").alias("sum_ids"),
-        F.bround(F.min("z"), 6).alias("min_kept_margin"),
-    )
+    # CacheScope: the scored frame feeds BOTH the percentile collect
+    # and the survivor aggregate — unpersisted it featurizes twice
+    # (measured 4.7 -> 0.6 s warm at sf0.1); a bare persist=True would
+    # leak the cached frame into the long-lived driver session on
+    # every gate/bench run, so materialize inside the scope and return
+    # the (tiny) result as a local frame
+    with CacheScope() as scope:
+        kept = classify_top_fraction(d, clf, 0.7, tie_col="doc_id",
+                                     margin_col="z", persist=scope)
+        rows = kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.bround(F.min("z"), 6).alias("min_kept_margin"),
+        ).collect()
+    return spark.createDataFrame(
+        rows, "lang string, n_kept bigint, sum_ids bigint, "
+              "min_kept_margin double")
 
 
 # --------------------------------------------------------------------------

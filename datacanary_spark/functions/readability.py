@@ -55,8 +55,12 @@ VOWEL_GROUP_RE = "[aeiouy]+"
 # A line "looks like code" when any of these match: statement
 # terminators / braces at end-of-line, 4+ space indentation, arrow
 # functions, or common keyword prefixes. Pure RE2-compatible subset so
-# the DuckDB oracle runs the identical pattern.
-CODE_LINE_RE = (r"([;{}]\s*$)|(^\s{4,}\S)|(=>)"
+# the DuckDB oracle runs the identical pattern. End-of-line is \z (end
+# of INPUT), not $: Java's non-MULTILINE $ also matches before a final
+# U+2028/U+2029/U+0085 line terminator, which neither RE2 nor the
+# Python twin does — \z means the same thing in all three engines
+# (Python spells it \Z; the twin translates).
+CODE_LINE_RE = (r"([;{}]\s*\z)|(^\s{4,}\S)|(=>)"
                 r"|(\bdef )|(\bfunction )|(\breturn )|(#include)|(\bimport )")
 
 # Characters over-represented in source code relative to prose.
@@ -179,8 +183,10 @@ _WS = re.compile(r"[ \t\n\x0B\f\r]+")
 _SENT = re.compile(SENTENCE_SPLIT_RE)
 _VOWELS = re.compile(VOWEL_GROUP_RE)
 # re.ASCII pins \b to Java's ASCII-only word chars; \s is replaced
-# with Java's explicit whitespace class.
-_CODE = re.compile(CODE_LINE_RE.replace(r"\s", r"[ \t\n\x0B\f\r]"), re.ASCII)
+# with Java's explicit whitespace class; Python spells end-of-input \Z
+# where Java/RE2 spell it \z.
+_CODE = re.compile(CODE_LINE_RE.replace(r"\s", r"[ \t\n\x0B\f\r]")
+                   .replace(r"\z", r"\Z"), re.ASCII)
 _PUNCT = re.compile(CODE_PUNCT_CLASS)
 
 

@@ -663,11 +663,13 @@ def decontaminate_minhash(corpus: DataFrame, reference: DataFrame,
     band join for an oversized reference. The corpus is never
     all-pairs'd and never shuffled in full.
 
-    ``persist=True`` caches the corpus (id, sig) rows read by both the
-    band explode and the verify join (same lifetime contract as
-    lsh_candidate_pairs — caller owns the release point); the default
-    recomputes, which at 100 TB is one extra signature pass over only
-    the candidate ids' rows.
+    ``persist`` (bool or a plans.caching.CacheScope) caches the corpus
+    (id, sig) rows read by both the band explode and the verify join
+    (same lifetime contract as lsh_candidate_pairs — the caller owns
+    the release point). The default recomputes: the verify join's
+    c_sig branch re-runs the FULL shingle+hash pass (there is no
+    join-key pushdown to limit it to candidates), so pass a scope
+    whenever the corpus is large — plans/curate.py does.
     """
     from datacanary_spark.plans.caching import maybe_persist
     from datacanary_spark.plans.incremental import sig_jaccard_estimate

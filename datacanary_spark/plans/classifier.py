@@ -229,8 +229,14 @@ def classify_top_fraction(df: DataFrame, clf: QualityClassifier,
     if keep_fraction == 1.0:
         return scored.orderBy(*order)
     scored = maybe_persist(scored, persist)
+    # round the quantile: 1.0 - 0.7 is 0.30000000000000004 in float64,
+    # and interpolating at that q vs the decimal literal 0.3 can move
+    # the threshold across a boundary doc when (n-1)*q lands on an
+    # integer — any engine reproducing the selection from the stated
+    # fraction (the DuckDB oracle, a reimplementation) would disagree
+    q = round(1.0 - keep_fraction, 12)
     thr = scored.select(
-        F.expr(f"percentile({margin_col}, {1.0 - keep_fraction})")
+        F.expr(f"percentile({margin_col}, {q!r})")
          .alias("t")).collect()[0]["t"]
     if thr is None:  # empty input
         return scored

@@ -384,9 +384,12 @@ def run_curation_job(
             # the scan — no shuffle, no Python. Null fraction (empty
             # text) is not a code page; it survives this stage.
             rd = with_readability(kept, text_col="text")
+            # explicit null guard: ~(NULL > t) is NULL and where()
+            # drops NULL rows — the opposite of the survive contract
+            frac = F.col("rd_code_line_fraction")
             kept = scope.persist(
-                rd.where(~(F.col("rd_code_line_fraction")
-                           > max_code_line_fraction))
+                rd.where(frac.isNull()
+                         | (frac <= max_code_line_fraction))
                   .select(*kept.columns))
             summary["after_code_filter"] = kept.count()
 
@@ -401,9 +404,12 @@ def run_curation_job(
             # dropped docs never cost a fingerprint shuffle. Null
             # ratio (empty text) survives.
             ratio = make_compression_ratio_udf()(F.col("text"))
+            # same null guard as the code filter: null ratio (empty
+            # text) must survive, and NULL comparisons drop in where()
             kept = scope.persist(
                 kept.withColumn("_zratio", ratio)
-                    .where(~(F.col("_zratio") < min_compression_ratio))
+                    .where(F.col("_zratio").isNull()
+                           | (F.col("_zratio") >= min_compression_ratio))
                     .select(*kept.columns))
             summary["after_compression_filter"] = kept.count()
 
@@ -543,9 +549,13 @@ def run_curation_job(
                     decontaminate_minhash,
                 )
 
+                # persist=scope: the corpus (id, sig) rows feed both
+                # the band explode and the verify join — unpersisted,
+                # the shingle+16-hash signature pass (the mode's
+                # dominant map cost) runs twice over the full corpus
                 stage = scope.persist(
                     decontaminate_minhash(stage, reference, id_col="url",
-                                          text_col="text"))
+                                          text_col="text", persist=scope))
             elif decontaminate_mode == "ngrams":
                 # exhaustive word-n-gram overlap (GPT-3 13-gram rule):
                 # any shared 13-gram with the reference contaminates

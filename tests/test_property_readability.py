@@ -16,10 +16,12 @@ from datacanary_spark.functions.readability import (
 )
 
 # ASCII prose + punctuation + code punctuation + Java-\s whitespace +
-# accented/CJK/emoji codepoints (BMP and astral both covered)
+# accented/CJK/emoji codepoints (BMP and astral both covered) + the
+# Unicode line terminators (NEL/LS/PS) that expose Java's $-anchor
+# quirk the \z end anchor was chosen to avoid
 _ALPHABET = st.sampled_from(
     list("abcdefghij klmnopqrstuvwxyz.!?;{}()=#\t\n\r\x0b\f")
-    + list("ÉüñАб中文😀"))
+    + list("ÉüñАб中文😀") + [chr(0x85), chr(0x2028), chr(0x2029)])
 _TEXTS = st.text(alphabet=_ALPHABET, max_size=400)
 
 
