@@ -510,6 +510,7 @@ def cmd_curate(args) -> int:
         spark, args.input, args.output, fractions=fractions,
         strata_col=args.strata_col, key_col=args.key_col,
         line_dedup=not args.no_line_dedup,
+        line_dedup_unit=args.line_dedup_unit,
         near_dup_threshold=args.near_dup_threshold,
         near_dup_keep=args.near_dup_keep,
         block_url_patterns=args.block_url_patterns,
@@ -1126,6 +1127,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--strata-col", default="lang_pred")
     cu.add_argument("--key-col", default="url")
     cu.add_argument("--no-line-dedup", action="store_true")
+    cu.add_argument("--line-dedup-unit", choices=["line", "paragraph"],
+                    default="line",
+                    help="dedup unit for the corpus-wide first-"
+                         "occurrence pass: paragraph removes repeated "
+                         "blank-line-separated blocks whole "
+                         "(RefinedWeb/Dolma granularity)")
     cu.add_argument("--near-dup-threshold", type=float, default=None,
                     help="enable transitive near-dup dedup: MinHash-LSH "
                          "pairs at this Jaccard threshold, clustered by "

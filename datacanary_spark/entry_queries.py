@@ -623,6 +623,7 @@ _TAIL_ROTATION = [
     "compression_ratio_by_lang",  # r04o, same tail contract (rows-only)
     "decontaminate_minhash_survivors",  # r04o, same tail contract
     "classifier_top_fraction_by_lang",  # r04o, same tail contract
+    "paragraph_dedup",  # r04o, same tail contract
 ]
 
 

@@ -477,6 +477,50 @@ def c4_line_dedup(spark, sf_dir):
     return dd.dedup_lines(corpus)
 
 
+@register(
+    "paragraph_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             'SHARED HEADER NAVIGATION MENU' || chr(10) || chr(10) ||
+             substring(text, 1, 100) || chr(10) || chr(10) ||
+             substring(text, 1, 100) || chr(10) || chr(10) ||
+             'SHARED FOOTER COPYRIGHT NOTICE' AS text
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+    ),
+    paras AS (
+      SELECT doc_id, generate_subscripts(ps, 1) AS pos, unnest(ps) AS p
+      FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+            FROM corpus)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, p,
+             CASE WHEN length(p) >= 1 THEN
+               row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, pos)
+             ELSE 1 END AS rn
+      FROM paras
+    )
+    SELECT c.doc_id, coalesce(k.text, '') AS text
+    FROM corpus c LEFT JOIN (
+      SELECT doc_id, string_agg(p, chr(10) || chr(10) ORDER BY pos) AS text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+    """,
+)
+def paragraph_dedup(spark, sf_dir):
+    """Paragraph-level corpus dedup (RefinedWeb/Dolma granularity):
+    planted shared header/footer paragraphs survive only in the first
+    document; the repeated middle paragraph survives only at its first
+    position and is removed WHOLE elsewhere (its internal lines stay
+    intact in the survivor)."""
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull())
+    mid = F.substring(F.col("text"), 1, 100)
+    corpus = d.select("doc_id", F.concat_ws(
+        "\n\n", F.lit("SHARED HEADER NAVIGATION MENU"), mid, mid,
+        F.lit("SHARED FOOTER COPYRIGHT NOTICE")).alias("text"))
+    return dd.dedup_lines(corpus, sep="\n\n")
+
+
 # ---------------------------------------------------------------------------
 # Decontamination (benchmark/test-set overlap removal)
 # ---------------------------------------------------------------------------

@@ -364,10 +364,19 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def dedup_lines(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", min_chars: int = 1,
-                persist: bool = True) -> DataFrame:
+                persist: bool = True, sep: str = "\n") -> DataFrame:
     """C4-style line-level corpus dedup (Raffel et al. 2020 §2.2: C4
     removes repeated three-sentence spans; the unit here is the LINE,
     the form most webtext pipelines use for boilerplate).
+
+    ``sep`` picks the dedup unit: ``"\\n"`` (default) dedups lines,
+    ``"\\n\\n"`` dedups PARAGRAPHS (the RefinedWeb/Dolma granularity —
+    a repeated paragraph is removed whole instead of line-by-line,
+    which preserves intra-paragraph structure of the surviving copy).
+    The separator is literal text, used for both split and reassembly
+    (split-then-join is the identity when nothing is removed — a
+    ``"\\n\\n\\n"`` run keeps its extra newline inside the following
+    fragment); regex metacharacters are rejected.
 
     Every distinct line is kept exactly once corpus-wide — in the
     document where it FIRST appears (minimum (id, line position)) —
@@ -396,9 +405,12 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
     """
     from datacanary_spark.plans.caching import maybe_persist
 
+    if any(ch in r".^$*+?{}[]|()\\" for ch in sep):
+        raise ValueError(
+            f"sep must be literal text (no regex metacharacters): {sep!r}")
     lines = maybe_persist(df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln")),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "ln")),
         persist)
     long_ln = maybe_persist(
         lines.where(F.length("ln") >= min_chars)
@@ -411,7 +423,7 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
                  .select(id_col, "pos", "ln"))
     kept = lines.where(F.length("ln") < min_chars).unionByName(kept_long)
     reassembled = (kept.groupBy(id_col)
-                   .agg(F.concat_ws("\n", F.transform(
+                   .agg(F.concat_ws(sep, F.transform(
                        F.array_sort(F.collect_list(F.struct("pos", "ln"))),
                        lambda s: s["ln"])).alias("_text")))
     ids = df.where(F.col(text_col).isNotNull()).select(id_col)

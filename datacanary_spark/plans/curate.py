@@ -56,6 +56,7 @@ def run_curation_job(
     strata_col: str = "lang_pred",
     key_col: str = "url",
     line_dedup: bool = True,
+    line_dedup_unit: str = "line",
     blocklist: list[str] | str | None = None,
     block_url_patterns: list[str] | None = None,
     robots_table: str | None = None,
@@ -488,8 +489,16 @@ def run_curation_job(
             summary["after_near_dup_clusters"] = stage.count()
 
         if line_dedup:
+            if line_dedup_unit not in ("line", "paragraph"):
+                raise ValueError(f"line_dedup_unit must be 'line' or "
+                                 f"'paragraph', got {line_dedup_unit!r}")
+            # paragraph mode = RefinedWeb/Dolma granularity: a repeated
+            # paragraph is removed whole, preserving the survivor's
+            # intra-paragraph structure
             ld = dedup_lines(stage, id_col="url", text_col="text",
-                             persist=scope)
+                             persist=scope,
+                             sep=("\n\n" if line_dedup_unit == "paragraph"
+                                  else "\n"))
             stage = scope.persist(stage.drop("text").join(ld, "url")
                                   .where(F.length(F.trim("text")) > 0))
             summary["after_line_dedup"] = stage.count()

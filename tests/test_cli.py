@@ -1875,3 +1875,26 @@ def test_export_manifest(spark, tmp_path, capsys):
     capsys.readouterr()
     m4 = json.loads(open(os.path.join(out4, "_manifest.json")).read())
     assert m4["totals"]["docs"] == 120 and m4["format"] == "jsonl"
+
+
+def test_curate_paragraph_dedup_unit_flag(spark, tmp_path, capsys):
+    """--line-dedup-unit paragraph reaches the plan: the dedup stage
+    runs at paragraph granularity and the job completes with lineage;
+    a bad unit value fails fast."""
+    import pytest as _pytest
+
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "60",
+                 "--files", "1"]) == 0
+    capsys.readouterr()
+    assert main(["curate", "--input", pages,
+                 "--output", str(tmp_path / "para"),
+                 "--line-dedup-unit", "paragraph"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["after_line_dedup"] > 0 and s["final_docs"] > 0
+
+    with _pytest.raises(ValueError, match="line_dedup_unit"):
+        run_curation_job(spark, pages, str(tmp_path / "bad"),
+                         line_dedup_unit="sentence")

@@ -1148,3 +1148,47 @@ def test_decontaminate_preserves_caller_fp_column(spark):
     rows = out.collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["_fp"] == "keep-me"
+
+
+def test_paragraph_dedup_unit(spark):
+    """sep='\\n\\n' dedups whole paragraphs: the repeated paragraph is
+    removed intact from later docs (its internal lines untouched in
+    the survivor), doc-unique paragraphs survive, and split-then-join
+    is the identity for untouched docs; regex metachars are rejected."""
+    from datacanary_spark.operators import dedup as dd
+
+    shared = "boiler line one\nboiler line two"
+    corpus = spark.createDataFrame(
+        [(1, f"alpha text\n\n{shared}\n\nomega one"),
+         (2, f"{shared}\n\nbravo text"),
+         (3, "charlie only\n\nno shared content")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r["text"] for r in
+           dd.dedup_lines(corpus, sep="\n\n").collect()}
+    # survivor keeps the paragraph with BOTH its internal lines
+    assert out[1] == f"alpha text\n\n{shared}\n\nomega one"
+    # later doc loses the whole paragraph, not individual lines
+    assert out[2] == "bravo text"
+    assert shared not in out[2]
+    # untouched doc round-trips byte-identically
+    assert out[3] == "charlie only\n\nno shared content"
+
+    # line mode on the same corpus removes the two boiler LINES from
+    # doc 2 individually — same end state here, different unit; the
+    # distinguishing case is a paragraph repeated with one line edited
+    edited = "boiler line one\nboiler line two EDITED"
+    corpus2 = spark.createDataFrame(
+        [(1, f"{shared}\n\nuniq a"), (2, f"{edited}\n\nuniq b")],
+        "doc_id: long, text: string")
+    para = {r["doc_id"]: r["text"] for r in
+            dd.dedup_lines(corpus2, sep="\n\n").collect()}
+    # paragraph unit: the edited paragraph differs as a WHOLE -> kept
+    assert para[2] == f"{edited}\n\nuniq b"
+    line = {r["doc_id"]: r["text"] for r in
+            dd.dedup_lines(corpus2, sep="\n").collect()}
+    # line unit: the unedited first line is deduped away from doc 2
+    assert "boiler line one" not in line[2]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="regex metacharacters"):
+        dd.dedup_lines(corpus, sep=".")
