@@ -43,6 +43,16 @@ def main(path: str = "/root/testdata/sf0.001/documents.parquet") -> dict:
     # 3. partial-overlap report (winnowing posting-list join)
     n_overlaps = dd.winnow_overlap_pairs(docs, min_shared=5).count()
 
+    # 3b. fuzzy decontamination: remove docs NEAR-duplicate to a
+    # (synthetic) benchmark holding edited copies of a few docs —
+    # exact fingerprints would miss the edits, the MinHash tier won't
+    bench = (docs.orderBy("doc_id").limit(3)
+             .select(F.concat(F.col("text"),
+                              F.lit(" reflowed benchmark edit"))
+                     .alias("text")))
+    docs = dd.decontaminate_minhash(docs, bench)
+    n3 = docs.count()
+
     # 4. corpus mixing: deterministic per-language sample
     mix = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "it": 0.25}
     sample = cs.hash_stratified_sample(docs, "lang", mix, "doc_id")
@@ -52,6 +62,7 @@ def main(path: str = "/root/testdata/sf0.001/documents.parquet") -> dict:
 
     summary = {"input_docs": n0, "after_exact_dedup": n1,
                "after_line_dedup_nonempty": n2,
+               "after_minhash_decontamination": n3,
                "overlap_pairs": n_overlaps, "sampled_by_lang": by_lang}
     print(summary)
     return summary
