@@ -32,6 +32,26 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
+class _LocalCheckpointHandle:
+    """Adapter so a CacheScope can release a localCheckpoint frame.
+    ``DataFrame.unpersist`` only talks to the SQL CacheManager and is a
+    no-op for checkpoint persistence, so this reaches the LogicalRDD
+    plan node's RDD directly (same mechanism as operators/graph.py).
+    Best-effort: on any reflection surprise the blocks are left to the
+    ContextCleaner."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            plan = self._df._jdf.queryExecution().optimizedPlan()
+            if plan.getClass().getName().endswith("LogicalRDD"):
+                plan.rdd().unpersist(blocking)
+        except Exception:
+            pass
+
+
 class CacheScope:
     """Tracks frames persisted through it; unpersists them on exit.
 
@@ -50,6 +70,32 @@ class CacheScope:
         df = df.persist(storage_level or self._level)
         self._frames.append(df)
         return df
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        """Materialize ``df`` AND truncate its logical plan
+        (``localCheckpoint(eager=True)``) — the stage-boundary form of
+        ``persist`` for long compositions.
+
+        A plain persist keeps the full analyzed plan, and in a
+        many-stage pipeline each join-bearing stage embeds the
+        upstream tree 2–3×, so the plan grows MULTIPLICATIVELY — the
+        all-stages curate composition reached an 8M-char analyzed plan
+        by its 8th stage and a >1 GiB plan string (driver OOM inside
+        ``persist``) by its 15th. The checkpoint cuts the plan to a
+        LogicalRDD scan, so stage N+1 plans against a flat scan
+        whatever N is (same cure operators/graph.py applies per CC
+        round). Blocks release on scope exit like any persisted frame.
+
+        Tradeoff (document at call sites): truncated lineage cannot
+        recompute — on executor loss the job fails and retries from
+        its job-level checkpoint instead of regenerating blocks. For a
+        curation batch that restart-level retry is the designed story
+        (plans/checkpoint.py); do NOT use this for frames that must
+        survive partial executor failure without a retry.
+        """
+        out = df.localCheckpoint(eager=True)
+        self._frames.append(_LocalCheckpointHandle(out))
+        return out
 
     def track(self, item) -> "object":
         """Register an ALREADY-persisted frame — or any object with an

@@ -241,7 +241,7 @@ def run_curation_job(
             # pin the decoded frame: both the docs_in count and the
             # filter stage consume it — unpersisted, each re-runs the
             # gunzip + WARC record parse over the whole crawl
-            pages = scope.persist(
+            pages = scope.checkpoint(
                 pages_from_warc(spark, files, record_types=kinds,
                                 ok_only=http_ok_only))
         else:
@@ -264,7 +264,7 @@ def run_curation_job(
             # (the after_blocklist count, the filter stage, docs_in via
             # the summary) — unpersisted, each re-runs the blocklist
             # explode/semi-join over the full input
-            pages = scope.persist(
+            pages = scope.checkpoint(
                 filter_blocked_domains(pages, bl, url_col="url",
                                        id_col="url"))
             blocklist_count = {"docs_in": n_in,
@@ -303,7 +303,7 @@ def run_curation_job(
             # persisted: the changed-count lineage aggregate and the
             # filter stage both consume the UDF output — unpersisted,
             # the normalizer would run twice over the full corpus
-            pages = scope.persist(normalize_text(
+            pages = scope.checkpoint(normalize_text(
                 pages, "text", form=normalize_unicode,
                 fix_encoding=fix_encoding))
             normalize_count = pages.where(F.col("text_changed")).count()
@@ -323,7 +323,7 @@ def run_curation_job(
                     f"column {c!r} not in the filter output "
                     f"(available: {sorted(verdicts.columns)})")
             carry.append(c)
-        kept = scope.persist(
+        kept = scope.checkpoint(
             verdicts.where(F.col("keep"))
                     .select("url", F.col("scrubbed_text").alias("text"),
                             *carry[2:]))
@@ -348,13 +348,13 @@ def run_curation_job(
                 # DCLM-style: keep the top fraction by score rather
                 # than a fixed probability threshold — robust to score
                 # calibration drift across corpora
-                kept = scope.persist(
+                kept = scope.checkpoint(
                     classify_top_fraction(
                         kept, clf, classifier_keep_fraction,
                         text_col="text", tie_col="url", persist=scope)
                     .select(*kept.columns))
             else:
-                kept = scope.persist(
+                kept = scope.checkpoint(
                     classify(kept, clf, text_col="text",
                              threshold=classifier_threshold)
                     .where(F.col("keep_pred")).select(*kept.columns))
@@ -371,7 +371,7 @@ def run_curation_job(
             rep = with_repetition_stats(kept, text_col="text")
             hits = gopher_repetition_hit_exprs(rcfg)
             n_hits = sum(hits.values(), F.lit(0))
-            kept = scope.persist(
+            kept = scope.checkpoint(
                 rep.where(n_hits == 0).select(*kept.columns))
             summary["after_repetition_filter"] = kept.count()
 
@@ -388,7 +388,7 @@ def run_curation_job(
             # explicit null guard: ~(NULL > t) is NULL and where()
             # drops NULL rows — the opposite of the survive contract
             frac = F.col("rd_code_line_fraction")
-            kept = scope.persist(
+            kept = scope.checkpoint(
                 rd.where(frac.isNull()
                          | (frac <= max_code_line_fraction))
                   .select(*kept.columns))
@@ -407,7 +407,7 @@ def run_curation_job(
             ratio = make_compression_ratio_udf()(F.col("text"))
             # same null guard as the code filter: null ratio (empty
             # text) must survive, and NULL comparisons drop in where()
-            kept = scope.persist(
+            kept = scope.checkpoint(
                 kept.withColumn("_zratio", ratio)
                     .where(F.col("_zratio").isNull()
                            | (F.col("_zratio") >= min_compression_ratio))
@@ -431,7 +431,7 @@ def run_curation_job(
             # from the scrub lexicon (they serve different policies).
             bw = (read_table(spark, badwords)
                   if isinstance(badwords, str) else list(badwords))
-            kept = scope.persist(filter_badwords(
+            kept = scope.checkpoint(filter_badwords(
                 kept, bw, text_col="text", id_col="url",
                 max_hits=(None if badword_max_fraction is not None
                           else 0),
@@ -446,13 +446,13 @@ def run_curation_job(
             # line-QUALITY cleaning before any dedup: boilerplate lines
             # removed here never enter a fingerprint or shingle set, so
             # every later stage hashes less text
-            kept = scope.persist(c4_clean_op(
+            kept = scope.checkpoint(c4_clean_op(
                 kept, text_col="text",
                 min_words=c4_min_line_words,
                 require_terminal=c4_require_terminal))
             summary["after_c4_clean"] = kept.count()
 
-        stage = scope.persist(dedup_exact(kept, id_col="url", text_col="text"))
+        stage = scope.checkpoint(dedup_exact(kept, id_col="url", text_col="text"))
         summary["after_exact_dedup"] = stage.count()
 
         if near_dup_threshold is not None:
@@ -477,13 +477,13 @@ def run_curation_job(
                 flagged = cluster_survivors(
                     stage, pairs.select("id_a", "id_b"), id_col="url",
                     rank_col=F.length("text"), persist=scope)
-                stage = scope.persist(
+                stage = scope.checkpoint(
                     flagged.where(F.col("is_survivor"))
                            .drop("component", "is_survivor"))
             else:
                 assigned = components_of_pairs(
                     stage, pairs.select("id_a", "id_b"), id_col="url")
-                stage = scope.persist(
+                stage = scope.checkpoint(
                     assigned.where(F.col("component") == F.col("url"))
                             .drop("component"))
             summary["after_near_dup_clusters"] = stage.count()
@@ -499,7 +499,7 @@ def run_curation_job(
                              persist=scope,
                              sep=("\n\n" if line_dedup_unit == "paragraph"
                                   else "\n"))
-            stage = scope.persist(stage.drop("text").join(ld, "url")
+            stage = scope.checkpoint(stage.drop("text").join(ld, "url")
                                   .where(F.length(F.trim("text")) > 0))
             summary["after_line_dedup"] = stage.count()
 
@@ -510,7 +510,7 @@ def run_curation_job(
                                         text_col="text", k=span_dedup_k,
                                         min_count=span_min_count,
                                         hash_fn="xxhash64", persist=scope)
-            stage = scope.persist(stage.drop("text").join(sd, "url")
+            stage = scope.checkpoint(stage.drop("text").join(sd, "url")
                                   .where(F.length(F.trim("text")) > 0))
             summary["after_span_dedup"] = stage.count()
 
@@ -533,7 +533,7 @@ def run_curation_job(
             capped = cap_per_group(
                 stage.withColumn("_host", blocklist_host_expr(F.col("url"))),
                 "_host", host_cap, "url", exempt_null_group=True).drop("_host")
-            stage = scope.persist(capped)
+            stage = scope.checkpoint(capped)
             summary["after_host_cap"] = stage.count()
 
         if decontaminate_path:
@@ -547,7 +547,7 @@ def run_curation_job(
                     decontaminate_bloom,
                 )
 
-                stage = scope.persist(
+                stage = scope.checkpoint(
                     decontaminate_bloom(stage, reference, text_col="text",
                                         persist=scope))
             elif decontaminate_mode == "minhash":
@@ -562,7 +562,7 @@ def run_curation_job(
                 # the band explode and the verify join — unpersisted,
                 # the shingle+16-hash signature pass (the mode's
                 # dominant map cost) runs twice over the full corpus
-                stage = scope.persist(
+                stage = scope.checkpoint(
                     decontaminate_minhash(stage, reference, id_col="url",
                                           text_col="text", persist=scope))
             elif decontaminate_mode == "ngrams":
@@ -572,11 +572,11 @@ def run_curation_job(
                     decontaminate_ngrams,
                 )
 
-                stage = scope.persist(
+                stage = scope.checkpoint(
                     decontaminate_ngrams(stage, reference, id_col="url",
                                          text_col="text"))
             else:
-                stage = scope.persist(
+                stage = scope.checkpoint(
                     decontaminate(stage, reference, id_col="url",
                                   text_col="text", mode=decontaminate_mode))
             summary["after_decontamination"] = stage.count()
@@ -586,7 +586,7 @@ def run_curation_job(
 
             target = read_table(spark, dsir_target_path)
             model = dsir.train_dsir(target, stage, text_col="text")
-            stage = scope.persist(
+            stage = scope.checkpoint(
                 dsir.dsir_select(stage, model, dsir_keep_fraction,
                                  text_col="text", tie_col="url",
                                  persist=scope)

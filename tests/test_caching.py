@@ -114,3 +114,30 @@ def test_curate_run_leaves_no_cached_blocks(spark, tmp_path):
     assert summary["final_docs"] > 0
     assert os.path.isdir(os.path.join(out, "corpus"))
     assert _n_cached_rdds(spark) == baseline
+
+
+def test_cache_scope_checkpoint_truncates_and_releases(spark):
+    """scope.checkpoint materializes, cuts the logical plan to a flat
+    scan (the stage-boundary fix for multiplicative plan growth in long
+    compositions), and releases its blocks on scope exit."""
+    baseline = _n_cached_rdds(spark)
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    # build a deliberately deep self-joining composition
+    for _ in range(3):
+        df = df.join(df.withColumnRenamed("x", "y").select("id", "y"),
+                     "id").select("id", (F.col("x") + F.col("y"))
+                                  .alias("x"))
+    deep_plan = df._jdf.queryExecution().analyzed().treeString()
+    with CacheScope() as scope:
+        cp = scope.checkpoint(df)
+        assert cp.count() == 100
+        flat_plan = cp._jdf.queryExecution().analyzed().treeString()
+        # truncated: the checkpointed plan is a flat scan, orders of
+        # magnitude smaller than the composition it replaced
+        assert len(flat_plan) < len(deep_plan) / 4
+        assert "LogicalRDD" in flat_plan or "ExistingRDD" in flat_plan
+        assert _n_cached_rdds(spark) > baseline
+        # values survive the truncation
+        assert cp.agg(F.sum("x")).collect()[0][0] == \
+            df.agg(F.sum("x")).collect()[0][0]
+    assert _n_cached_rdds(spark) == baseline

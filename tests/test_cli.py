@@ -1898,3 +1898,120 @@ def test_curate_paragraph_dedup_unit_flag(spark, tmp_path, capsys):
     with _pytest.raises(ValueError, match="line_dedup_unit"):
         run_curation_job(spark, pages, str(tmp_path / "bad"),
                          line_dedup_unit="sentence")
+
+
+def test_curate_kitchen_sink_all_stages(spark, tmp_path, capsys):
+    """EVERY opt-in curate stage enabled in ONE run: the stages compose
+    (column contracts survive each hand-off), the lineage records every
+    stage with monotone counts through the filter/dedup tiers, and the
+    whole composition is deterministic across re-runs."""
+    import numpy as np
+
+    from datacanary_spark.plans import classifier as qc
+    from datacanary_spark.plans.curate import run_curation_job
+
+    pages = str(tmp_path / "pages")
+    assert main(["gen-pages", "--output", pages, "--docs", "150",
+                 "--files", "3"]) == 0
+    capsys.readouterr()
+
+    # classifier model trained on a labeled fixture sample
+    from datacanary_spark.functions.heuristics import (
+        FilterConfig,
+        heuristic_hit_exprs,
+        stat_cols,
+        with_text_stats,
+    )
+    from datacanary_spark.sources.fixtures import pages_spark_df
+
+    lp = pages_spark_df(spark, 400, seed=7)
+    d = with_text_stats(lp, text_col="text")
+    hits = heuristic_hit_exprs(FilterConfig(), stat_cols())
+    label = F.lit(1)
+    for h in hits.values():
+        label = F.when(h > 0, 0).otherwise(label)
+    clf = qc.train_quality_classifier(
+        d.select("url", "text", label.alias("label")), "label")
+    model_uri = str(tmp_path / "model.json")
+    qc.save_classifier(spark, clf, model_uri)
+
+    # robots table that allows everything (stage exercised, no drops)
+    base = run_curation_job(spark, pages, str(tmp_path / "base"))
+    corpus = spark.read.parquet(
+        os.path.join(str(tmp_path / "base"), "corpus"))
+    hosts = corpus.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host")).distinct()
+    robots = str(tmp_path / "robots")
+    hosts.where(F.col("host").isNotNull()).select(
+        "host", F.lit("User-agent: *\nAllow: /").alias("robots_txt")
+    ).write.parquet(robots)
+
+    # fuzzy-decontamination benchmark: edited copies of 3 docs
+    bench = str(tmp_path / "bench")
+    corpus.orderBy("url").limit(3).select(
+        F.concat(F.col("text"), F.lit(" edited benchmark reflow"))
+        .alias("text")).write.parquet(bench)
+
+    # DSIR target: the en slice of the base corpus
+    target = str(tmp_path / "target")
+    corpus.where(F.col("lang_pred") == "en").select("text") \
+        .write.parquet(target)
+
+    def run(out):
+        return run_curation_job(
+            spark, pages, out,
+            blocklist=["blocked.example"],
+            robots_table=robots,
+            normalize_unicode="NFC", fix_encoding=True,
+            classifier_model=model_uri, classifier_keep_fraction=0.95,
+            gopher_repetition=True,
+            max_code_line_fraction=0.9,
+            min_compression_ratio=0.01,
+            badwords=["zzzunusedlexiconword"],
+            c4_clean=True, c4_min_line_words=1,
+            c4_require_terminal=False,
+            near_dup_threshold=0.8,
+            span_dedup_k=10,
+            line_dedup=True, line_dedup_unit="paragraph",
+            host_cap=50,
+            decontaminate_path=bench, decontaminate_mode="minhash",
+            dsir_target_path=target, dsir_keep_fraction=0.9,
+            # fractions/temperature/epoch_weights are mutually
+            # exclusive by design — fractions represents the tier here
+            fractions={"en": 1.0, "de": 0.8, "fr": 0.8, "es": 0.8,
+                       "it": 0.8})
+
+    s1 = run(str(tmp_path / "o1"))
+    # every stage leaves its lineage row
+    for key in ("docs_in", "after_robots", "normalized_docs", "kept",
+                "after_classifier", "after_repetition_filter",
+                "after_code_filter", "after_compression_filter",
+                "after_badwords", "after_c4_clean", "after_exact_dedup",
+                "after_near_dup_clusters", "after_line_dedup",
+                "after_span_dedup", "after_host_cap",
+                "after_decontamination", "after_dsir", "sampled",
+                "final_docs"):
+        assert key in s1, key
+    # monotone through the doc-dropping tiers (normalized_docs is a
+    # changed-count, upsampled_rows can grow — exclude those)
+    chain = [s1[k] for k in (
+        "kept", "after_classifier", "after_repetition_filter",
+        "after_code_filter", "after_compression_filter",
+        "after_badwords", "after_c4_clean", "after_exact_dedup",
+        "after_near_dup_clusters", "after_line_dedup",
+        "after_span_dedup", "after_host_cap", "after_decontamination",
+        "after_dsir", "sampled")]
+    assert all(a >= b for a, b in zip(chain, chain[1:])), chain
+    assert s1["final_docs"] > 0
+    # the fuzzy decontamination actually bit (3 edited sources planted)
+    assert s1["after_decontamination"] <= s1["after_host_cap"] - 3
+
+    # full-composition determinism: identical corpus bytes on re-run
+    s2 = run(str(tmp_path / "o2"))
+    assert {k: v for k, v in s1.items() if not k.endswith("_sec")} \
+        == {k: v for k, v in s2.items() if not k.endswith("_sec")}
+    a = {tuple(r) for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "o1"), "corpus")).collect()}
+    b = {tuple(r) for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "o2"), "corpus")).collect()}
+    assert a == b
