@@ -545,7 +545,8 @@ def cmd_curate(args) -> int:
         temperature_weight_col=args.temperature_weight_col,
         epoch_weights=(parse_fractions(args.epochs, max_value=None,
                                        flag="--epochs")
-                       if args.epochs else None))
+                       if args.epochs else None),
+        stage_pin=args.stage_pin)
     print(json.dumps(summary, sort_keys=True))
     return 0
 
@@ -1127,6 +1128,14 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--strata-col", default="lang_pred")
     cu.add_argument("--key-col", default="url")
     cu.add_argument("--no-line-dedup", action="store_true")
+    cu.add_argument("--stage-pin", choices=["auto", "persist",
+                                            "checkpoint"],
+                    default="auto",
+                    help="stage-boundary pin: persist keeps lineage "
+                         "recovery (short pipelines), checkpoint "
+                         "truncates the plan (long compositions would "
+                         "otherwise OOM the driver); auto switches at "
+                         "6 enabled stages")
     cu.add_argument("--line-dedup-unit", choices=["line", "paragraph"],
                     default="line",
                     help="dedup unit for the corpus-wide first-"

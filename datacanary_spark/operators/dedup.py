@@ -405,6 +405,10 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
     """
     from datacanary_spark.plans.caching import maybe_persist
 
+    if not sep:
+        # F.split("") explodes into single characters — corpus-wide
+        # CHARACTER dedup would silently destroy every document
+        raise ValueError("sep must be a non-empty literal string")
     if any(ch in r".^$*+?{}[]|()\\" for ch in sep):
         raise ValueError(
             f"sep must be literal text (no regex metacharacters): {sep!r}")

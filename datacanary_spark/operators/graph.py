@@ -96,31 +96,13 @@ def _signature(e: DataFrame) -> tuple[int, str]:
     return int(row["n"]), str(row["h"]) if row["h"] is not None else "0"
 
 
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Free a ``localCheckpoint(eager=True)`` frame's blocks NOW.
-    ``DataFrame.unpersist`` only talks to the SQL CacheManager and is a
-    no-op for checkpoint persistence, so this reaches the LogicalRDD
-    plan node's RDD directly. Best-effort: on any reflection surprise
-    the blocks are left for the ContextCleaner (the pre-existing
-    behavior). The frame is UNUSABLE afterwards — truncated lineage
-    cannot recompute."""
-    try:
-        plan = df._jdf.queryExecution().optimizedPlan()
-        if plan.getClass().getName().endswith("LogicalRDD"):
-            plan.rdd().unpersist(False)
-    except Exception:
-        pass
-
-
-class _CheckpointHandle:
-    """Adapter so a CacheScope can release a localCheckpoint frame (its
-    unpersist_all calls ``.unpersist(blocking)`` on tracked items)."""
-
-    def __init__(self, df: DataFrame):
-        self._df = df
-
-    def unpersist(self, blocking: bool = False) -> None:
-        _release_local_checkpoint(self._df)
+# Single-sourced from plans/caching.py (one copy of the py4j
+# LogicalRDD release hack to keep in sync with Spark versions);
+# the local names are kept for this module's call sites.
+from datacanary_spark.plans.caching import (  # noqa: E402
+    _LocalCheckpointHandle as _CheckpointHandle,
+    release_local_checkpoint as _release_local_checkpoint,
+)
 
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",

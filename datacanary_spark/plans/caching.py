@@ -32,24 +32,33 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
-class _LocalCheckpointHandle:
-    """Adapter so a CacheScope can release a localCheckpoint frame.
+def release_local_checkpoint(df: DataFrame,
+                             blocking: bool = False) -> None:
+    """Free a ``localCheckpoint(eager=True)`` frame's blocks NOW.
     ``DataFrame.unpersist`` only talks to the SQL CacheManager and is a
     no-op for checkpoint persistence, so this reaches the LogicalRDD
-    plan node's RDD directly (same mechanism as operators/graph.py).
-    Best-effort: on any reflection surprise the blocks are left to the
-    ContextCleaner."""
+    plan node's RDD directly. Best-effort: on any reflection surprise
+    the blocks are left to the ContextCleaner. The frame is UNUSABLE
+    afterwards — truncated lineage cannot recompute. The SINGLE copy of
+    this py4j hack; operators/graph.py imports it too."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(blocking)
+    except Exception:
+        pass
+
+
+class _LocalCheckpointHandle:
+    """Adapter so a CacheScope can release a localCheckpoint frame
+    (its ``unpersist_all`` calls ``.unpersist(blocking)`` on tracked
+    items)."""
 
     def __init__(self, df: DataFrame):
         self._df = df
 
     def unpersist(self, blocking: bool = False) -> None:
-        try:
-            plan = self._df._jdf.queryExecution().optimizedPlan()
-            if plan.getClass().getName().endswith("LogicalRDD"):
-                plan.rdd().unpersist(blocking)
-        except Exception:
-            pass
+        release_local_checkpoint(self._df, blocking)
 
 
 class CacheScope:
@@ -93,6 +102,15 @@ class CacheScope:
         (plans/checkpoint.py); do NOT use this for frames that must
         survive partial executor failure without a retry.
         """
+        if self._level != StorageLevel.MEMORY_AND_DISK:
+            # localCheckpoint takes no storage level in PySpark — a
+            # scope constructed to bound storage (e.g. DISK_ONLY)
+            # would silently get MEMORY_AND_DISK blocks here; refuse
+            # rather than break the constructor's contract
+            raise ValueError(
+                "CacheScope.checkpoint only supports the default "
+                "MEMORY_AND_DISK level (localCheckpoint accepts no "
+                "storage level); use persist() on this scope instead")
         out = df.localCheckpoint(eager=True)
         self._frames.append(_LocalCheckpointHandle(out))
         return out

@@ -91,6 +91,7 @@ def run_curation_job(
     temperature: float | None = None,
     temperature_weight_col: str | None = None,
     epoch_weights: dict[str, float] | None = None,
+    stage_pin: str = "auto",
 ) -> dict:
     """Run the composed curation pipeline; returns stage-count summary.
 
@@ -206,8 +207,49 @@ def run_curation_job(
         raise ValueError(
             f"normalize_unicode={normalize_unicode!r} "
             f"(expected NFC/NFKC or None)")
+    # validated up front (and regardless of line_dedup) — a typo'd
+    # unit must fail before hours of eager upstream stages run
+    if line_dedup_unit not in ("line", "paragraph"):
+        raise ValueError(f"line_dedup_unit must be 'line' or "
+                         f"'paragraph', got {line_dedup_unit!r}")
+    if line_dedup and line_dedup_unit == "paragraph" and c4_clean:
+        # c4_clean drops blank lines and rejoins with '\n', so no
+        # '\n\n' boundary reaches the dedup stage — paragraph mode
+        # would be a silent no-op. Refuse the contradiction.
+        raise ValueError(
+            "line_dedup_unit='paragraph' is incompatible with "
+            "c4_clean=True: the C4 line-quality pass removes blank "
+            "lines, so no paragraph boundaries survive to dedup — "
+            "use unit='line' with c4_clean, or drop c4_clean")
+    if stage_pin not in ("auto", "persist", "checkpoint"):
+        raise ValueError(f"stage_pin must be auto/persist/checkpoint, "
+                         f"got {stage_pin!r}")
     t0 = time.time()
     scope = CacheScope()
+    # Stage-boundary pin policy. `persist` keeps lineage (blocks lost
+    # to executor failure recompute) but the analyzed plan embeds the
+    # upstream tree 2-3x per join-bearing stage — MULTIPLICATIVE
+    # growth that OOMs the driver around 15 composed stages (SCALE.md
+    # §4g). `checkpoint` (localCheckpoint) truncates the plan to a
+    # flat scan but cannot recompute lost blocks (the retry is
+    # job-level). auto: lineage recovery for short compositions, plan
+    # truncation once enough stages are enabled to matter.
+    n_stages = 3 + sum(1 for on in (
+        blocklist is not None, bool(block_url_patterns),
+        robots_table is not None,
+        bool(normalize_unicode) or fix_encoding,
+        classifier_model is not None, gopher_repetition,
+        max_code_line_fraction is not None,
+        min_compression_ratio is not None, badwords is not None,
+        c4_clean, near_dup_threshold is not None,
+        span_dedup_k is not None, host_cap is not None,
+        decontaminate_path is not None, dsir_target_path is not None,
+        bool(fractions) or temperature is not None
+        or bool(epoch_weights)) if on)
+    if stage_pin == "checkpoint" or (stage_pin == "auto" and n_stages >= 6):
+        pin = scope.checkpoint
+    else:
+        pin = scope.persist
     blocklist_count = None
     normalize_count = None
     try:
@@ -241,7 +283,7 @@ def run_curation_job(
             # pin the decoded frame: both the docs_in count and the
             # filter stage consume it — unpersisted, each re-runs the
             # gunzip + WARC record parse over the whole crawl
-            pages = scope.checkpoint(
+            pages = pin(
                 pages_from_warc(spark, files, record_types=kinds,
                                 ok_only=http_ok_only))
         else:
@@ -264,7 +306,7 @@ def run_curation_job(
             # (the after_blocklist count, the filter stage, docs_in via
             # the summary) — unpersisted, each re-runs the blocklist
             # explode/semi-join over the full input
-            pages = scope.checkpoint(
+            pages = pin(
                 filter_blocked_domains(pages, bl, url_col="url",
                                        id_col="url"))
             blocklist_count = {"docs_in": n_in,
@@ -303,7 +345,7 @@ def run_curation_job(
             # persisted: the changed-count lineage aggregate and the
             # filter stage both consume the UDF output — unpersisted,
             # the normalizer would run twice over the full corpus
-            pages = scope.checkpoint(normalize_text(
+            pages = pin(normalize_text(
                 pages, "text", form=normalize_unicode,
                 fix_encoding=fix_encoding))
             normalize_count = pages.where(F.col("text_changed")).count()
@@ -323,7 +365,7 @@ def run_curation_job(
                     f"column {c!r} not in the filter output "
                     f"(available: {sorted(verdicts.columns)})")
             carry.append(c)
-        kept = scope.checkpoint(
+        kept = pin(
             verdicts.where(F.col("keep"))
                     .select("url", F.col("scrubbed_text").alias("text"),
                             *carry[2:]))
@@ -348,13 +390,13 @@ def run_curation_job(
                 # DCLM-style: keep the top fraction by score rather
                 # than a fixed probability threshold — robust to score
                 # calibration drift across corpora
-                kept = scope.checkpoint(
+                kept = pin(
                     classify_top_fraction(
                         kept, clf, classifier_keep_fraction,
                         text_col="text", tie_col="url", persist=scope)
                     .select(*kept.columns))
             else:
-                kept = scope.checkpoint(
+                kept = pin(
                     classify(kept, clf, text_col="text",
                              threshold=classifier_threshold)
                     .where(F.col("keep_pred")).select(*kept.columns))
@@ -371,7 +413,7 @@ def run_curation_job(
             rep = with_repetition_stats(kept, text_col="text")
             hits = gopher_repetition_hit_exprs(rcfg)
             n_hits = sum(hits.values(), F.lit(0))
-            kept = scope.checkpoint(
+            kept = pin(
                 rep.where(n_hits == 0).select(*kept.columns))
             summary["after_repetition_filter"] = kept.count()
 
@@ -388,7 +430,7 @@ def run_curation_job(
             # explicit null guard: ~(NULL > t) is NULL and where()
             # drops NULL rows — the opposite of the survive contract
             frac = F.col("rd_code_line_fraction")
-            kept = scope.checkpoint(
+            kept = pin(
                 rd.where(frac.isNull()
                          | (frac <= max_code_line_fraction))
                   .select(*kept.columns))
@@ -407,7 +449,7 @@ def run_curation_job(
             ratio = make_compression_ratio_udf()(F.col("text"))
             # same null guard as the code filter: null ratio (empty
             # text) must survive, and NULL comparisons drop in where()
-            kept = scope.checkpoint(
+            kept = pin(
                 kept.withColumn("_zratio", ratio)
                     .where(F.col("_zratio").isNull()
                            | (F.col("_zratio") >= min_compression_ratio))
@@ -431,7 +473,7 @@ def run_curation_job(
             # from the scrub lexicon (they serve different policies).
             bw = (read_table(spark, badwords)
                   if isinstance(badwords, str) else list(badwords))
-            kept = scope.checkpoint(filter_badwords(
+            kept = pin(filter_badwords(
                 kept, bw, text_col="text", id_col="url",
                 max_hits=(None if badword_max_fraction is not None
                           else 0),
@@ -446,13 +488,13 @@ def run_curation_job(
             # line-QUALITY cleaning before any dedup: boilerplate lines
             # removed here never enter a fingerprint or shingle set, so
             # every later stage hashes less text
-            kept = scope.checkpoint(c4_clean_op(
+            kept = pin(c4_clean_op(
                 kept, text_col="text",
                 min_words=c4_min_line_words,
                 require_terminal=c4_require_terminal))
             summary["after_c4_clean"] = kept.count()
 
-        stage = scope.checkpoint(dedup_exact(kept, id_col="url", text_col="text"))
+        stage = pin(dedup_exact(kept, id_col="url", text_col="text"))
         summary["after_exact_dedup"] = stage.count()
 
         if near_dup_threshold is not None:
@@ -477,21 +519,19 @@ def run_curation_job(
                 flagged = cluster_survivors(
                     stage, pairs.select("id_a", "id_b"), id_col="url",
                     rank_col=F.length("text"), persist=scope)
-                stage = scope.checkpoint(
+                stage = pin(
                     flagged.where(F.col("is_survivor"))
                            .drop("component", "is_survivor"))
             else:
                 assigned = components_of_pairs(
                     stage, pairs.select("id_a", "id_b"), id_col="url")
-                stage = scope.checkpoint(
+                stage = pin(
                     assigned.where(F.col("component") == F.col("url"))
                             .drop("component"))
             summary["after_near_dup_clusters"] = stage.count()
 
         if line_dedup:
-            if line_dedup_unit not in ("line", "paragraph"):
-                raise ValueError(f"line_dedup_unit must be 'line' or "
-                                 f"'paragraph', got {line_dedup_unit!r}")
+            # (unit validated up front, incl. the c4_clean conflict)
             # paragraph mode = RefinedWeb/Dolma granularity: a repeated
             # paragraph is removed whole, preserving the survivor's
             # intra-paragraph structure
@@ -499,7 +539,7 @@ def run_curation_job(
                              persist=scope,
                              sep=("\n\n" if line_dedup_unit == "paragraph"
                                   else "\n"))
-            stage = scope.checkpoint(stage.drop("text").join(ld, "url")
+            stage = pin(stage.drop("text").join(ld, "url")
                                   .where(F.length(F.trim("text")) > 0))
             summary["after_line_dedup"] = stage.count()
 
@@ -510,7 +550,7 @@ def run_curation_job(
                                         text_col="text", k=span_dedup_k,
                                         min_count=span_min_count,
                                         hash_fn="xxhash64", persist=scope)
-            stage = scope.checkpoint(stage.drop("text").join(sd, "url")
+            stage = pin(stage.drop("text").join(sd, "url")
                                   .where(F.length(F.trim("text")) > 0))
             summary["after_span_dedup"] = stage.count()
 
@@ -533,7 +573,7 @@ def run_curation_job(
             capped = cap_per_group(
                 stage.withColumn("_host", blocklist_host_expr(F.col("url"))),
                 "_host", host_cap, "url", exempt_null_group=True).drop("_host")
-            stage = scope.checkpoint(capped)
+            stage = pin(capped)
             summary["after_host_cap"] = stage.count()
 
         if decontaminate_path:
@@ -547,7 +587,7 @@ def run_curation_job(
                     decontaminate_bloom,
                 )
 
-                stage = scope.checkpoint(
+                stage = pin(
                     decontaminate_bloom(stage, reference, text_col="text",
                                         persist=scope))
             elif decontaminate_mode == "minhash":
@@ -562,7 +602,7 @@ def run_curation_job(
                 # the band explode and the verify join — unpersisted,
                 # the shingle+16-hash signature pass (the mode's
                 # dominant map cost) runs twice over the full corpus
-                stage = scope.checkpoint(
+                stage = pin(
                     decontaminate_minhash(stage, reference, id_col="url",
                                           text_col="text", persist=scope))
             elif decontaminate_mode == "ngrams":
@@ -572,11 +612,11 @@ def run_curation_job(
                     decontaminate_ngrams,
                 )
 
-                stage = scope.checkpoint(
+                stage = pin(
                     decontaminate_ngrams(stage, reference, id_col="url",
                                          text_col="text"))
             else:
-                stage = scope.checkpoint(
+                stage = pin(
                     decontaminate(stage, reference, id_col="url",
                                   text_col="text", mode=decontaminate_mode))
             summary["after_decontamination"] = stage.count()
@@ -586,7 +626,7 @@ def run_curation_job(
 
             target = read_table(spark, dsir_target_path)
             model = dsir.train_dsir(target, stage, text_col="text")
-            stage = scope.checkpoint(
+            stage = pin(
                 dsir.dsir_select(stage, model, dsir_keep_fraction,
                                  text_col="text", tie_col="url",
                                  persist=scope)

@@ -141,3 +141,14 @@ def test_cache_scope_checkpoint_truncates_and_releases(spark):
         assert cp.agg(F.sum("x")).collect()[0][0] == \
             df.agg(F.sum("x")).collect()[0][0]
     assert _n_cached_rdds(spark) == baseline
+
+
+def test_cache_scope_checkpoint_rejects_custom_level(spark):
+    """checkpoint() can't honor a non-default storage level
+    (localCheckpoint takes none) — it must refuse, not silently break
+    the scope's memory-bounding contract."""
+    from pyspark.storagelevel import StorageLevel
+
+    with CacheScope(StorageLevel.DISK_ONLY) as scope:
+        with pytest.raises(ValueError, match="MEMORY_AND_DISK"):
+            scope.checkpoint(spark.range(5))

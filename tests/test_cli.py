@@ -1878,26 +1878,63 @@ def test_export_manifest(spark, tmp_path, capsys):
 
 
 def test_curate_paragraph_dedup_unit_flag(spark, tmp_path, capsys):
-    """--line-dedup-unit paragraph reaches the plan: the dedup stage
-    runs at paragraph granularity and the job completes with lineage;
-    a bad unit value fails fast."""
+    """--line-dedup-unit paragraph BITES through the curate plan: docs
+    carrying a shared multi-line paragraph lose it whole (internal
+    lines intact in the survivor); bad unit values and the c4_clean
+    conflict fail fast, up front."""
     import pytest as _pytest
+    from pyspark.sql import functions as F2
 
     from datacanary_spark.plans.curate import run_curation_job
+    from datacanary_spark.schema import PAGES_SCHEMA
+    from datacanary_spark.sources.fixtures import (
+        _insert_lines,
+        _sample_words,
+    )
 
     pages = str(tmp_path / "pages")
     assert main(["gen-pages", "--output", pages, "--docs", "60",
                  "--files", "1"]) == 0
+    # plant docs sharing one multi-line paragraph between unique
+    # paragraphs (fixture text itself has no blank lines, so these are
+    # the only real paragraph boundaries in the corpus)
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    shared = "shared boiler alpha\nshared boiler beta"
+    planted = []
+    for i in range(2):
+        uniq = _insert_lines(rng, _sample_words(rng, "en", 120))
+        planted.append((f"http://planted{i}.test/p", None, None,
+                        f"{uniq}\n\n{shared}", "en"))
+    spark.createDataFrame(planted, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(pages)
     capsys.readouterr()
+
     assert main(["curate", "--input", pages,
                  "--output", str(tmp_path / "para"),
                  "--line-dedup-unit", "paragraph"]) == 0
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["after_line_dedup"] > 0 and s["final_docs"] > 0
+    out = spark.read.parquet(os.path.join(str(tmp_path / "para"),
+                                          "corpus"))
+    survivors = {r["url"]: r["text"] for r in out.where(
+        F2.col("url").startswith("http://planted")).collect()}
+    assert len(survivors) == 2
+    with_shared = [u for u, t in survivors.items() if shared in t]
+    # the shared paragraph survives in exactly ONE planted doc, whole
+    assert len(with_shared) == 1
+    other = next(t for u, t in survivors.items()
+                 if u not in with_shared)
+    assert "shared boiler alpha" not in other  # removed whole, not
+    assert "shared boiler beta" not in other   # line-by-line
 
     with _pytest.raises(ValueError, match="line_dedup_unit"):
         run_curation_job(spark, pages, str(tmp_path / "bad"),
                          line_dedup_unit="sentence")
+    with _pytest.raises(ValueError, match="incompatible with"):
+        run_curation_job(spark, pages, str(tmp_path / "bad2"),
+                         line_dedup_unit="paragraph", c4_clean=True)
 
 
 def test_curate_kitchen_sink_all_stages(spark, tmp_path, capsys):
@@ -1972,7 +2009,9 @@ def test_curate_kitchen_sink_all_stages(spark, tmp_path, capsys):
             c4_require_terminal=False,
             near_dup_threshold=0.8,
             span_dedup_k=10,
-            line_dedup=True, line_dedup_unit="paragraph",
+            # c4_clean strips blank lines, so paragraph-unit dedup is
+            # refused with it (validated up front) — line unit here
+            line_dedup=True, line_dedup_unit="line",
             host_cap=50,
             decontaminate_path=bench, decontaminate_mode="minhash",
             dsir_target_path=target, dsir_keep_fraction=0.9,
