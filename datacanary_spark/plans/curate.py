@@ -374,6 +374,11 @@ def run_curation_job(
         # filtered frame here would re-scan and then be overwritten)
         summary = dict(blocklist_count) if blocklist_count is not None \
             else {"docs_in": pages.count()}
+        # which pin actually ran — operators need to know whether this
+        # run had lineage recovery (persist) or restart-level retry
+        # only (checkpoint); deterministic, so re-run summaries match
+        summary["stage_pin"] = ("checkpoint"
+                                if pin == scope.checkpoint else "persist")
         if normalize_count is not None:
             summary["normalized_docs"] = normalize_count
         summary["kept"] = kept.count()

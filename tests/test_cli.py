@@ -449,6 +449,8 @@ def test_curate_end_to_end_and_deterministic(spark, tmp_path, capsys):
 
     s1 = run(str(tmp_path / "o1"))
     assert s1["docs_in"] == 150
+    # short composition → auto policy keeps lineage-recovery persist
+    assert s1["stage_pin"] == "persist"
     assert (s1["docs_in"] >= s1["kept"] >= s1["after_exact_dedup"]
             >= s1["after_line_dedup"] >= s1["sampled"] == s1["final_docs"] > 0)
     assert os.path.exists(os.path.join(str(tmp_path / "o1"),
@@ -2044,6 +2046,8 @@ def test_curate_kitchen_sink_all_stages(spark, tmp_path, capsys):
     assert s1["final_docs"] > 0
     # the fuzzy decontamination actually bit (3 edited sources planted)
     assert s1["after_decontamination"] <= s1["after_host_cap"] - 3
+    # >= 6 stages enabled → the auto policy pins with plan truncation
+    assert s1["stage_pin"] == "checkpoint"
 
     # full-composition determinism: identical corpus bytes on re-run
     s2 = run(str(tmp_path / "o2"))
