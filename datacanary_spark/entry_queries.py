@@ -610,20 +610,40 @@ _TAIL_ROTATION = [
     "dedup_exact_survivors",
     "orders_semi_high_qty",
     "orders_anti_high_qty",
-    # r04l: NEW queries registered straight to the tail — the 50-query
-    # driver window is fully packed with never-driver-checked rows, so
-    # displacing one for a newcomer loses a driver row either way;
-    # these are verified by scripts/check_oracle.py instead.
-    "bpe_top_pairs_by_lang",
-    "ccnet_ppl_buckets_by_lang",
-    "unigram_seed_candidates_by_lang",  # r04m, same tail contract
-    "badword_stats_by_lang",  # r04n, same tail contract
-    "ccard_luhn_by_lang",  # r04n, same tail contract
-    "readability_by_lang",  # r04o, same tail contract
-    "compression_ratio_by_lang",  # r04o, same tail contract (rows-only)
-    "decontaminate_minhash_survivors",  # r04o, same tail contract
-    "classifier_top_fraction_by_lang",  # r04o, same tail contract
-    "paragraph_dedup",  # r04o, same tail contract
+    # r05a: the 10 r04l–r04o tail registrations (bpe_top_pairs_by_lang,
+    # ccnet_ppl_buckets_by_lang, unigram_seed_candidates_by_lang,
+    # badword_stats_by_lang, ccard_luhn_by_lang, readability_by_lang,
+    # compression_ratio_by_lang, decontaminate_minhash_survivors,
+    # classifier_top_fraction_by_lang, paragraph_dedup) rotate INTO the
+    # first-50 driver window (VERDICT r04 "Next round" §2 — they were the
+    # last queries whose only exactness evidence was builder/judge
+    # sweeps); these 10 r04-driver-green rows move to the tail to make
+    # room.  length_quantiles_by_lang stays in the window for a fresh
+    # green row on its r05 long-format reshape.
+    "incremental_ingest_accepted",  # r05a, r04-green
+    "near_dup_components",  # r05a, r04-green
+    "near_dup_quality_survivors",  # r05a, r04-green
+    "repeated_ngram_removal_stats",  # r05a, r04-green
+    "bloom_decontam_by_lang",  # r05a, r04-green
+    "split_leakage_pairs",  # r05a, r04-green
+    "origin_split_leakage_pairs",  # r05a, r04-green
+    "ngram_decontam_by_lang",  # r05a, r04-green
+    "semdedup_cell_stats",  # r05a, r04-green
+    "classifier_margin_keep_by_lang",  # r05a, r04-green
+    # r05a continued: ten more r04-green retirements — the pre-r05 window
+    # held 60 non-tail queries (10 sat just past the gate at positions
+    # 50-59), so twenty total must retire for the 10 newcomers plus the
+    # five r02/r03-green rows at 50-54 to fit inside the first 50.
+    "gopher_repetition_by_lang",  # r05a, r04-green
+    "rule_ablation_by_lang",  # r05a, r04-green
+    "top_terms_by_lang",  # r05a, r04-green
+    "stratified_sample_by_lang",  # r05a, r04-green
+    "url_canonical_groups",  # r05a, r04-green
+    "host_capped_sample",  # r05a, r04-green
+    "token_shard_sizes",  # r05a, r04-green
+    "seq_packing_by_lang",  # r05a, r04-green
+    "docs_pivot_source_lang",  # r05a, r04-green
+    "temperature_mix_by_lang",  # r05a, r04-green
 ]
 
 

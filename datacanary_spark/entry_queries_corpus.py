@@ -153,10 +153,15 @@ def url_canonical_groups(spark, sf_dir):
 @register(
     "length_quantiles_by_lang",
     """
-    SELECT lang, count(*) AS n_docs,
-           list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]),
-                          v -> round(v, 6)) AS length_quantiles
-    FROM documents GROUP BY lang
+    WITH q AS (
+      SELECT lang, count(*) AS n_docs,
+             quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS qs
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS p,
+           unnest(list_transform(qs, v -> round(v, 6))) AS quantile
+    FROM q
     """,
 )
 def length_quantiles_by_lang(spark, sf_dir):
@@ -164,13 +169,24 @@ def length_quantiles_by_lang(spark, sf_dir):
     quantiles — Spark percentile() and DuckDB quantile_cont share the
     (n-1)*p linear-interpolation rule). Exact percentile state is
     unbounded; the 10^12-row mode is the profiler's approx_percentile
-    path — this query is the oracle-able exactness twin."""
+    path — this query is the oracle-able exactness twin.
+
+    Long format (lang, n_docs, p, quantile) — one row per (lang, p) —
+    because the driver's canonicalizer (pandas sort_values over result
+    columns) cannot hash array-typed cells; r04's array<double> shape
+    was value-exact but gate-incompatible (VERDICT r04 §wrong.1)."""
     d = _t(spark, sf_dir, "documents")
-    ps = F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)])
-    return (d.groupBy("lang").agg(
+    ps_vals = (0.25, 0.5, 0.75, 0.95)
+    ps = F.array(*[F.lit(p) for p in ps_vals])
+    agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.transform(F.percentile("n_chars", ps),
-                    lambda v: F.bround(v, 6)).alias("length_quantiles")))
+        F.percentile("n_chars", ps).alias("qs"))
+    return (agg.select(
+        "lang", "n_docs",
+        F.posexplode("qs").alias("pos", "quantile"))
+        .select("lang", "n_docs",
+                F.element_at(ps, F.col("pos") + 1).alias("p"),
+                F.bround("quantile", 6).alias("quantile")))
 
 
 # ---------------------------------------------------------------------------

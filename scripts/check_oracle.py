@@ -47,6 +47,21 @@ def pandas_canon(df):
     return sorted(rows)
 
 
+def driver_canon_ok(df):
+    """Round-5 hardening: replay the DRIVER's canonicalization, which is
+    pandas ``sort_values`` over all result columns. That path throws
+    ``TypeError: unhashable type: 'list'`` on array-typed cells — the
+    exact failure that made the value-exact ``length_quantiles_by_lang``
+    driver-red in r04 while this script's string-repr sort passed it.
+    Returns (ok, err_str)."""
+    try:
+        cols = sorted(df.columns)
+        df[cols].sort_values(by=cols)
+        return True, ""
+    except Exception as exc:  # noqa: BLE001 - report any canon failure
+        return False, f"{type(exc).__name__}: {exc}"
+
+
 def values_close(a, b):
     if a is None or b is None:
         return a is b
@@ -106,10 +121,15 @@ def main():
             if exact:
                 # Value-exact; now the type-sensitive pandas-layer check
                 # (mimics the driver hash — see module docstring).
-                sp = pandas_canon(sdf.toPandas())
+                spdf = sdf.toPandas()
+                sp = pandas_canon(spdf)
                 dp = pandas_canon(rel.df())
                 if sp == dp:
-                    status.append("OK exact")
+                    canon_ok, canon_err = driver_canon_ok(spdf)
+                    if canon_ok:
+                        status.append("OK exact")
+                    else:
+                        status.append(f"DRIVERCANON-ERR {canon_err}")
                 else:
                     bad = next((a, b) for a, b in zip(sp, dp) if a != b)
                     status.append(f"TYPEDIFF pandas-layer: {bad[0]} vs {bad[1]}")

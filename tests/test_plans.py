@@ -158,3 +158,26 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     # and the values survive the layout round-trip
     n = q.count()
     assert n == docs.where(F.col("lang") == "en").count() and n > 0
+
+
+def test_no_complex_typed_output_columns_in_gated_queries(spark, queries):
+    """Driver-gate shape fence (r05, VERDICT r04 §wrong.1): the driver's
+    canonicalizer runs pandas ``sort_values`` over every result column
+    and throws ``unhashable type`` on array/map-typed cells (struct
+    decays to dict — also unhashable).  ``length_quantiles_by_lang`` was
+    value-exact but driver-red in r04 for exactly this.  Fence the whole
+    class: no registered query may return a complex-typed column."""
+    from pyspark.sql import types as T
+
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in queries.items():
+        try:
+            schema = fn(spark, sf).schema
+        except Exception as exc:  # noqa: BLE001 - name the offender
+            bad.append((name, f"plan build failed: {exc}"))
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f"{f.name}: {f.dataType.simpleString()}"))
+    assert not bad, f"complex-typed gate-incompatible output columns: {bad}"
