@@ -551,7 +551,8 @@ def cmd_curate(args) -> int:
     return 0
 
 
-def _shard_manifest(spark, output: str, fmt: str) -> dict:
+def _shard_manifest(spark, output: str, fmt: str,
+                    data_schema=None) -> dict:
     """Per-(split, shard) manifest of a written export: doc count, text
     chars, whitespace-token count, and an order-insensitive 64-bit
     content checksum (bit_xor of xxhash64 over every column's JSON form
@@ -568,11 +569,22 @@ def _shard_manifest(spark, output: str, fmt: str) -> dict:
 
     if fmt == "parquet":
         out_df = spark.read.parquet(output)
+    elif data_schema is not None:
+        # the writer's own schema, minus the partition columns Spark
+        # re-derives from the split=/shard= directory names.  Inference
+        # is wrong here even at samplingRatio 1.0: the JSON writer drops
+        # null fields, so an all-null column would silently vanish from
+        # the manifest's checksum and counts.
+        from pyspark.sql import types as T
+
+        data_fields = [f for f in data_schema.fields
+                       if f.name not in ("split", "shard")]
+        out_df = spark.read.schema(T.StructType(data_fields)).json(output)
     else:
-        # one inference pass over the shards is unavoidable without a
-        # caller-threaded wire schema, but cap it: sample one file's
-        # worth of lines for the schema, then one full scan aggregates
-        inferred = spark.read.option("samplingRatio", 0.1).json(output)
+        # no caller-threaded schema (direct invocation): full-scan
+        # inference — still blind to all-null columns, but not to
+        # sampling luck
+        inferred = spark.read.option("samplingRatio", 1.0).json(output)
         out_df = spark.read.schema(inferred.schema).json(output)
     data_cols = sorted(c for c in out_df.columns
                        if c not in ("split", "shard"))
@@ -741,7 +753,8 @@ def cmd_export(args) -> int:
     summary = {"output": args.output, "splits": counts,
                "n_shards": args.n_shards, "format": args.output_format}
     if not args.no_manifest:
-        manifest = _shard_manifest(spark, args.output, args.output_format)
+        manifest = _shard_manifest(spark, args.output, args.output_format,
+                                   data_schema=staged.schema)
         from datacanary_spark.sources.io import write_text
         write_text(spark, args.output.rstrip("/") + "/_manifest.json",
                    json.dumps(manifest, sort_keys=True))

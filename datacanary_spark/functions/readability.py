@@ -59,8 +59,15 @@ VOWEL_GROUP_RE = "[aeiouy]+"
 # of INPUT), not $: Java's non-MULTILINE $ also matches before a final
 # U+2028/U+2029/U+0085 line terminator, which neither RE2 nor the
 # Python twin does — \z means the same thing in all three engines
-# (Python spells it \Z; the twin translates).
-CODE_LINE_RE = (r"([;{}]\s*\z)|(^\s{4,}\S)|(=>)"
+# (Python spells it \Z; the twin translates). Whitespace is the
+# EXPLICIT class [ \t\n\x0B\f\r] (Java's ASCII \s), never \s: RE2's \s
+# excludes U+000B vertical tab while Java's includes it, so a \s here
+# would make a \x0B-indented line code-shaped in Spark but not in the
+# DuckDB oracle (repo CONTROL_CHAR_PATTERN convention; ADVICE r04).
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
+_NON_WS_CLASS = r"[^ \t\n\x0B\f\r]"
+CODE_LINE_RE = (r"([;{}]" + _WS_CLASS + r"*\z)"
+                r"|(^" + _WS_CLASS + r"{4,}" + _NON_WS_CLASS + r")|(=>)"
                 r"|(\bdef )|(\bfunction )|(\breturn )|(#include)|(\bimport )")
 
 # Characters over-represented in source code relative to prose.
@@ -182,11 +189,10 @@ def make_compression_ratio_udf():
 _WS = re.compile(r"[ \t\n\x0B\f\r]+")
 _SENT = re.compile(SENTENCE_SPLIT_RE)
 _VOWELS = re.compile(VOWEL_GROUP_RE)
-# re.ASCII pins \b to Java's ASCII-only word chars; \s is replaced
-# with Java's explicit whitespace class; Python spells end-of-input \Z
-# where Java/RE2 spell it \z.
-_CODE = re.compile(CODE_LINE_RE.replace(r"\s", r"[ \t\n\x0B\f\r]")
-                   .replace(r"\z", r"\Z"), re.ASCII)
+# re.ASCII pins \b to Java's ASCII-only word chars; whitespace is
+# already the explicit class in CODE_LINE_RE itself; Python spells
+# end-of-input \Z where Java/RE2 spell it \z.
+_CODE = re.compile(CODE_LINE_RE.replace(r"\z", r"\Z"), re.ASCII)
 _PUNCT = re.compile(CODE_PUNCT_CLASS)
 
 

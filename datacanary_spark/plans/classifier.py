@@ -218,8 +218,13 @@ def classify_top_fraction(df: DataFrame, clf: QualityClassifier,
 
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(f"keep_fraction in (0, 1], got {keep_fraction}")
-    while margin_col in df.columns:  # never clobber a caller column
-        margin_col += "_"
+    if margin_col in df.columns:
+        # fail fast (same philosophy as ``featurized``): a silent
+        # rename would leave the caller reading its own pre-existing
+        # column wherever it references the requested margin_col
+        raise ValueError(
+            f"margin_col {margin_col!r} already exists in the input — "
+            f"pass a different margin_col or drop/rename the column")
     d = featurized(df, text_col, clf.feature_names)
     scored = d.select(*df.columns,
                       quality_margin_expr(clf).alias(margin_col))

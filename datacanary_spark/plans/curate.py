@@ -235,6 +235,7 @@ def run_curation_job(
     # job-level). auto: lineage recovery for short compositions, plan
     # truncation once enough stages are enabled to matter.
     n_stages = 3 + sum(1 for on in (
+        line_dedup,
         blocklist is not None, bool(block_url_patterns),
         robots_table is not None,
         bool(normalize_unicode) or fix_encoding,

@@ -248,6 +248,13 @@ def test_classify_top_fraction_selection_law(spark, labeled_pages):
     with pytest.raises(ValueError, match="keep_fraction"):
         qc.classify_top_fraction(docs, clf, 0.0)
 
+    # margin_col collision fails FAST (r05, ADVICE r04): a silent
+    # rename would leave callers reading their own stale column
+    with pytest.raises(ValueError, match="margin_col"):
+        qc.classify_top_fraction(
+            docs.withColumn("quality_margin", F.lit(0.0)), clf, 0.25,
+            persist=False)
+
 
 def test_curate_classifier_keep_fraction(spark, tmp_path):
     """curate --classifier-keep-fraction: DCLM-style top-fraction stage

@@ -1879,6 +1879,32 @@ def test_export_manifest(spark, tmp_path, capsys):
     assert m4["totals"]["docs"] == 120 and m4["format"] == "jsonl"
 
 
+def test_export_jsonl_manifest_keeps_all_null_column(spark, tmp_path,
+                                                     capsys):
+    """r05 (ADVICE r04): the jsonl manifest reads back with the WRITER's
+    schema, not re-inference — Spark's JSON writer drops null fields, so
+    an all-null column is invisible to inference at any samplingRatio
+    and its counts would silently vanish from the manifest.  An export
+    whose `text` is null in every row must still manifest chars=0 /
+    ws_tokens=0 (column present) rather than omitting the keys."""
+    import json
+    import os
+
+    src = str(tmp_path / "nulltext")
+    spark.createDataFrame(
+        [(f"http://h{i}.example/p", None) for i in range(40)],
+        "url string, text string").write.parquet(src)
+    out = str(tmp_path / "export_nulltext")
+    assert main(["export", "--input", src, "--output", out,
+                 "--n-shards", "2", "--output-format", "jsonl",
+                 "--key-col", "url"]) == 0
+    capsys.readouterr()
+    m = json.loads(open(os.path.join(out, "_manifest.json")).read())
+    assert m["totals"]["docs"] == 40
+    assert m["totals"]["chars"] == 0 and m["totals"]["ws_tokens"] == 0
+    assert all("chars" in s and s["chars"] == 0 for s in m["shards"])
+
+
 def test_curate_paragraph_dedup_unit_flag(spark, tmp_path, capsys):
     """--line-dedup-unit paragraph BITES through the curate plan: docs
     carrying a shared multi-line paragraph lose it whole (internal

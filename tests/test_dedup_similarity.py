@@ -1192,3 +1192,44 @@ def test_paragraph_dedup_unit(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="regex metacharacters"):
         dd.dedup_lines(corpus, sep=".")
+
+
+def test_ivf_recall_vs_nprobe_curve(spark):
+    """Recall-vs-nprobe cost curve (r05, VERDICT r04 §next.7): on a
+    corpus with real cluster structure (16 planted Gaussian clusters,
+    the data shape IVF exists for), a KMeans-trained coarse quantizer
+    reaches recall@5 >= 0.9 at nprobe=4 of 16 cells — a 4x candidate
+    reduction — and recall is monotone in nprobe.  The unstructured
+    sf0.01 fixture is the adversarial floor: near-uniform vectors have
+    no cluster structure, so recall tracks probed-mass fraction
+    (measured 0.51 random / 0.76 trained at nprobe=4) — that case is
+    covered by test_ivf_topk_recall_and_self_hit's 0.5 floor."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for ci in range(16):
+        for j in range(50):
+            v = centers[ci] + 0.25 * rng.normal(size=64)
+            pts.append((ci * 50 + j, [float(x) for x in v]))
+    e = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in sim.brute_force_topk(e, q, k=5).collect()}
+    trained = sim.train_ivf_centroids(e, n_centroids=16, seed=7)
+
+    recalls = []
+    for n_probe in (1, 2, 4):
+        ivf = {(r["query_id"], r["neighbor_id"])
+               for r in sim.ivf_topk(e, q, dim=64, k=5, n_centroids=16,
+                                     n_probe=n_probe,
+                                     centroids=trained).collect()}
+        recalls.append(len(bf & ivf) / len(bf))
+    assert recalls == sorted(recalls), recalls  # monotone in nprobe
+    assert recalls[-1] >= 0.9, recalls  # the nprobe=4 quality floor
