@@ -45,6 +45,24 @@ from datacanary_spark.plans.pipeline import broadcast_models, filter_pages
 from datacanary_spark.plans.caching import CacheScope
 from datacanary_spark.sources.io import read_table, write_text
 
+# Canonical execution order of every doc-count lineage key a curation
+# run can record (r05, VERDICT r04 §next.8).  ``stage_lineage`` in the
+# summary is derived from this order: each enabled stage gets one
+# {stage, docs_in, docs_out, dropped} row whose docs_in is the previous
+# stage's docs_out, so the whole table sums consistently by
+# construction and a missing row means the stage ran without
+# accounting.  ``normalized_docs`` is a changed-doc count (not a doc
+# count) and is deliberately absent; ``upsampled_rows`` GROWS the
+# corpus, so its dropped is negative by design (replication, not loss).
+STAGE_COUNT_ORDER = (
+    "after_blocklist", "after_url_patterns", "after_robots", "kept",
+    "after_classifier", "after_repetition_filter", "after_code_filter",
+    "after_compression_filter", "after_badwords", "after_c4_clean",
+    "after_exact_dedup", "after_near_dup_clusters", "after_line_dedup",
+    "after_span_dedup", "after_host_cap", "after_decontamination",
+    "after_dsir", "sampled", "upsampled_rows",
+)
+
 
 def run_curation_job(
     spark: SparkSession,
@@ -678,6 +696,18 @@ def run_curation_job(
         r[strata_col]: r["n"]
         for r in final.groupBy(strata_col)
                       .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # per-stage accounting table, derived from the counts each stage
+    # already took (no extra Spark action): docs_in chains from the
+    # previous stage's docs_out, so sums are consistent by construction
+    lineage = []
+    prev = summary["docs_in"]
+    for key in STAGE_COUNT_ORDER:
+        if key in summary:
+            out = summary[key]
+            lineage.append({"stage": key, "docs_in": prev,
+                            "docs_out": out, "dropped": prev - out})
+            prev = out
+    summary["stage_lineage"] = lineage
     summary["wall_sec"] = round(time.time() - t0, 3)
     # Hadoop-FS write: output_path may be s3a://… on a real cluster —
     # a local open() would crash AFTER the whole compute finished

@@ -1297,6 +1297,11 @@ def test_curate_epoch_upsampling(spark, tmp_path, capsys):
     corpus = spark.read.parquet(os.path.join(str(tmp_path / "up1"), "corpus"))
     assert "epoch" in corpus.columns
     assert s["upsampled_rows"] == s["final_docs"] == corpus.count()
+    # the upsample stage's lineage row has NEGATIVE dropped by design
+    # (replication, not loss) and still chains consistently (r05)
+    up = next(r for r in s["stage_lineage"] if r["stage"] == "upsampled_rows")
+    assert up["docs_out"] > up["docs_in"] and up["dropped"] < 0
+    assert up["dropped"] == up["docs_in"] - up["docs_out"]
     from pyspark.sql import functions as F2
 
     en_counts = {r["count"] for r in
@@ -2070,6 +2075,27 @@ def test_curate_kitchen_sink_all_stages(spark, tmp_path, capsys):
         "after_dsir", "sampled")]
     assert all(a >= b for a, b in zip(chain, chain[1:])), chain
     assert s1["final_docs"] > 0
+    # r05 (VERDICT r04 §next.8): the structured per-stage accounting
+    # table has one row per enabled counting stage, in execution order,
+    # and sums consistently: docs_in chains from the previous docs_out,
+    # dropped == docs_in - docs_out, the head consumes docs_in and the
+    # tail's docs_out is exactly what landed in the corpus.
+    lin = s1["stage_lineage"]
+    enabled = ("after_blocklist", "after_robots", "kept",
+               "after_classifier", "after_repetition_filter",
+               "after_code_filter", "after_compression_filter",
+               "after_badwords", "after_c4_clean", "after_exact_dedup",
+               "after_near_dup_clusters", "after_line_dedup",
+               "after_span_dedup", "after_host_cap",
+               "after_decontamination", "after_dsir", "sampled")
+    assert tuple(r["stage"] for r in lin) == enabled
+    assert lin[0]["docs_in"] == s1["docs_in"]
+    assert lin[-1]["docs_out"] == s1["final_docs"]
+    for prev_row, row in zip(lin, lin[1:]):
+        assert row["docs_in"] == prev_row["docs_out"]
+    for row in lin:
+        assert row["dropped"] == row["docs_in"] - row["docs_out"]
+        assert row["dropped"] >= 0  # no upsample stage in this run
     # the fuzzy decontamination actually bit (3 edited sources planted)
     assert s1["after_decontamination"] <= s1["after_host_cap"] - 3
     # >= 6 stages enabled → the auto policy pins with plan truncation
