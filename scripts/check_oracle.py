@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 sys.path.insert(0, ".")
 
@@ -100,11 +101,14 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
+        spark_sec = time.time() - t0
         scols = sdf.columns
         if name not in oracles:
-            print(f"{name:35s} rows-only: {len(srows)} rows")
+            print(f"{name:35s} rows-only: {len(srows)} rows "
+                  f"[spark {spark_sec:.1f}s]")
             continue
         rel = con.sql(oracles[name])
         drows = rel.fetchall()
@@ -144,7 +148,8 @@ def main():
                     status.append("OK approx (float-noise only — hash gate may flag!)")
                 else:
                     status.append(f"MISMATCH {n_bad}/{len(sn)} rows")
-        line = f"{name:35s} {'; '.join(status)}"
+        line = (f"{name:35s} {'; '.join(status)} "
+                f"[spark {spark_sec:.1f}s]")
         print(line)
         if "OK exact" not in status:
             failures.append(line)
