@@ -584,11 +584,16 @@ def _shard_manifest(spark, output: str, fmt: str,
         # no caller-threaded schema (direct invocation): full-scan
         # inference — still blind to all-null columns, but not to
         # sampling luck
-        inferred = spark.read.option("samplingRatio", 1.0).json(output)
-        out_df = spark.read.schema(inferred.schema).json(output)
+        out_df = spark.read.option("samplingRatio", 1.0).json(output)
     data_cols = sorted(c for c in out_df.columns
                        if c not in ("split", "shard"))
-    row_json = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    # ignoreNullFields=false: to_json otherwise DROPS null fields, so a
+    # null cell and an absent column would serialize identically and the
+    # checksum could not distinguish two exports differing only in an
+    # all-null column (the same blindness the threaded read-back schema
+    # fixes for the counts)
+    row_json = F.to_json(F.struct(*[F.col(c) for c in data_cols]),
+                         {"ignoreNullFields": "false"})
     aggs = [F.count(F.lit(1)).alias("docs"),
             F.bit_xor(F.xxhash64(row_json)).alias("xor64")]
     if "text" in out_df.columns:

@@ -161,7 +161,7 @@ def url_canonical_groups(spark, sf_dir):
     SELECT lang, n_docs,
            unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS p,
            unnest(list_transform(qs, v -> round(v, 6))) AS quantile
-    FROM q
+    FROM q WHERE qs IS NOT NULL
     """,
 )
 def length_quantiles_by_lang(spark, sf_dir):
@@ -174,13 +174,18 @@ def length_quantiles_by_lang(spark, sf_dir):
     Long format (lang, n_docs, p, quantile) — one row per (lang, p) —
     because the driver's canonicalizer (pandas sort_values over result
     columns) cannot hash array-typed cells; r04's array<double> shape
-    was value-exact but gate-incompatible (VERDICT r04 §wrong.1)."""
+    was value-exact but gate-incompatible (VERDICT r04 §wrong.1).
+    A lang whose n_chars are ALL NULL has no quantiles (NULL aggregate)
+    and is dropped on both sides — without the guard Spark's
+    posexplode(NULL) emits zero rows while DuckDB's zipped unnest pads
+    to the p-array length, a 4-row count divergence."""
     d = _t(spark, sf_dir, "documents")
     ps_vals = (0.25, 0.5, 0.75, 0.95)
     ps = F.array(*[F.lit(p) for p in ps_vals])
     agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.percentile("n_chars", ps).alias("qs"))
+    agg = agg.where(F.col("qs").isNotNull())
     return (agg.select(
         "lang", "n_docs",
         F.posexplode("qs").alias("pos", "quantile"))
