@@ -644,6 +644,11 @@ _TAIL_ROTATION = [
     "seq_packing_by_lang",  # r05a, r04-green
     "docs_pivot_source_lang",  # r05a, r04-green
     "temperature_mix_by_lang",  # r05a, r04-green
+    # r05b: NEW query registered straight to the tail (the window is
+    # packed with the rotated-in never-checked rows); verified by
+    # scripts/check_oracle.py at sf0.01 + sf0.1 — same contract as the
+    # r04l tail registrations.
+    "ann_pq_top5",  # r05b
 ]
 
 

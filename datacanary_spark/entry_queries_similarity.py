@@ -161,6 +161,69 @@ def ann_ivf_top5(spark, sf_dir):
     return sim.ivf_topk(e, queries, dim=DIM, k=5, n_centroids=16, n_probe=4)
 
 
+_PQ_BOOKS = sim.pq_codebooks(DIM, n_sub=8, n_codes=16)
+
+_DUCK_PQ_BOOKS = " UNION ALL ".join(
+    f"SELECT {m} AS m, {j} AS j, "
+    f"[{', '.join(repr(float(x)) for x in c)}]::DOUBLE[] AS c"
+    for m in range(_PQ_BOOKS.shape[0])
+    for j, c in enumerate(_PQ_BOOKS[m]))
+
+
+@register(
+    "ann_pq_top5",
+    f"""
+    WITH books AS ({_DUCK_PQ_BOOKS}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    enc AS (
+      SELECT vec_id, m, c FROM (
+        SELECT t.vec_id, b.m, b.c,
+               row_number() OVER (PARTITION BY t.vec_id, b.m
+                 ORDER BY list_dot_product(b.c, b.c)
+                          - 2 * list_dot_product(
+                              list_slice(t.cv, b.m*8 + 1, b.m*8 + 8), b.c),
+                          b.j) AS rn
+        FROM c t CROSS JOIN books b) s WHERE rn = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(c ORDER BY m)) AS rv
+      FROM enc GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             {_COS.format(a='rv', b='qv')} AS s
+      FROM recon CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS INT) AS rank,
+             s
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_pq_top5(spark, sf_dir):
+    """Product-quantized approximate top-5 (8 subspaces x 16 codes over
+    the 64-dim embeddings — a 16x at-rest compression of the corpus):
+    the third ANN scale path, trading recall for MEMORY rather than for
+    candidates.  Scoring is ADC in reconstruction form, so the oracle
+    reproduces it as one sequential dot product per pair; code
+    assignment ties break to the smallest code id on both engines, and
+    the ||c||^2 plan literals come from the same sequential accumulation
+    the oracle computes at runtime (similarity._seq_dot)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.pq_topk(e, queries, dim=DIM, k=5, n_sub=8, n_codes=16)
+
+
 @register(
     "embedding_near_dup_pairs",
     f"""

@@ -455,6 +455,393 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     return _topk(scored, query_id_col, k)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN scoring (r05)
+# ---------------------------------------------------------------------------
+
+PQ_SEED_TAG = 8888  # distinguishes PQ codebooks from SRP planes / IVF cells
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential left-to-right double dot product in PYTHON — the same
+    accumulation order as Spark's ``aggregate`` fold and DuckDB's
+    ``list_dot_product``.  Plan literals derived from codebooks (the
+    ``||c||^2`` terms in the encoder) MUST come from this, never from
+    ``np.dot`` (pairwise/BLAS summation): a last-ulp difference between
+    the literal and the oracle's own sum can flip an argmin near a tie
+    and silently diverge the code assignment."""
+    total = 0.0
+    for x, y in zip(a, b):
+        total += float(x) * float(y)
+    return total
+
+
+def pq_codebooks(dim: int, n_sub: int = 8, n_codes: int = 16,
+                 seed: int = PLANE_SEED) -> np.ndarray:
+    """Deterministic ``(n_sub, n_codes, dim // n_sub)`` PQ codebooks.
+
+    Random codebooks make a legitimate (if suboptimal) product
+    quantizer, exactly like ``ivf_centroids``: the operator accepts any
+    trained array (``train_pq_codebooks``) with no plan-shape change.
+    """
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    return np.random.default_rng((seed, PQ_SEED_TAG)).standard_normal(
+        (n_sub, n_codes, dim // n_sub))
+
+
+def train_pq_codebooks(df: DataFrame, dim: int, vec_col: str = "embedding",
+                       n_sub: int = 8, n_codes: int = 16,
+                       seed: int = PLANE_SEED,
+                       sample_fraction: float | None = None,
+                       max_iter: int = 20) -> np.ndarray:
+    """Train PQ codebooks: one Spark-ML KMeans per subspace on the
+    sliced subvectors (the classic PQ recipe — Jégou et al., TPAMI
+    2011).  Same sampling contract as ``train_ivf_centroids``: at
+    10^12 vectors fit on a deterministic hash sample; training cost is
+    O(sample · n_codes · iters · n_sub), independent of corpus size,
+    and the result is a few KB of plan literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    data = (df.where(F.col(vec_col).isNotNull())
+              .select(F.col(vec_col).cast("array<double>").alias("_v")))
+    if sample_fraction is not None:
+        from datacanary_spark.operators.corpus_stats import (
+            _bucket_expr,
+            _hex_threshold,
+        )
+
+        data = data.where(
+            _bucket_expr(F.col("_v").cast("string"), "pq-train")
+            < F.lit(_hex_threshold(sample_fraction)))
+    data = data.persist()
+    try:
+        books = []
+        for m in range(n_sub):
+            feats = data.select(array_to_vector(
+                F.slice(F.col("_v"), m * sub + 1, sub)).alias("features"))
+            model = KMeans(k=n_codes, seed=seed + m,
+                           maxIter=max_iter).fit(feats)
+            books.append(np.asarray(model.clusterCenters(),
+                                    dtype=np.float64))
+        return np.stack(books)
+    finally:
+        data.unpersist()
+
+
+def _lit_vec(values) -> Column:
+    """One array<double> LITERAL node, not CreateArray(8 Literals):
+    the PQ expressions embed 128+ of these, and per-node Catalyst
+    analysis cost — not execution — dominated the literal path before
+    collapsing them (measured ~5 s plan build on the oracle query)."""
+    return F.lit([float(x) for x in values])
+
+
+def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> Column:
+    """PQ codes as ``array<int>`` (one code per subspace), one pure
+    SQL expression — codebooks are plan literals, oracle-expressible
+    (and the SQL-text construction keeps plan BUILD off the py4j
+    per-node path, see ``pq_reconstruct_from_vec_expr``).
+
+    Per subspace the code is ``argmin ||s - c||^2`` over the book,
+    computed as ``argmin(||c||^2 - 2*dot(s, c))`` (the ``||s||^2`` term
+    is constant within the argmin); ties break to the smallest code id
+    on every engine (first-occurrence argmin).  A null or wrong-length
+    vector encodes to a null code array — the same guard the UDF twin
+    applies, so the two dispatch modes agree row-for-row."""
+    n_sub, _, sub = codebooks.shape
+    dim = n_sub * sub
+    codes = []
+    for m in range(n_sub):
+        dists = _pq_dists_sql(vec_col, codebooks, m)
+        # bind the dist array ONCE (argmin reads it twice — higher-order
+        # subtrees get no subexpression elimination, see ivf_cell_expr)
+        codes.append(
+            f"element_at(transform(array({dists}), "
+            f"d -> cast(array_position(d, array_min(d)) - 1 as int)), 1)")
+    return F.expr(f"case when size(`{vec_col}`) = {dim} "
+                  f"then array({','.join(codes)}) end")
+
+
+def make_pq_encode_udf(df: DataFrame, codebooks: np.ndarray):
+    """Arrow pandas UDF twin of ``pq_encode_expr`` for high dims —
+    broadcast codebook tensor, one matmul + argmin per subspace per
+    Arrow batch.  ``np.argmin`` returns the first minimum, matching the
+    literal expression's smallest-id tie-break; null/ragged rows → null
+    code array (literal parity)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(codebooks, dtype=np.float64))
+
+    @pandas_udf("array<int>")
+    def pq_encode(vecs: pd.Series) -> pd.Series:
+        cb = bc.value
+        n_sub, _, sub = cb.shape
+        M, valid = _vec_matrix(vecs, n_sub * sub)
+        out = np.empty((len(vecs), n_sub), dtype="int32")
+        for m in range(n_sub):
+            S = M[:, m * sub:(m + 1) * sub]
+            dists = (cb[m] ** 2).sum(axis=1)[None, :] - 2.0 * (S @ cb[m].T)
+            out[:, m] = np.argmin(dists, axis=1)
+        return pd.Series([out[i] if valid[i] else None
+                          for i in range(len(vecs))], index=vecs.index)
+
+    return pq_encode
+
+
+def pq_reconstruct_expr(codes: Column, codebooks: np.ndarray) -> Column:
+    """Decode a PQ code array back to its reconstructed vector
+    (concatenation of the chosen centroid per subspace) as Column
+    expressions over literal codebooks.  Null codes → null vector.
+
+    ``codes`` should be a MATERIALIZED column (a stored index or a
+    UDF output attribute): each subspace references it once, and a
+    heavy in-flight expression would be re-evaluated per reference
+    under project-collapse — the in-flight path uses the fused
+    ``pq_reconstruct_from_vec_expr`` instead."""
+    n_sub = codebooks.shape[0]
+    parts = []
+    for m in range(n_sub):
+        book = F.array(*[_lit_vec(c) for c in codebooks[m]])
+        parts.append(F.element_at(book, F.element_at(codes, m + 1) + 1))
+    return F.concat(*parts)
+
+
+def _sql_f(x: float) -> str:
+    """A Spark-SQL DOUBLE literal: ``repr`` round-trips the exact bits
+    and the ``D`` suffix stops ANSI mode from parsing it as DECIMAL."""
+    return f"{float(x)!r}D"
+
+
+def _sql_vec(values) -> str:
+    return "array(" + ",".join(_sql_f(x) for x in values) + ")"
+
+
+def _sql_dot(a_sql: str, b_sql: str) -> str:
+    """SQL-text twin of ``dot_expr`` — identical cast/fold structure so
+    the two construction paths are bit-for-bit interchangeable."""
+    return (f"aggregate(zip_with({a_sql}, {b_sql}, "
+            f"(x, y) -> cast(x as double) * cast(y as double)), "
+            f"0.0D, (acc, v) -> acc + v)")
+
+
+def _pq_dists_sql(vec_col: str, codebooks: np.ndarray, m: int) -> str:
+    """The subspace-m distance array ``||c||^2 - 2*dot(s, c)`` as SQL
+    text (the ``||s||^2`` term is constant within the argmin)."""
+    sub = codebooks.shape[2]
+    s = f"slice(`{vec_col}`, {m * sub + 1}, {sub})"
+    return "array(" + ",".join(
+        f"({_sql_f(_seq_dot(c, c))} - 2.0D * {_sql_dot(s, _sql_vec(c))})"
+        for c in codebooks[m]) + ")"
+
+
+def pq_reconstruct_from_vec_expr(vec_col: str,
+                                 codebooks: np.ndarray) -> Column:
+    """Encode + decode FUSED into one expression: the reconstructed
+    vector straight from the raw vector column, each subspace's
+    distance array evaluated exactly once (bound as a lambda variable
+    via the one-element-transform trick, see ``ivf_cell_expr``).
+
+    Fused because Catalyst's project-collapse substitutes — not
+    shares — non-trivial expressions across column references: going
+    through a separate in-flight ``codes`` column re-evaluated the
+    full 128-dot encoder once per reconstruction subspace.  Built as
+    ONE ``F.expr`` SQL string rather than nested Column objects: the
+    Column form issues a py4j round-trip per node and ~10k nodes cost
+    ~9 s of DRIVER time per plan build (measured), vs milliseconds to
+    parse the equivalent SQL text JVM-side."""
+    n_sub = codebooks.shape[0]
+    parts = []
+    for m in range(n_sub):
+        dists = _pq_dists_sql(vec_col, codebooks, m)
+        book = ("array(" + ",".join(_sql_vec(c) for c in codebooks[m])
+                + ")")
+        parts.append(
+            f"element_at(transform(array({dists}), "
+            f"d -> element_at({book}, "
+            f"cast(array_position(d, array_min(d)) as int))), 1)")
+    return F.expr("concat(" + ",".join(parts) + ")")
+
+
+def _pack_recon(recon: Column) -> Column:
+    """Bind a reconstruction expression ONCE and derive its norm from
+    the bound value — a struct(recon, cnrm) column.  Referencing the
+    recon expression from two output columns would re-evaluate it per
+    reference (project-collapse duplication); referencing the packed
+    struct's FIELDS from across a join boundary is attribute access."""
+    return F.element_at(F.transform(F.array(recon), lambda v: F.struct(
+        v.alias("recon"), F.sqrt(dot_expr(v, v)).alias("cnrm"))), 1)
+
+
+def make_pq_reconstruct_udf(df: DataFrame, codebooks: np.ndarray):
+    """Arrow pandas UDF twin of ``pq_reconstruct_expr`` (the plan-flat
+    path when the codebook tensor exceeds the literal budget)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(codebooks, dtype=np.float64))
+
+    @pandas_udf("array<double>")
+    def pq_reconstruct(codes: pd.Series) -> pd.Series:
+        cb = bc.value
+        n_sub = cb.shape[0]
+        out = []
+        for code in codes:
+            if code is None or len(code) != n_sub:
+                out.append(None)
+            else:
+                out.append(np.concatenate(
+                    [cb[m][int(code[m])] for m in range(n_sub)]))
+        return pd.Series(out, index=codes.index)
+
+    return pq_reconstruct
+
+
+def pq_encode_index(df: DataFrame, dim: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_sub: int = 8,
+                    n_codes: int = 16,
+                    codebooks: np.ndarray | None = None,
+                    seed: int = PLANE_SEED,
+                    assignment: str = "auto") -> DataFrame:
+    """The persistable PQ index: ``(id, codes)`` — n_sub ints per
+    vector instead of dim floats (64 doubles → 8 codes is a 16×
+    at-rest/shuffle compression at n_codes ≤ 256 even before the
+    int→byte cast a columnar store applies).  ``pq_topk`` accepts this
+    frame via ``codes_col`` so a 10^12-row corpus is encoded once and
+    served from the compact table."""
+    cb = pq_codebooks(dim, n_sub, n_codes, seed) if codebooks is None \
+        else np.asarray(codebooks, dtype=np.float64)
+    # filter on the EQUIVALENT raw condition (right length; size(null)
+    # is null under ANSI, so nulls drop too) instead of codes
+    # IS NOT NULL: a post-encode null filter would push back through
+    # the projection and re-evaluate the whole encoder per row
+    c = df.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col), F.col(vec_col))
+    mode = _resolve_assignment(assignment, cb.size)
+    codes = (make_pq_encode_udf(c, cb)(F.col(vec_col)) if mode == "udf"
+             else pq_encode_expr(vec_col, cb))
+    return c.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", n_sub: int = 8,
+            n_codes: int = 16, codebooks: np.ndarray | None = None,
+            seed: int = PLANE_SEED, assignment: str = "auto",
+            codes_col: str | None = None) -> DataFrame:
+    """PQ approximate top-k (the third ANN scale path: memory, not
+    candidate pruning).
+
+    Corpus vectors are product-quantized to ``n_sub`` codes; scoring is
+    asymmetric distance computation (ADC) in its reconstruction form —
+    ``cos(q, decode(codes))`` — which is term-for-term the classic
+    per-subspace lookup-table sum but stays pure Column expressions
+    (and lets the oracle reproduce it as one sequential dot product on
+    both engines).  Every query still scans all codes (PQ compresses
+    the corpus ~dim·8/n_sub×; it does not prune) — compose with IVF
+    cells via ``ivf_pq_topk`` for the FAISS-style IVFPQ layout.  Same
+    output shape and tie-breaks as ``brute_force_topk``; recall < 1 is
+    the quantization trade, tunable via n_sub/n_codes or trained
+    codebooks (``train_pq_codebooks``).
+
+    ``codes_col``: score a pre-encoded index (``pq_encode_index``)
+    instead of encoding in-flight — the 10^12-doc serving path.
+    """
+    cb = pq_codebooks(dim, n_sub, n_codes, seed) if codebooks is None \
+        else np.asarray(codebooks, dtype=np.float64)
+    mode = _resolve_assignment(assignment, cb.size)
+    if codes_col is not None:
+        # stored-index serving path: codes is a materialized column,
+        # per-subspace references to it are attribute access
+        c = corpus.select(F.col(id_col), F.col(codes_col).alias("codes")) \
+                  .where(F.col("codes").isNotNull())
+        recon = (make_pq_reconstruct_udf(c, cb)(F.col("codes"))
+                 if mode == "udf"
+                 else pq_reconstruct_expr(F.col("codes"), cb))
+    elif mode == "udf":
+        c = pq_encode_index(corpus, dim, id_col=id_col, vec_col=vec_col,
+                            codebooks=cb, assignment=mode)
+        recon = make_pq_reconstruct_udf(c, cb)(F.col("codes"))
+    else:
+        # in-flight literal path: encode+decode fused so each distance
+        # array evaluates once per row (see pq_reconstruct_from_vec_expr)
+        c = corpus.where(F.size(F.col(vec_col)) == dim).select(
+            F.col(id_col), F.col(vec_col))
+        recon = pq_reconstruct_from_vec_expr(vec_col, cb)
+    c = _spread(c.select(F.col(id_col), _pack_recon(recon).alias("_pk")))
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qnrm"))
+    scored = c.join(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.try_divide(dot_expr(F.col("_pk.recon"), F.col("_qvec")),
+                     F.col("_pk.cnrm") * F.col("_qnrm")).alias("score"))
+    return _topk(scored, query_id_col, k)
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id", n_centroids: int = 16,
+                n_probe: int = 4, n_sub: int = 8, n_codes: int = 16,
+                centroids: np.ndarray | None = None,
+                codebooks: np.ndarray | None = None,
+                seed: int = PLANE_SEED,
+                assignment: str = "auto") -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFPQ layout): IVF cells prune
+    candidates to ~n_probe/n_centroids of the corpus, PQ codes
+    compress what remains — the index row is (cell, codes), two ints +
+    n_sub bytes per vector.  Candidates come from the cell equi-join
+    (one shuffle, AQE-skew-safe), scores from ADC reconstruction —
+    both exactly as in the parent operators, so recall multiplies the
+    two approximations and the tie-break contract is unchanged."""
+    cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
+        else np.asarray(centroids, dtype=np.float64)
+    cb = pq_codebooks(dim, n_sub, n_codes, seed) if codebooks is None \
+        else np.asarray(codebooks, dtype=np.float64)
+    mode = _resolve_assignment(assignment,
+                               max(cb.size, dim * len(cents)))
+    c = corpus.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col), F.col(vec_col))
+    if mode == "udf":
+        cell = make_ivf_cell_udf(c, cents)(F.col(vec_col))
+        c = c.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        c = c.select(F.col(id_col), F.col("cell"),
+                     make_pq_encode_udf(c, cb)(F.col(vec_col))
+                     .alias("codes"))
+        recon = make_pq_reconstruct_udf(c, cb)(F.col("codes"))
+        c = c.select(F.col(id_col), F.col("cell"),
+                     _pack_recon(recon).alias("_pk"))
+    else:
+        # fused literal path: cell and packed reconstruction straight
+        # from the vector, one projection, no intermediate codes column
+        # for project-collapse to duplicate
+        c = c.select(
+            F.col(id_col),
+            ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
+            _pack_recon(pq_reconstruct_from_vec_expr(vec_col, cb))
+            .alias("_pk"))
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qnrm"))
+    if mode == "udf":
+        probe = F.explode(make_ivf_probe_udf(q, cents, n_probe)(
+            F.col("_qvec")))
+    else:
+        probe = F.explode(ivf_probe_cells_expr(F.col("_qvec"), cents,
+                                               n_probe))
+    q = q.withColumn("cell", probe)
+    scored = (c.join(q, "cell")
+               .select(F.col(query_id_col),
+                       F.col(id_col).alias("neighbor_id"),
+                       F.try_divide(
+                           dot_expr(F.col("_pk.recon"), F.col("_qvec")),
+                           F.col("_pk.cnrm") * F.col("_qnrm"))
+                       .alias("score")))
+    return _topk(scored, query_id_col, k)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

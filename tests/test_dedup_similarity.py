@@ -1233,3 +1233,102 @@ def test_ivf_recall_vs_nprobe_curve(spark):
         recalls.append(len(bf & ivf) / len(bf))
     assert recalls == sorted(recalls), recalls  # monotone in nprobe
     assert recalls[-1] >= 0.9, recalls  # the nprobe=4 quality floor
+
+
+def test_pq_topk_parity_and_self_hits(spark):
+    """Product-quantized ANN (r05): the literal-expression and
+    Arrow-UDF dispatch modes produce identical rows; scoring a
+    pre-encoded (vec_id, codes) index equals in-flight encoding; with
+    TRAINED codebooks every query finds itself (reconstruction keeps
+    self-similarity dominant) and recall@5 vs brute force clears the
+    unstructured-fixture floor."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    lit = sim.pq_topk(e, q, dim=64, k=5, assignment="literal").collect()
+    udf = sim.pq_topk(e, q, dim=64, k=5, assignment="udf").collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, udf))
+
+    idx = sim.pq_encode_index(e, dim=64)
+    assert idx.schema["codes"].dataType.simpleString() == "array<int>"
+    via_index = sim.pq_topk(idx, q, dim=64, k=5,
+                            codes_col="codes").collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, lit))
+
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in sim.brute_force_topk(e, q, k=5).collect()}
+    trained = sim.train_pq_codebooks(e, dim=64, n_sub=8, n_codes=16)
+    assert trained.shape == (8, 16, 8)
+    pq = {(r["query_id"], r["neighbor_id"])
+          for r in sim.pq_topk(e, q, dim=64, k=5,
+                               codebooks=trained).collect()}
+    assert all((i, i) in pq for i in range(10))  # self is found
+    # measured 0.4 with trained books on the structure-free fixture
+    assert len(bf & pq) / len(bf) >= 0.25
+
+
+def test_ivf_pq_topk_composes(spark):
+    """IVFPQ (r05): cells prune candidates, codes compress scoring —
+    literal and UDF modes agree; every returned neighbor is also
+    plausible under plain IVF with the same probe budget (the cell
+    pruning is IDENTICAL, only scores are quantized); the candidate
+    stage is a cell equi-join, not a cartesian product."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    lit = sim.ivf_pq_topk(e, q, dim=64, k=5, assignment="literal")
+    udf_rows = sim.ivf_pq_topk(e, q, dim=64, k=5,
+                               assignment="udf").collect()
+    lit_rows = lit.collect()
+    assert sorted(map(tuple, lit_rows)) == sorted(map(tuple, udf_rows))
+
+    ivf_cand = {(r["query_id"], r["neighbor_id"])
+                for r in sim.ivf_topk(e, q, dim=64, k=500).collect()}
+    assert {(r["query_id"], r["neighbor_id"])
+            for r in lit_rows} <= ivf_cand
+
+    plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_null_and_ragged_vectors(spark):
+    """Null and wrong-length CORPUS vectors are dropped (never a
+    neighbor) in both dispatch modes; a NULL query is dropped and a
+    ragged query degrades to null scores — the exact family semantics
+    of brute_force_topk (nulls filtered both sides, ragged undefined
+    by the dim contract but never row-corrupting)."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .where(F.col("vec_id") < 50)
+    broken = spark.createDataFrame(
+        [(90001, None), (90002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    corpus = e.select("vec_id", F.col("embedding")
+                      .cast("array<double>").alias("embedding")) \
+        .unionByName(broken)
+    q = corpus.where(F.col("vec_id").isin(0, 90001, 90002)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    for mode in ("literal", "udf"):
+        rows = sim.pq_topk(corpus, q, dim=64, k=5,
+                           assignment=mode).collect()
+        # broken corpus rows never appear as neighbors
+        assert all(r["neighbor_id"] < 90000 for r in rows)
+        # null query gone; ragged query yields only null scores
+        by_q = {r["query_id"] for r in rows}
+        assert 90001 not in by_q
+        assert all(r["score"] is None for r in rows
+                   if r["query_id"] == 90002)
+        assert any(r["score"] is not None for r in rows
+                   if r["query_id"] == 0)
