@@ -649,6 +649,7 @@ _TAIL_ROTATION = [
     # scripts/check_oracle.py at sf0.01 + sf0.1 — same contract as the
     # r04l tail registrations.
     "ann_pq_top5",  # r05b
+    "ann_ivfpq_top5",  # r05b, same tail contract
 ]
 
 

@@ -225,6 +225,75 @@ def ann_pq_top5(spark, sf_dir):
 
 
 @register(
+    "ann_ivfpq_top5",
+    f"""
+    WITH centroids AS ({_DUCK_CENTROIDS}),
+    books AS ({_DUCK_PQ_BOOKS}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, j AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(cv, centroids.c) DESC, j) AS rn
+        FROM c CROSS JOIN centroids) t WHERE rn = 1
+    ),
+    enc AS (
+      SELECT vec_id, m, c FROM (
+        SELECT t.vec_id, b.m, b.c,
+               row_number() OVER (PARTITION BY t.vec_id, b.m
+                 ORDER BY list_dot_product(b.c, b.c)
+                          - 2 * list_dot_product(
+                              list_slice(t.cv, b.m*8 + 1, b.m*8 + 8), b.c),
+                          b.j) AS rn
+        FROM c t CROSS JOIN books b) s WHERE rn = 1
+    ),
+    recon AS (
+      SELECT enc.vec_id, a.cell, flatten(list(enc.c ORDER BY enc.m)) AS rv
+      FROM enc JOIN c_assign a ON enc.vec_id = a.vec_id
+      GROUP BY enc.vec_id, a.cell
+    ),
+    q_probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, j AS cell,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, centroids.c) DESC, j) AS rn
+        FROM q CROSS JOIN centroids) t WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             {_COS.format(a='rv', b='qv')} AS s
+      FROM recon JOIN q_probe USING (cell)
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS INT) AS rank,
+             s
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_top5(spark, sf_dir):
+    """IVFPQ composed top-5 (16 coarse cells x 4 probes for candidate
+    pruning + 8x16 PQ codes for compressed ADC scoring — the FAISS
+    IVFPQ layout, index row = (cell, codes)): candidate set is
+    identical to ann_ivf_top5's cell equi-join, scores are
+    ann_pq_top5's reconstruction dot — the oracle composes the same
+    two CTE blocks and must agree exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ivf_pq_topk(e, queries, dim=DIM, k=5, n_centroids=16,
+                           n_probe=4, n_sub=8, n_codes=16)
+
+
+@register(
     "embedding_near_dup_pairs",
     f"""
     WITH corpus AS (
