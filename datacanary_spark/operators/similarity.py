@@ -842,6 +842,100 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     return _topk(scored, query_id_col, k)
 
 
+def ivfpq_write_index(corpus: DataFrame, path: str, dim: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_centroids: int = 16, n_sub: int = 8,
+                      n_codes: int = 16,
+                      centroids: np.ndarray | None = None,
+                      codebooks: np.ndarray | None = None,
+                      seed: int = PLANE_SEED,
+                      assignment: str = "auto") -> None:
+    """Persist the IVFPQ index as a CELL-PARTITIONED table
+    (``path/cell=K/part-*``, row = (id, codes)): the serving tier's
+    partition layout.  A probe of ``n_probe`` cells becomes a
+    PartitionFilters entry on the scan — whole directories skipped
+    before any file opens — so query cost at rest is
+    O(corpus · n_probe / n_centroids) I/O of ALREADY-compressed codes
+    (n_sub ints per vector), with no Spark job touching the raw
+    vectors.  Encode once, append new crawl batches as new files in
+    their cell directories; centroids/codebooks must be the SAME at
+    write and query time (pass trained arrays to both, or share the
+    deterministic seed)."""
+    from datacanary_spark.sources.io import write_table
+
+    cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
+        else np.asarray(centroids, dtype=np.float64)
+    cb = pq_codebooks(dim, n_sub, n_codes, seed) if codebooks is None \
+        else np.asarray(codebooks, dtype=np.float64)
+    mode = _resolve_assignment(assignment,
+                               max(cb.size, dim * len(cents)))
+    c = corpus.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col), F.col(vec_col))
+    if mode == "udf":
+        cell = make_ivf_cell_udf(c, cents)(F.col(vec_col))
+        c = c.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        c = c.select(F.col(id_col), F.col("cell"),
+                     make_pq_encode_udf(c, cb)(F.col(vec_col))
+                     .alias("codes"))
+    else:
+        c = c.select(F.col(id_col),
+                     ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
+                     pq_encode_expr(vec_col, cb).alias("codes"))
+    write_table(c, path, mode="overwrite", partition_by=["cell"])
+
+
+def ivfpq_query_index(spark, path: str, queries: DataFrame, dim: int,
+                      k: int = 5, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      query_id_col: str = "query_id",
+                      n_centroids: int = 16, n_probe: int = 4,
+                      n_sub: int = 8, n_codes: int = 16,
+                      centroids: np.ndarray | None = None,
+                      codebooks: np.ndarray | None = None,
+                      seed: int = PLANE_SEED,
+                      assignment: str = "auto") -> DataFrame:
+    """Serve top-k from a persisted ``ivfpq_write_index`` table with
+    STATIC partition pruning: the query set is small by construction
+    (same broadcast contract as every topk operator here), so its
+    probe-cell union is collected driver-side — bounded by
+    n_queries · n_probe ints — and pushed as an ``IN`` literal filter,
+    which the scan turns into PartitionFilters (plan-locked in the
+    tests).  Only the probed cell directories are read; everything
+    after the scan is the in-flight ``ivf_pq_topk`` tail, so results
+    are identical row-for-row."""
+    cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
+        else np.asarray(centroids, dtype=np.float64)
+    cb = pq_codebooks(dim, n_sub, n_codes, seed) if codebooks is None \
+        else np.asarray(codebooks, dtype=np.float64)
+    mode = _resolve_assignment(assignment,
+                               max(cb.size, dim * len(cents)))
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qnrm"))
+    if mode == "udf":
+        probe = make_ivf_probe_udf(q, cents, n_probe)(F.col("_qvec"))
+    else:
+        probe = ivf_probe_cells_expr(F.col("_qvec"), cents, n_probe)
+    q = q.withColumn("cell", F.explode(probe))
+    # bounded driver collect: the distinct probed cells (≤ n_centroids)
+    cells = sorted({r["cell"] for r in q.select("cell").distinct()
+                    .collect()})
+    idx = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    recon = (make_pq_reconstruct_udf(idx, cb)(F.col("codes"))
+             if mode == "udf"
+             else pq_reconstruct_expr(F.col("codes"), cb))
+    c = idx.select(F.col(id_col), F.col("cell"),
+                   _pack_recon(recon).alias("_pk"))
+    scored = (c.join(q, "cell")
+               .select(F.col(query_id_col),
+                       F.col(id_col).alias("neighbor_id"),
+                       F.try_divide(
+                           dot_expr(F.col("_pk.recon"), F.col("_qvec")),
+                           F.col("_pk.cnrm") * F.col("_qnrm"))
+                       .alias("score")))
+    return _topk(scored, query_id_col, k)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

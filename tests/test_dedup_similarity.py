@@ -1332,3 +1332,41 @@ def test_pq_null_and_ragged_vectors(spark):
                    if r["query_id"] == 90002)
         assert any(r["score"] is not None for r in rows
                    if r["query_id"] == 0)
+
+
+def test_ivfpq_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted IVFPQ index (r05): cell-partitioned layout on
+    disk, probe cells become PartitionFilters on the scan (whole
+    directories skipped before any file opens — the serving tier's
+    scale contract), and results equal the in-flight ivf_pq_topk
+    row-for-row in both dispatch modes."""
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    path = str(tmp_path / "ivfpq_index")
+    sim.ivfpq_write_index(e, path, dim=64)
+
+    import os
+
+    cells_on_disk = sorted(d for d in os.listdir(path)
+                           if d.startswith("cell="))
+    assert len(cells_on_disk) > 4  # real multi-cell layout
+
+    served = sim.ivfpq_query_index(spark, path, q, dim=64, k=5)
+    inflight = sim.ivf_pq_topk(e, q, dim=64, k=5)
+    assert sorted(map(tuple, served.collect())) \
+        == sorted(map(tuple, inflight.collect()))
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in part  # the probe set prunes at the directory tier
+
+    # UDF dispatch serves the identical rows from the same index
+    served_udf = sim.ivfpq_query_index(spark, path, q, dim=64, k=5,
+                                       assignment="udf")
+    assert sorted(map(tuple, served_udf.collect())) \
+        == sorted(map(tuple, served.collect()))
