@@ -485,6 +485,89 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def _quantizer_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/_quantizers.json"
+
+
+def cmd_ann_index(args) -> int:
+    """Build the persisted IVFPQ ANN index (cell-partitioned codes).
+
+    With ``--train`` the coarse centroids and PQ codebooks are fitted
+    on the corpus (Spark-ML KMeans, optionally on a deterministic
+    hash sample) and SAVED NEXT TO THE INDEX as ``_quantizers.json`` —
+    ann-query reads them back, so the same-arrays write/query contract
+    can't be broken by a flag mismatch. Without ``--train`` both sides
+    derive the same seeded arrays."""
+    import numpy as np
+
+    from datacanary_spark.operators import similarity as sim
+    from datacanary_spark.sources.io import read_table, write_text
+
+    spark = _spark(args)
+    df = read_table(spark, args.input)
+    cents = books = None
+    if args.train:
+        cents = sim.train_ivf_centroids(
+            df, vec_col=args.vec_col, n_centroids=args.n_centroids,
+            sample_fraction=args.sample_fraction)
+        books = sim.train_pq_codebooks(
+            df, dim=args.dim, vec_col=args.vec_col, n_sub=args.n_sub,
+            n_codes=args.n_codes, sample_fraction=args.sample_fraction)
+    sim.ivfpq_write_index(
+        df, args.output, dim=args.dim, id_col=args.id_col,
+        vec_col=args.vec_col, n_centroids=args.n_centroids,
+        n_sub=args.n_sub, n_codes=args.n_codes,
+        centroids=cents, codebooks=books)
+    if args.train:
+        write_text(spark, _quantizer_path(args.output), json.dumps(
+            {"centroids": np.asarray(cents).tolist(),
+             "codebooks": np.asarray(books).tolist()}, sort_keys=True))
+    idx = spark.read.parquet(args.output)
+    summary = {"rows": idx.count(),
+               "cells": idx.select("cell").distinct().count(),
+               "n_sub": args.n_sub, "n_codes": args.n_codes,
+               "trained": bool(args.train)}
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
+def cmd_ann_query(args) -> int:
+    """Serve top-k from a persisted ANN index (partition-pruned probe).
+
+    Reads ``_quantizers.json`` when the index was built with
+    ``--train``; otherwise re-derives the seeded arrays."""
+    import numpy as np
+
+    from datacanary_spark.operators import similarity as sim
+    from datacanary_spark.sources.io import read_table, read_text
+
+    spark = _spark(args)
+    queries = read_table(spark, args.queries)
+    cents = books = None
+    qp = _quantizer_path(args.index)
+    try:
+        # Hadoop-FS read, NOT spark.read.text: Spark's file index
+        # silently ignores underscore-prefixed sidecars
+        saved = json.loads(read_text(spark, qp))
+        cents = np.asarray(saved["centroids"], dtype=np.float64)
+        books = np.asarray(saved["codebooks"], dtype=np.float64)
+    except Exception:  # noqa: BLE001 - no sidecar: seeded quantizers
+        pass
+    out = sim.ivfpq_query_index(
+        spark, args.index, queries, dim=args.dim, k=args.k,
+        id_col=args.id_col, vec_col=args.vec_col,
+        query_id_col=args.query_id_col, n_centroids=args.n_centroids,
+        n_probe=args.n_probe, n_sub=args.n_sub, n_codes=args.n_codes,
+        centroids=cents, codebooks=books)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"result_rows": n, "k": args.k,
+                      "n_probe": args.n_probe,
+                      "trained_quantizers": cents is not None},
+                     sort_keys=True))
+    return 0
+
+
 def parse_blocklist_arg(arg: str | None) -> list[str] | str | None:
     """``--blocklist`` disambiguation: a path separator or an existing
     local file/dir means a table path handed to read_table; otherwise a
@@ -1068,6 +1151,42 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--salt", default="sample")
     s.add_argument("--default-fraction", type=float, default=0.0)
     s.set_defaults(fn=cmd_sample)
+
+    ab = sub.add_parser("ann-index",
+                        help="build a persisted IVFPQ ANN index "
+                             "(cell-partitioned PQ codes)")
+    ab.add_argument("--input", required=True)
+    ab.add_argument("--output", required=True)
+    ab.add_argument("--dim", type=int, required=True)
+    ab.add_argument("--id-col", default="vec_id")
+    ab.add_argument("--vec-col", default="embedding")
+    ab.add_argument("--n-centroids", type=int, default=16)
+    ab.add_argument("--n-sub", type=int, default=8)
+    ab.add_argument("--n-codes", type=int, default=16)
+    ab.add_argument("--train", action="store_true",
+                    help="fit centroids + codebooks on the corpus and "
+                         "save them beside the index")
+    ab.add_argument("--sample-fraction", type=float, default=None,
+                    help="train on a deterministic hash sample")
+    ab.set_defaults(fn=cmd_ann_index)
+
+    aq = sub.add_parser("ann-query",
+                        help="top-k from a persisted ANN index "
+                             "(partition-pruned probe)")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--queries", required=True,
+                    help="parquet of (query_id, embedding)")
+    aq.add_argument("--output", required=True)
+    aq.add_argument("--dim", type=int, required=True)
+    aq.add_argument("--k", type=int, default=5)
+    aq.add_argument("--n-probe", type=int, default=4)
+    aq.add_argument("--id-col", default="vec_id")
+    aq.add_argument("--vec-col", default="embedding")
+    aq.add_argument("--query-id-col", default="query_id")
+    aq.add_argument("--n-centroids", type=int, default=16)
+    aq.add_argument("--n-sub", type=int, default=8)
+    aq.add_argument("--n-codes", type=int, default=16)
+    aq.set_defaults(fn=cmd_ann_query)
 
     ex = sub.add_parser(
         "export",

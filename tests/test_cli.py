@@ -2110,3 +2110,60 @@ def test_curate_kitchen_sink_all_stages(spark, tmp_path, capsys):
     b = {tuple(r) for r in spark.read.parquet(
         os.path.join(str(tmp_path / "o2"), "corpus")).collect()}
     assert a == b
+
+
+def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
+    """ann-index / ann-query e2e (r05): trained quantizers persist
+    beside the index and the query side reads them back (the
+    same-arrays contract survives separate invocations); served rows
+    equal the library call with the same trained arrays; the untrained
+    path round-trips on seeded quantizers alone."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from datacanary_spark.operators import similarity as sim
+
+    src = "/root/testdata/sf0.01/embeddings.parquet"
+    qsrc = str(tmp_path / "queries")
+    spark.read.parquet(src).where(F2.col("vec_id") < 10).select(
+        F2.col("vec_id").alias("query_id"), "embedding") \
+        .write.parquet(qsrc)
+
+    # trained build + query
+    idx = str(tmp_path / "annidx")
+    assert main(["ann-index", "--input", src, "--output", idx,
+                 "--dim", "64", "--train"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["trained"] and s["rows"] == 500 and s["cells"] > 4
+    assert os.path.exists(os.path.join(idx, "_quantizers.json"))
+
+    out = str(tmp_path / "annout")
+    assert main(["ann-query", "--index", idx, "--queries", qsrc,
+                 "--output", out, "--dim", "64", "--k", "5"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["trained_quantizers"] and s["result_rows"] == 50
+
+    saved = json.loads(open(os.path.join(idx, "_quantizers.json")).read())
+    cents = np.asarray(saved["centroids"])
+    books = np.asarray(saved["codebooks"])
+    e = spark.read.parquet(src)
+    q = spark.read.parquet(qsrc)
+    expected = sim.ivf_pq_topk(e, q, dim=64, k=5, centroids=cents,
+                               codebooks=books).collect()
+    got = spark.read.parquet(out).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+    # untrained build: no sidecar, seeded arrays on both sides
+    idx2 = str(tmp_path / "annidx2")
+    out2 = str(tmp_path / "annout2")
+    assert main(["ann-index", "--input", src, "--output", idx2,
+                 "--dim", "64"]) == 0
+    capsys.readouterr()
+    assert not os.path.exists(os.path.join(idx2, "_quantizers.json"))
+    assert main(["ann-query", "--index", idx2, "--queries", qsrc,
+                 "--output", out2, "--dim", "64", "--k", "5"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not s["trained_quantizers"]
+    expected2 = sim.ivf_pq_topk(e, q, dim=64, k=5).collect()
+    got2 = spark.read.parquet(out2).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, expected2))
