@@ -492,16 +492,17 @@ def _quantizer_path(index_path: str) -> str:
 def cmd_ann_index(args) -> int:
     """Build the persisted IVFPQ ANN index (cell-partitioned codes).
 
-    With ``--train`` the coarse centroids and PQ codebooks are fitted
-    on the corpus (Spark-ML KMeans, optionally on a deterministic
-    hash sample) and SAVED NEXT TO THE INDEX as ``_quantizers.json`` —
-    ann-query reads them back, so the same-arrays write/query contract
-    can't be broken by a flag mismatch. Without ``--train`` both sides
-    derive the same seeded arrays."""
+    The quantizers — fitted on the corpus with ``--train`` (Spark-ML
+    KMeans, optionally on a deterministic hash sample) or derived from
+    the shared seed — are ALWAYS saved next to the index as
+    ``_quantizers.json``; ann-query reads them back, so the
+    same-arrays write/query contract can never be broken by a flag
+    mismatch between the two invocations."""
     import numpy as np
+    from pyspark.sql import functions as F
 
     from datacanary_spark.operators import similarity as sim
-    from datacanary_spark.sources.io import read_table, write_text
+    from datacanary_spark.sources.io import read_table
 
     spark = _spark(args)
     df = read_table(spark, args.input)
@@ -513,18 +514,29 @@ def cmd_ann_index(args) -> int:
         books = sim.train_pq_codebooks(
             df, dim=args.dim, vec_col=args.vec_col, n_sub=args.n_sub,
             n_codes=args.n_codes, sample_fraction=args.sample_fraction)
+    if not args.train:
+        # same deterministic derivation ivfpq_write_index applies
+        cents = sim.ivf_centroids(args.dim, args.n_centroids)
+        books = sim.pq_codebooks(args.dim, args.n_sub, args.n_codes)
     sim.ivfpq_write_index(
         df, args.output, dim=args.dim, id_col=args.id_col,
         vec_col=args.vec_col, n_centroids=args.n_centroids,
         n_sub=args.n_sub, n_codes=args.n_codes,
         centroids=cents, codebooks=books)
-    if args.train:
-        write_text(spark, _quantizer_path(args.output), json.dumps(
-            {"centroids": np.asarray(cents).tolist(),
-             "codebooks": np.asarray(books).tolist()}, sort_keys=True))
+    # ALWAYS persist the quantizers (trained or seeded) beside the
+    # index — atomically, because a partial sidecar means silently
+    # wrong serving results — so ann-query never depends on the user
+    # re-typing matching flags
+    from datacanary_spark.sources.io import write_text_atomic
+
+    write_text_atomic(spark, _quantizer_path(args.output), json.dumps(
+        {"dim": args.dim, "trained": bool(args.train),
+         "centroids": np.asarray(cents).tolist(),
+         "codebooks": np.asarray(books).tolist()}, sort_keys=True))
     idx = spark.read.parquet(args.output)
-    summary = {"rows": idx.count(),
-               "cells": idx.select("cell").distinct().count(),
+    row = idx.agg(F.count(F.lit(1)).alias("rows"),
+                  F.countDistinct("cell").alias("cells")).collect()[0]
+    summary = {"rows": row["rows"], "cells": row["cells"],
                "n_sub": args.n_sub, "n_codes": args.n_codes,
                "trained": bool(args.train)}
     print(json.dumps(summary, sort_keys=True))
@@ -534,25 +546,36 @@ def cmd_ann_index(args) -> int:
 def cmd_ann_query(args) -> int:
     """Serve top-k from a persisted ANN index (partition-pruned probe).
 
-    Reads ``_quantizers.json`` when the index was built with
-    ``--train``; otherwise re-derives the seeded arrays."""
+    Reads the ``_quantizers.json`` sidecar ann-index always writes; a
+    library-written index without one falls back to the seeded arrays.
+    A sidecar that EXISTS but cannot be read or parsed is a hard
+    error — silently decoding trained codes with seeded codebooks
+    would serve garbage neighbors with exit 0."""
     import numpy as np
 
     from datacanary_spark.operators import similarity as sim
-    from datacanary_spark.sources.io import read_table, read_text
+    from datacanary_spark.sources.io import path_exists, read_table, read_text
 
     spark = _spark(args)
     queries = read_table(spark, args.queries)
     cents = books = None
     qp = _quantizer_path(args.index)
-    try:
+    if path_exists(spark, qp):
         # Hadoop-FS read, NOT spark.read.text: Spark's file index
-        # silently ignores underscore-prefixed sidecars
-        saved = json.loads(read_text(spark, qp))
-        cents = np.asarray(saved["centroids"], dtype=np.float64)
-        books = np.asarray(saved["codebooks"], dtype=np.float64)
-    except Exception:  # noqa: BLE001 - no sidecar: seeded quantizers
-        pass
+        # silently ignores underscore-prefixed sidecars. Parse
+        # strictly and assign both arrays together — a half-assigned
+        # trained-centroids/seeded-codebooks state must be impossible.
+        try:
+            saved = json.loads(read_text(spark, qp))
+            loaded = (np.asarray(saved["centroids"], dtype=np.float64),
+                      np.asarray(saved["codebooks"], dtype=np.float64))
+        except Exception as exc:
+            raise SystemExit(
+                f"ann-query: {qp} exists but is unreadable/corrupt "
+                f"({exc}) — refusing to fall back to seeded "
+                f"quantizers; rebuild the index or remove the "
+                f"sidecar if it is genuinely stale") from exc
+        cents, books = loaded
     out = sim.ivfpq_query_index(
         spark, args.index, queries, dim=args.dim, k=args.k,
         id_col=args.id_col, vec_col=args.vec_col,
@@ -563,7 +586,7 @@ def cmd_ann_query(args) -> int:
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"result_rows": n, "k": args.k,
                       "n_probe": args.n_probe,
-                      "trained_quantizers": cents is not None},
+                      "sidecar_quantizers": cents is not None},
                      sort_keys=True))
     return 0
 

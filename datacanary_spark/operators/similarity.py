@@ -432,12 +432,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                       norm_expr(F.col(vec_col)).alias("_cnrm"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
                        norm_expr(F.col(vec_col)).alias("_qnrm"))
-    # a null query vector has no neighbors in EITHER dispatch mode: the
-    # probe UDF emits no cells for it (explode drops the row), while the
-    # literal probe expression would emit n_probe all-null-dot cells and
-    # k null-score rows — filter up front so "auto" cannot change the
-    # result set with dim (the literal==udf equivalence contract)
-    q = q.where(F.col("_qvec").isNotNull())
+    # a null OR wrong-length query vector has no neighbors in EITHER
+    # dispatch mode: the probe UDF emits no cells for both (explode
+    # drops the row), while the literal probe expression would emit
+    # n_probe degenerate cells (null dots for a null vector; a
+    # truncated zip_with for a ragged one) and k null-score rows —
+    # filter up front so "auto" cannot change the result set with dim
+    # (the literal==udf equivalence contract; r05 extends the r04 null
+    # guard to ragged vectors)
+    q = q.where(F.size(F.col("_qvec")) == dim)
     if mode == "udf":
         cell_udf = make_ivf_cell_udf(c, cents)
         probe_udf = make_ivf_probe_udf(q, cents, n_probe)
@@ -507,7 +510,10 @@ def train_pq_codebooks(df: DataFrame, dim: int, vec_col: str = "embedding",
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub = dim // n_sub
-    data = (df.where(F.col(vec_col).isNotNull())
+    # length filter, not just isNotNull: one ragged vector would feed
+    # mixed-size subvectors to KMeans and abort the fit deep in MLlib,
+    # while every PQ operator deliberately DROPS ragged rows
+    data = (df.where(F.size(F.col(vec_col)) == dim)
               .select(F.col(vec_col).cast("array<double>").alias("_v")))
     if sample_fraction is not None:
         from datacanary_spark.operators.corpus_stats import (
@@ -601,13 +607,22 @@ def pq_reconstruct_expr(codes: Column, codebooks: np.ndarray) -> Column:
     UDF output attribute): each subspace references it once, and a
     heavy in-flight expression would be re-evaluated per reference
     under project-collapse — the in-flight path uses the fused
-    ``pq_reconstruct_from_vec_expr`` instead."""
-    n_sub = codebooks.shape[0]
+    ``pq_reconstruct_from_vec_expr`` instead.
+
+    A codes row that does not match this codebook's geometry (wrong
+    length, code out of [0, n_codes) — e.g. an index built with
+    different n_sub/n_codes flags) decodes to NULL, matching the UDF
+    twin's guard; without it the ANSI-mode ``element_at`` would abort
+    the whole job on the first mismatched row.  CASE WHEN evaluates
+    its branches lazily, so the guarded lookup never raises."""
+    n_sub, n_codes, _ = codebooks.shape
     parts = []
     for m in range(n_sub):
         book = F.array(*[_lit_vec(c) for c in codebooks[m]])
         parts.append(F.element_at(book, F.element_at(codes, m + 1) + 1))
-    return F.concat(*parts)
+    geometry_ok = (F.size(codes) == n_sub) & F.forall(
+        codes, lambda c: (c >= 0) & (c < n_codes))
+    return F.when(geometry_ok, F.concat(*parts))
 
 
 def _sql_f(x: float) -> str:
@@ -685,10 +700,16 @@ def make_pq_reconstruct_udf(df: DataFrame, codebooks: np.ndarray):
     @pandas_udf("array<double>")
     def pq_reconstruct(codes: pd.Series) -> pd.Series:
         cb = bc.value
-        n_sub = cb.shape[0]
+        n_sub, n_codes = cb.shape[0], cb.shape[1]
         out = []
         for code in codes:
-            if code is None or len(code) != n_sub:
+            # full geometry guard, same as the literal expression: a
+            # mismatched row decodes to null — an out-of-range code
+            # would raise (or, negative, silently WRAP via numpy
+            # indexing) instead of degrading one row
+            if (code is None or len(code) != n_sub
+                    or any(c is None or c < 0 or c >= n_codes
+                           for c in code)):
                 out.append(None)
             else:
                 out.append(np.concatenate(
@@ -722,6 +743,77 @@ def pq_encode_index(df: DataFrame, dim: int, id_col: str = "vec_id",
     codes = (make_pq_encode_udf(c, cb)(F.col(vec_col)) if mode == "udf"
              else pq_encode_expr(vec_col, cb))
     return c.select(F.col(id_col), codes.alias("codes"))
+
+
+def _query_frame(queries: DataFrame, dim: int, vec_col: str,
+                 query_id_col: str) -> DataFrame:
+    """The shared query side: (query_id, _qvec, _qnrm), with null AND
+    wrong-length vectors dropped.  The length filter is load-bearing
+    for dispatch parity: a ragged query under the literal probe
+    expressions degenerates to null-dot probes (k null-score rows)
+    while the UDF probe drops it — so without the filter,
+    ``assignment="auto"`` would change the RESULT SET as dim crosses
+    the literal budget."""
+    return queries.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qnrm"))
+
+
+def _probe_explode(q: DataFrame, cents: np.ndarray, n_probe: int,
+                   mode: str) -> DataFrame:
+    """Explode each query row into its n_probe (row, cell) probes."""
+    probe = (make_ivf_probe_udf(q, cents, n_probe)(F.col("_qvec"))
+             if mode == "udf"
+             else ivf_probe_cells_expr(F.col("_qvec"), cents, n_probe))
+    return q.withColumn("cell", F.explode(probe))
+
+
+def _ivfpq_corpus_frame(corpus: DataFrame, dim: int, id_col: str,
+                        vec_col: str, cents: np.ndarray, cb: np.ndarray,
+                        mode: str, packed: bool) -> DataFrame:
+    """ONE definition of the IVFPQ corpus side, shared by the in-flight
+    operator and the index writer so the two cannot drift: ragged/null
+    vectors dropped, then (id, cell, codes) rows (``packed=False`` —
+    the storable index layout) or (id, cell, _pk) rows (``packed=True``
+    — the scorable frame).  The literal packed path fuses
+    encode+decode straight from the vector (no intermediate codes
+    column for project-collapse to duplicate)."""
+    c = corpus.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col), F.col(vec_col))
+    if mode == "udf":
+        cell = make_ivf_cell_udf(c, cents)(F.col(vec_col))
+        c = c.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        c = c.select(F.col(id_col), F.col("cell"),
+                     make_pq_encode_udf(c, cb)(F.col(vec_col))
+                     .alias("codes"))
+        if not packed:
+            return c
+        recon = make_pq_reconstruct_udf(c, cb)(F.col("codes"))
+        return c.select(F.col(id_col), F.col("cell"),
+                        _pack_recon(recon).alias("_pk"))
+    cell = ivf_cell_expr(F.col(vec_col), cents).alias("cell")
+    if not packed:
+        return c.select(F.col(id_col), cell,
+                        pq_encode_expr(vec_col, cb).alias("codes"))
+    return c.select(
+        F.col(id_col), cell,
+        _pack_recon(pq_reconstruct_from_vec_expr(vec_col, cb))
+        .alias("_pk"))
+
+
+def _adc_topk(c: DataFrame, q: DataFrame, query_id_col: str, id_col: str,
+              k: int, on_cell: bool) -> DataFrame:
+    """ONE definition of the ADC scoring tail (same rationale as
+    ``_topk``): join the packed corpus frame to the query frame — cell
+    equi-join for the pruned paths, broadcast full scan for plain
+    PQ — and score cos(q, decode(codes)) from the packed struct."""
+    joined = c.join(q, "cell") if on_cell else c.join(F.broadcast(q))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.try_divide(dot_expr(F.col("_pk.recon"), F.col("_qvec")),
+                     F.col("_pk.cnrm") * F.col("_qnrm")).alias("score"))
+    return _topk(scored, query_id_col, k)
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
@@ -770,15 +862,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             F.col(id_col), F.col(vec_col))
         recon = pq_reconstruct_from_vec_expr(vec_col, cb)
     c = _spread(c.select(F.col(id_col), _pack_recon(recon).alias("_pk")))
-    q = queries.where(F.col(vec_col).isNotNull()).select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-        norm_expr(F.col(vec_col)).alias("_qnrm"))
-    scored = c.join(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        F.try_divide(dot_expr(F.col("_pk.recon"), F.col("_qvec")),
-                     F.col("_pk.cnrm") * F.col("_qnrm")).alias("score"))
-    return _topk(scored, query_id_col, k)
+    q = _query_frame(queries, dim, vec_col, query_id_col)
+    return _adc_topk(c, q, query_id_col, id_col, k, on_cell=False)
 
 
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
@@ -802,44 +887,11 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         else np.asarray(codebooks, dtype=np.float64)
     mode = _resolve_assignment(assignment,
                                max(cb.size, dim * len(cents)))
-    c = corpus.where(F.size(F.col(vec_col)) == dim).select(
-        F.col(id_col), F.col(vec_col))
-    if mode == "udf":
-        cell = make_ivf_cell_udf(c, cents)(F.col(vec_col))
-        c = c.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
-        c = c.select(F.col(id_col), F.col("cell"),
-                     make_pq_encode_udf(c, cb)(F.col(vec_col))
-                     .alias("codes"))
-        recon = make_pq_reconstruct_udf(c, cb)(F.col("codes"))
-        c = c.select(F.col(id_col), F.col("cell"),
-                     _pack_recon(recon).alias("_pk"))
-    else:
-        # fused literal path: cell and packed reconstruction straight
-        # from the vector, one projection, no intermediate codes column
-        # for project-collapse to duplicate
-        c = c.select(
-            F.col(id_col),
-            ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
-            _pack_recon(pq_reconstruct_from_vec_expr(vec_col, cb))
-            .alias("_pk"))
-    q = queries.where(F.col(vec_col).isNotNull()).select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-        norm_expr(F.col(vec_col)).alias("_qnrm"))
-    if mode == "udf":
-        probe = F.explode(make_ivf_probe_udf(q, cents, n_probe)(
-            F.col("_qvec")))
-    else:
-        probe = F.explode(ivf_probe_cells_expr(F.col("_qvec"), cents,
-                                               n_probe))
-    q = q.withColumn("cell", probe)
-    scored = (c.join(q, "cell")
-               .select(F.col(query_id_col),
-                       F.col(id_col).alias("neighbor_id"),
-                       F.try_divide(
-                           dot_expr(F.col("_pk.recon"), F.col("_qvec")),
-                           F.col("_pk.cnrm") * F.col("_qnrm"))
-                       .alias("score")))
-    return _topk(scored, query_id_col, k)
+    c = _ivfpq_corpus_frame(corpus, dim, id_col, vec_col, cents, cb,
+                            mode, packed=True)
+    q = _probe_explode(_query_frame(queries, dim, vec_col, query_id_col),
+                       cents, n_probe, mode)
+    return _adc_topk(c, q, query_id_col, id_col, k, on_cell=True)
 
 
 def ivfpq_write_index(corpus: DataFrame, path: str, dim: int,
@@ -860,7 +912,8 @@ def ivfpq_write_index(corpus: DataFrame, path: str, dim: int,
     vectors.  Encode once, append new crawl batches as new files in
     their cell directories; centroids/codebooks must be the SAME at
     write and query time (pass trained arrays to both, or share the
-    deterministic seed)."""
+    deterministic seed — the CLI persists trained arrays beside the
+    index as ``_quantizers.json``)."""
     from datacanary_spark.sources.io import write_table
 
     cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
@@ -869,18 +922,8 @@ def ivfpq_write_index(corpus: DataFrame, path: str, dim: int,
         else np.asarray(codebooks, dtype=np.float64)
     mode = _resolve_assignment(assignment,
                                max(cb.size, dim * len(cents)))
-    c = corpus.where(F.size(F.col(vec_col)) == dim).select(
-        F.col(id_col), F.col(vec_col))
-    if mode == "udf":
-        cell = make_ivf_cell_udf(c, cents)(F.col(vec_col))
-        c = c.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
-        c = c.select(F.col(id_col), F.col("cell"),
-                     make_pq_encode_udf(c, cb)(F.col(vec_col))
-                     .alias("codes"))
-    else:
-        c = c.select(F.col(id_col),
-                     ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
-                     pq_encode_expr(vec_col, cb).alias("codes"))
+    c = _ivfpq_corpus_frame(corpus, dim, id_col, vec_col, cents, cb,
+                            mode, packed=False)
     write_table(c, path, mode="overwrite", partition_by=["cell"])
 
 
@@ -902,21 +945,18 @@ def ivfpq_query_index(spark, path: str, queries: DataFrame, dim: int,
     which the scan turns into PartitionFilters (plan-locked in the
     tests).  Only the probed cell directories are read; everything
     after the scan is the in-flight ``ivf_pq_topk`` tail, so results
-    are identical row-for-row."""
+    are identical row-for-row.  (The probe expression runs twice —
+    once for the bounded cells collect, once in the join — which is
+    O(n_queries · n_centroids) arithmetic on the tiny side, not a
+    corpus cost.)"""
     cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
         else np.asarray(centroids, dtype=np.float64)
     cb = pq_codebooks(dim, n_sub, n_codes, seed) if codebooks is None \
         else np.asarray(codebooks, dtype=np.float64)
     mode = _resolve_assignment(assignment,
                                max(cb.size, dim * len(cents)))
-    q = queries.where(F.col(vec_col).isNotNull()).select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-        norm_expr(F.col(vec_col)).alias("_qnrm"))
-    if mode == "udf":
-        probe = make_ivf_probe_udf(q, cents, n_probe)(F.col("_qvec"))
-    else:
-        probe = ivf_probe_cells_expr(F.col("_qvec"), cents, n_probe)
-    q = q.withColumn("cell", F.explode(probe))
+    q = _probe_explode(_query_frame(queries, dim, vec_col, query_id_col),
+                       cents, n_probe, mode)
     # bounded driver collect: the distinct probed cells (≤ n_centroids)
     cells = sorted({r["cell"] for r in q.select("cell").distinct()
                     .collect()})
@@ -926,14 +966,7 @@ def ivfpq_query_index(spark, path: str, queries: DataFrame, dim: int,
              else pq_reconstruct_expr(F.col("codes"), cb))
     c = idx.select(F.col(id_col), F.col("cell"),
                    _pack_recon(recon).alias("_pk"))
-    scored = (c.join(q, "cell")
-               .select(F.col(query_id_col),
-                       F.col(id_col).alias("neighbor_id"),
-                       F.try_divide(
-                           dot_expr(F.col("_pk.recon"), F.col("_qvec")),
-                           F.col("_pk.cnrm") * F.col("_qnrm"))
-                       .alias("score")))
-    return _topk(scored, query_id_col, k)
+    return _adc_topk(c, q, query_id_col, id_col, k, on_cell=True)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,

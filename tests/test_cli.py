@@ -2141,9 +2141,10 @@ def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
     assert main(["ann-query", "--index", idx, "--queries", qsrc,
                  "--output", out, "--dim", "64", "--k", "5"]) == 0
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert s["trained_quantizers"] and s["result_rows"] == 50
+    assert s["sidecar_quantizers"] and s["result_rows"] == 50
 
     saved = json.loads(open(os.path.join(idx, "_quantizers.json")).read())
+    assert saved["trained"] is True
     cents = np.asarray(saved["centroids"])
     books = np.asarray(saved["codebooks"])
     e = spark.read.parquet(src)
@@ -2153,17 +2154,28 @@ def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
     got = spark.read.parquet(out).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
 
-    # untrained build: no sidecar, seeded arrays on both sides
+    # untrained build: the sidecar still persists (seeded arrays) so a
+    # query with DIFFERENT n-* flags cannot silently mismatch the index
     idx2 = str(tmp_path / "annidx2")
     out2 = str(tmp_path / "annout2")
     assert main(["ann-index", "--input", src, "--output", idx2,
                  "--dim", "64"]) == 0
     capsys.readouterr()
-    assert not os.path.exists(os.path.join(idx2, "_quantizers.json"))
+    sc2 = json.loads(open(os.path.join(idx2, "_quantizers.json")).read())
+    assert sc2["trained"] is False
     assert main(["ann-query", "--index", idx2, "--queries", qsrc,
                  "--output", out2, "--dim", "64", "--k", "5"]) == 0
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert not s["trained_quantizers"]
+    assert s["sidecar_quantizers"]
     expected2 = sim.ivf_pq_topk(e, q, dim=64, k=5).collect()
     got2 = spark.read.parquet(out2).collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, expected2))
+
+    # a corrupt sidecar is a HARD error, never a silent seeded fallback
+    import pytest
+
+    with open(os.path.join(idx2, "_quantizers.json"), "w") as fh:
+        fh.write("{truncated")
+    with pytest.raises(SystemExit, match="unreadable/corrupt"):
+        main(["ann-query", "--index", idx2, "--queries", qsrc,
+              "--output", str(tmp_path / "annout3"), "--dim", "64"])

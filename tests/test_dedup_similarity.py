@@ -1301,11 +1301,13 @@ def test_ivf_pq_topk_composes(spark):
 
 
 def test_pq_null_and_ragged_vectors(spark):
-    """Null and wrong-length CORPUS vectors are dropped (never a
-    neighbor) in both dispatch modes; a NULL query is dropped and a
-    ragged query degrades to null scores — the exact family semantics
-    of brute_force_topk (nulls filtered both sides, ragged undefined
-    by the dim contract but never row-corrupting)."""
+    """Null and wrong-length vectors are dropped on BOTH sides (never
+    a neighbor, no neighbors) in BOTH dispatch modes — the length
+    filter on the query frame is load-bearing for auto-dispatch
+    determinism: a ragged query under the literal probe expressions
+    would emit degenerate probes while the UDF probe drops it, so the
+    result set would otherwise change as dim crosses the literal
+    budget.  Same contract in pq_topk and ivf_pq_topk."""
     from pyspark.sql import functions as F
 
     from datacanary_spark.operators import similarity as sim
@@ -1320,18 +1322,14 @@ def test_pq_null_and_ragged_vectors(spark):
         .unionByName(broken)
     q = corpus.where(F.col("vec_id").isin(0, 90001, 90002)).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    for mode in ("literal", "udf"):
-        rows = sim.pq_topk(corpus, q, dim=64, k=5,
-                           assignment=mode).collect()
-        # broken corpus rows never appear as neighbors
-        assert all(r["neighbor_id"] < 90000 for r in rows)
-        # null query gone; ragged query yields only null scores
-        by_q = {r["query_id"] for r in rows}
-        assert 90001 not in by_q
-        assert all(r["score"] is None for r in rows
-                   if r["query_id"] == 90002)
-        assert any(r["score"] is not None for r in rows
-                   if r["query_id"] == 0)
+    for op in (sim.pq_topk, sim.ivf_pq_topk):
+        for mode in ("literal", "udf"):
+            rows = op(corpus, q, dim=64, k=5, assignment=mode).collect()
+            # broken corpus rows never appear as neighbors
+            assert all(r["neighbor_id"] < 90000 for r in rows)
+            # null AND ragged queries are gone in both modes
+            assert {r["query_id"] for r in rows} == {0}
+            assert any(r["score"] is not None for r in rows)
 
 
 def test_ivfpq_persisted_index_prunes_partitions(spark, tmp_path):
