@@ -511,9 +511,21 @@ def cmd_ann_index(args) -> int:
         cents = sim.train_ivf_centroids(
             df, vec_col=args.vec_col, n_centroids=args.n_centroids,
             sample_fraction=args.sample_fraction)
+        pq_train_src = df
+        if args.residual:
+            # residual mode quantizes x - centroid[cell], so the
+            # codebooks must be FITTED on residuals too (fitting them
+            # on raw vectors wastes the whole code budget re-describing
+            # the coarse structure the centroids already encode)
+            res = F.expr(sim._residual_bound_sql(args.vec_col, cents,
+                                                 "r"))
+            pq_train_src = (df.where(F.size(F.col(args.vec_col))
+                                     == args.dim)
+                              .select(res.alias(args.vec_col)))
         books = sim.train_pq_codebooks(
-            df, dim=args.dim, vec_col=args.vec_col, n_sub=args.n_sub,
-            n_codes=args.n_codes, sample_fraction=args.sample_fraction)
+            pq_train_src, dim=args.dim, vec_col=args.vec_col,
+            n_sub=args.n_sub, n_codes=args.n_codes,
+            sample_fraction=args.sample_fraction)
     if not args.train:
         # same deterministic derivation ivfpq_write_index applies
         cents = sim.ivf_centroids(args.dim, args.n_centroids)
@@ -522,7 +534,7 @@ def cmd_ann_index(args) -> int:
         df, args.output, dim=args.dim, id_col=args.id_col,
         vec_col=args.vec_col, n_centroids=args.n_centroids,
         n_sub=args.n_sub, n_codes=args.n_codes,
-        centroids=cents, codebooks=books)
+        centroids=cents, codebooks=books, residual=args.residual)
     # ALWAYS persist the quantizers (trained or seeded) beside the
     # index — atomically, because a partial sidecar means silently
     # wrong serving results — so ann-query never depends on the user
@@ -531,6 +543,7 @@ def cmd_ann_index(args) -> int:
 
     write_text_atomic(spark, _quantizer_path(args.output), json.dumps(
         {"dim": args.dim, "trained": bool(args.train),
+         "residual": bool(args.residual),
          "centroids": np.asarray(cents).tolist(),
          "codebooks": np.asarray(books).tolist()}, sort_keys=True))
     idx = spark.read.parquet(args.output)
@@ -538,7 +551,8 @@ def cmd_ann_index(args) -> int:
                   F.countDistinct("cell").alias("cells")).collect()[0]
     summary = {"rows": row["rows"], "cells": row["cells"],
                "n_sub": args.n_sub, "n_codes": args.n_codes,
-               "trained": bool(args.train)}
+               "trained": bool(args.train),
+               "residual": bool(args.residual)}
     print(json.dumps(summary, sort_keys=True))
     return 0
 
@@ -559,6 +573,7 @@ def cmd_ann_query(args) -> int:
     spark = _spark(args)
     queries = read_table(spark, args.queries)
     cents = books = None
+    residual = False
     qp = _quantizer_path(args.index)
     if path_exists(spark, qp):
         # Hadoop-FS read, NOT spark.read.text: Spark's file index
@@ -576,16 +591,19 @@ def cmd_ann_query(args) -> int:
                 f"quantizers; rebuild the index or remove the "
                 f"sidecar if it is genuinely stale") from exc
         cents, books = loaded
+        # the on-disk codes were produced under this flag — the
+        # sidecar, not a query-side flag, is authoritative
+        residual = bool(saved.get("residual", False))
     out = sim.ivfpq_query_index(
         spark, args.index, queries, dim=args.dim, k=args.k,
         id_col=args.id_col, vec_col=args.vec_col,
         query_id_col=args.query_id_col, n_centroids=args.n_centroids,
         n_probe=args.n_probe, n_sub=args.n_sub, n_codes=args.n_codes,
-        centroids=cents, codebooks=books)
+        centroids=cents, codebooks=books, residual=residual)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"result_rows": n, "k": args.k,
-                      "n_probe": args.n_probe,
+                      "n_probe": args.n_probe, "residual": residual,
                       "sidecar_quantizers": cents is not None},
                      sort_keys=True))
     return 0
@@ -1189,6 +1207,12 @@ def build_parser() -> argparse.ArgumentParser:
     ab.add_argument("--train", action="store_true",
                     help="fit centroids + codebooks on the corpus and "
                          "save them beside the index")
+    ab.add_argument("--residual", action="store_true",
+                    help="FAISS-style residual PQ: quantize "
+                         "x - centroid[cell] (better within-cluster "
+                         "ranking on clustered corpora); recorded in "
+                         "the sidecar, ann-query applies it "
+                         "automatically")
     ab.add_argument("--sample-fraction", type=float, default=None,
                     help="train on a deterministic hash sample")
     ab.set_defaults(fn=cmd_ann_index)

@@ -569,7 +569,7 @@ def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> Column:
         codes.append(
             f"element_at(transform(array({dists}), "
             f"d -> cast(array_position(d, array_min(d)) - 1 as int)), 1)")
-    return F.expr(f"case when size(`{vec_col}`) = {dim} "
+    return F.expr(f"case when size({_vec_sql_ref(vec_col)}) = {dim} "
                   f"then array({','.join(codes)}) end")
 
 
@@ -643,14 +643,56 @@ def _sql_dot(a_sql: str, b_sql: str) -> str:
             f"0.0D, (acc, v) -> acc + v)")
 
 
+def _vec_sql_ref(vec: str) -> str:
+    """A vec argument for the SQL generators: a plain identifier is
+    backtick-quoted; anything containing ``(`` is already a SQL
+    expression (e.g. the residual ``zip_with``) and passes through."""
+    return vec if "(" in vec else f"`{vec}`"
+
+
 def _pq_dists_sql(vec_col: str, codebooks: np.ndarray, m: int) -> str:
     """The subspace-m distance array ``||c||^2 - 2*dot(s, c)`` as SQL
     text (the ``||s||^2`` term is constant within the argmin)."""
     sub = codebooks.shape[2]
-    s = f"slice(`{vec_col}`, {m * sub + 1}, {sub})"
+    s = f"slice({_vec_sql_ref(vec_col)}, {m * sub + 1}, {sub})"
     return "array(" + ",".join(
         f"({_sql_f(_seq_dot(c, c))} - 2.0D * {_sql_dot(s, _sql_vec(c))})"
         for c in codebooks[m]) + ")"
+
+
+def _sql_vec2d(matrix) -> str:
+    """A literal array<array<double>> (row-indexed with element_at)."""
+    return "array(" + ",".join(_sql_vec(row) for row in matrix) + ")"
+
+
+def _ivf_cell_sql(vec_ref: str, centroids: np.ndarray) -> str:
+    """SQL-text twin of ``ivf_cell_expr`` (nearest-centroid argmax,
+    ties → smallest id) for embedding inside fused residual
+    expressions — the dots array binds once via the same
+    one-element-transform trick."""
+    dots = "array(" + ",".join(
+        _sql_dot(vec_ref, _sql_vec(c)) for c in centroids) + ")"
+    return (f"element_at(transform(array({dots}), "
+            f"d -> cast(array_position(d, array_max(d)) - 1 as int)), 1)")
+
+
+def _residual_bound_sql(vec_col: str, centroids: np.ndarray,
+                        body: str) -> str:
+    """Scaffolding shared by the fused residual expressions: binds the
+    cell id as lambda variable ``cl`` and the residual vector
+    ``x - centroid[cl]`` as lambda variable ``r``, each evaluated
+    exactly ONCE per row, then splices ``body`` (which references
+    ``cl``/``r``) inside.  Without this binding, project-collapse (or
+    plain SQL-text repetition) would re-evaluate the 16-dot cell
+    assignment and the dim-wide residual once per subspace-distance
+    term — ~10^2× the intended work (the same class of blowup the
+    raw-vector fused path documents)."""
+    vec = _vec_sql_ref(vec_col)
+    cell = _ivf_cell_sql(vec, centroids)
+    res = (f"zip_with({vec}, element_at({_sql_vec2d(centroids)}, cl + 1), "
+           f"(x, y) -> cast(x as double) - cast(y as double))")
+    return (f"element_at(transform(array({cell}), cl -> "
+            f"element_at(transform(array({res}), r -> {body}), 1)), 1)")
 
 
 def pq_reconstruct_from_vec_expr(vec_col: str,
@@ -679,6 +721,132 @@ def pq_reconstruct_from_vec_expr(vec_col: str,
             f"d -> element_at({book}, "
             f"cast(array_position(d, array_min(d)) as int))), 1)")
     return F.expr("concat(" + ",".join(parts) + ")")
+
+
+def pq_residual_reconstruct_from_vec_expr(vec_col: str,
+                                          centroids: np.ndarray,
+                                          codebooks: np.ndarray) -> Column:
+    """RESIDUAL-mode fused encode+decode (the FAISS IVFPQ refinement):
+    quantize ``x - centroid[cell]`` and reconstruct as
+    ``centroid[cell] + decode(codes)``.  Raw-vector PQ collapses
+    cluster members onto near-identical reconstructions (measured
+    0.43 composed recall on the clustered fixture vs 0.96 for the
+    pruning tier alone); quantizing the residual restores the
+    within-cluster detail the ranking needs.  Cell and residual bind
+    once via ``_residual_bound_sql``; per-subspace distance arrays
+    bind once as in the raw variant."""
+    n_sub, _, sub = codebooks.shape
+    ctr = f"element_at({_sql_vec2d(centroids)}, cl + 1)"
+    parts = []
+    for m in range(n_sub):
+        dists = _pq_dists_sql("r", codebooks, m)
+        book = ("array(" + ",".join(_sql_vec(c) for c in codebooks[m])
+                + ")")
+        ctr_slice = f"slice({ctr}, {m * sub + 1}, {sub})"
+        parts.append(
+            f"element_at(transform(array({dists}), "
+            f"d -> zip_with(element_at({book}, "
+            f"cast(array_position(d, array_min(d)) as int)), "
+            f"{ctr_slice}, (a, b) -> a + b)), 1)")
+    body = "concat(" + ",".join(parts) + ")"
+    return F.expr(_residual_bound_sql(vec_col, centroids, body))
+
+
+def pq_residual_encode_expr(vec_col: str, centroids: np.ndarray,
+                            codebooks: np.ndarray) -> Column:
+    """Residual-mode codes (array<int>): the ``pq_encode_expr`` argmin
+    over ``x - centroid[cell]`` — what a residual index stores on
+    disk.  Null/ragged vectors → null codes (size guard, as in the
+    raw encoder)."""
+    n_sub, _, sub = codebooks.shape
+    dim = n_sub * sub
+    codes = []
+    for m in range(n_sub):
+        dists = _pq_dists_sql("r", codebooks, m)
+        codes.append(
+            f"element_at(transform(array({dists}), "
+            f"d -> cast(array_position(d, array_min(d)) - 1 as int)), 1)")
+    body = f"array({','.join(codes)})"
+    return F.expr(
+        f"case when size({_vec_sql_ref(vec_col)}) = {dim} then "
+        f"{_residual_bound_sql(vec_col, centroids, body)} end")
+
+
+def make_pq_residual_encode_udf(df: DataFrame, centroids: np.ndarray,
+                                codebooks: np.ndarray):
+    """Arrow pandas UDF twin of ``pq_residual_encode_expr``, taking
+    (vec, cell) and encoding the residual against the cell centroid.
+    Null/ragged vectors and null cells → null codes."""
+    bc_c = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64))
+    bc_b = df.sparkSession.sparkContext.broadcast(
+        np.asarray(codebooks, dtype=np.float64))
+
+    @pandas_udf("array<int>")
+    def pq_residual_encode(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        cents, cb = bc_c.value, bc_b.value
+        n_sub, _, sub = cb.shape
+        M, valid = _vec_matrix(vecs, n_sub * sub)
+        cell_idx = cells.to_numpy(dtype="float64", na_value=np.nan)
+        ok = valid & ~np.isnan(cell_idx)
+        R = M - cents[np.where(ok, cell_idx, 0).astype(int)]
+        out = np.empty((len(vecs), n_sub), dtype="int32")
+        for m in range(n_sub):
+            S = R[:, m * sub:(m + 1) * sub]
+            dists = (cb[m] ** 2).sum(axis=1)[None, :] - 2.0 * (S @ cb[m].T)
+            out[:, m] = np.argmin(dists, axis=1)
+        return pd.Series([out[i] if ok[i] else None
+                          for i in range(len(vecs))], index=vecs.index)
+
+    return pq_residual_encode
+
+
+def make_pq_residual_reconstruct_udf(df: DataFrame, centroids: np.ndarray,
+                                     codebooks: np.ndarray):
+    """Arrow pandas UDF twin of the residual reconstruction: (cell,
+    codes) → ``centroid[cell] + decode(codes)``, with the same full
+    geometry guard as ``make_pq_reconstruct_udf``."""
+    bc_c = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64))
+    bc_b = df.sparkSession.sparkContext.broadcast(
+        np.asarray(codebooks, dtype=np.float64))
+
+    @pandas_udf("array<double>")
+    def pq_residual_reconstruct(cells: pd.Series,
+                                codes: pd.Series) -> pd.Series:
+        cents, cb = bc_c.value, bc_b.value
+        n_cells = cents.shape[0]
+        n_sub, n_codes = cb.shape[0], cb.shape[1]
+        out = []
+        for cell, code in zip(cells, codes):
+            if (cell is None or code is None or not 0 <= cell < n_cells
+                    or len(code) != n_sub
+                    or any(c is None or c < 0 or c >= n_codes
+                           for c in code)):
+                out.append(None)
+            else:
+                out.append(cents[int(cell)] + np.concatenate(
+                    [cb[m][int(code[m])] for m in range(n_sub)]))
+        return pd.Series(out, index=cells.index)
+
+    return pq_residual_reconstruct
+
+
+def pq_residual_reconstruct_expr(cell_col: str, codes: Column,
+                                 centroids: np.ndarray,
+                                 codebooks: np.ndarray) -> Column:
+    """Literal-expression residual decode over MATERIALIZED (cell,
+    codes) columns (the stored-index serving path):
+    ``centroid[cell] + decode(codes)``, with the same geometry guard
+    as ``pq_reconstruct_expr`` plus a cell-range check."""
+    n_cells = centroids.shape[0]
+    base = pq_reconstruct_expr(codes, codebooks)
+    cell = F.col(cell_col)
+    ctr = F.element_at(F.lit([[float(x) for x in row]
+                              for row in centroids]), cell + 1)
+    guarded = F.when((cell >= 0) & (cell < n_cells),
+                     F.zip_with(base, ctr, lambda a, b: a + b))
+    return guarded
 
 
 def _pack_recon(recon: Column) -> Column:
@@ -770,27 +938,53 @@ def _probe_explode(q: DataFrame, cents: np.ndarray, n_probe: int,
 
 def _ivfpq_corpus_frame(corpus: DataFrame, dim: int, id_col: str,
                         vec_col: str, cents: np.ndarray, cb: np.ndarray,
-                        mode: str, packed: bool) -> DataFrame:
+                        mode: str, packed: bool,
+                        residual: bool = False) -> DataFrame:
     """ONE definition of the IVFPQ corpus side, shared by the in-flight
     operator and the index writer so the two cannot drift: ragged/null
     vectors dropped, then (id, cell, codes) rows (``packed=False`` —
     the storable index layout) or (id, cell, _pk) rows (``packed=True``
     — the scorable frame).  The literal packed path fuses
     encode+decode straight from the vector (no intermediate codes
-    column for project-collapse to duplicate)."""
+    column for project-collapse to duplicate).
+
+    ``residual=True`` quantizes ``x - centroid[cell]`` and
+    reconstructs ``centroid[cell] + decode(codes)`` (FAISS-style
+    IVFPQ) — same index layout, dramatically better within-cluster
+    ranking on clustered data (see
+    pq_residual_reconstruct_from_vec_expr)."""
     c = corpus.where(F.size(F.col(vec_col)) == dim).select(
         F.col(id_col), F.col(vec_col))
     if mode == "udf":
         cell = make_ivf_cell_udf(c, cents)(F.col(vec_col))
         c = c.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
-        c = c.select(F.col(id_col), F.col("cell"),
-                     make_pq_encode_udf(c, cb)(F.col(vec_col))
-                     .alias("codes"))
+        enc = (make_pq_residual_encode_udf(c, cents, cb)(
+                   F.col(vec_col), F.col("cell")) if residual
+               else make_pq_encode_udf(c, cb)(F.col(vec_col)))
+        c = c.select(F.col(id_col), F.col("cell"), enc.alias("codes"))
         if not packed:
             return c
-        recon = make_pq_reconstruct_udf(c, cb)(F.col("codes"))
+        recon = (make_pq_residual_reconstruct_udf(c, cents, cb)(
+                     F.col("cell"), F.col("codes")) if residual
+                 else make_pq_reconstruct_udf(c, cb)(F.col("codes")))
         return c.select(F.col(id_col), F.col("cell"),
                         _pack_recon(recon).alias("_pk"))
+    if residual:
+        # each fused expression binds its OWN cell internally
+        # (_residual_bound_sql) — the standalone cell column recomputes
+        # the 16-dot assignment once more per row, which is cheaper
+        # than any cross-column sharing attempt project-collapse would
+        # undo (it substitutes, never shares)
+        cell = ivf_cell_expr(F.col(vec_col), cents).alias("cell")
+        if not packed:
+            return c.select(
+                F.col(id_col), cell,
+                pq_residual_encode_expr(vec_col, cents, cb)
+                .alias("codes"))
+        return c.select(
+            F.col(id_col), cell,
+            _pack_recon(pq_residual_reconstruct_from_vec_expr(
+                vec_col, cents, cb)).alias("_pk"))
     cell = ivf_cell_expr(F.col(vec_col), cents).alias("cell")
     if not packed:
         return c.select(F.col(id_col), cell,
@@ -873,7 +1067,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                 centroids: np.ndarray | None = None,
                 codebooks: np.ndarray | None = None,
                 seed: int = PLANE_SEED,
-                assignment: str = "auto") -> DataFrame:
+                assignment: str = "auto",
+                residual: bool = False) -> DataFrame:
     """IVF + PQ composed (the FAISS IVFPQ layout): IVF cells prune
     candidates to ~n_probe/n_centroids of the corpus, PQ codes
     compress what remains — the index row is (cell, codes), two ints +
@@ -888,7 +1083,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     mode = _resolve_assignment(assignment,
                                max(cb.size, dim * len(cents)))
     c = _ivfpq_corpus_frame(corpus, dim, id_col, vec_col, cents, cb,
-                            mode, packed=True)
+                            mode, packed=True, residual=residual)
     q = _probe_explode(_query_frame(queries, dim, vec_col, query_id_col),
                        cents, n_probe, mode)
     return _adc_topk(c, q, query_id_col, id_col, k, on_cell=True)
@@ -901,7 +1096,8 @@ def ivfpq_write_index(corpus: DataFrame, path: str, dim: int,
                       centroids: np.ndarray | None = None,
                       codebooks: np.ndarray | None = None,
                       seed: int = PLANE_SEED,
-                      assignment: str = "auto") -> None:
+                      assignment: str = "auto",
+                      residual: bool = False) -> None:
     """Persist the IVFPQ index as a CELL-PARTITIONED table
     (``path/cell=K/part-*``, row = (id, codes)): the serving tier's
     partition layout.  A probe of ``n_probe`` cells becomes a
@@ -923,7 +1119,7 @@ def ivfpq_write_index(corpus: DataFrame, path: str, dim: int,
     mode = _resolve_assignment(assignment,
                                max(cb.size, dim * len(cents)))
     c = _ivfpq_corpus_frame(corpus, dim, id_col, vec_col, cents, cb,
-                            mode, packed=False)
+                            mode, packed=False, residual=residual)
     write_table(c, path, mode="overwrite", partition_by=["cell"])
 
 
@@ -936,7 +1132,8 @@ def ivfpq_query_index(spark, path: str, queries: DataFrame, dim: int,
                       centroids: np.ndarray | None = None,
                       codebooks: np.ndarray | None = None,
                       seed: int = PLANE_SEED,
-                      assignment: str = "auto") -> DataFrame:
+                      assignment: str = "auto",
+                      residual: bool = False) -> DataFrame:
     """Serve top-k from a persisted ``ivfpq_write_index`` table with
     STATIC partition pruning: the query set is small by construction
     (same broadcast contract as every topk operator here), so its
@@ -961,9 +1158,15 @@ def ivfpq_query_index(spark, path: str, queries: DataFrame, dim: int,
     cells = sorted({r["cell"] for r in q.select("cell").distinct()
                     .collect()})
     idx = spark.read.parquet(path).where(F.col("cell").isin(cells))
-    recon = (make_pq_reconstruct_udf(idx, cb)(F.col("codes"))
-             if mode == "udf"
-             else pq_reconstruct_expr(F.col("codes"), cb))
+    if residual:
+        recon = (make_pq_residual_reconstruct_udf(idx, cents, cb)(
+                     F.col("cell"), F.col("codes")) if mode == "udf"
+                 else pq_residual_reconstruct_expr("cell", F.col("codes"),
+                                                   cents, cb))
+    else:
+        recon = (make_pq_reconstruct_udf(idx, cb)(F.col("codes"))
+                 if mode == "udf"
+                 else pq_reconstruct_expr(F.col("codes"), cb))
     c = idx.select(F.col(id_col), F.col("cell"),
                    _pack_recon(recon).alias("_pk"))
     return _adc_topk(c, q, query_id_col, id_col, k, on_cell=True)

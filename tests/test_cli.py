@@ -2179,3 +2179,43 @@ def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="unreadable/corrupt"):
         main(["ann-query", "--index", idx2, "--queries", qsrc,
               "--output", str(tmp_path / "annout3"), "--dim", "64"])
+
+
+def test_cli_ann_residual_round_trip(spark, tmp_path, capsys):
+    """--residual e2e (r05): the flag is recorded in the quantizer
+    sidecar at build time and ann-query applies it automatically (the
+    on-disk codes were produced under it — a query-side flag could
+    silently mismatch); CLI results equal the library call with the
+    saved arrays in residual mode."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from datacanary_spark.operators import similarity as sim
+
+    src = "/root/testdata/sf0.01/embeddings.parquet"
+    qsrc = str(tmp_path / "rq")
+    spark.read.parquet(src).where(F2.col("vec_id") < 8).select(
+        F2.col("vec_id").alias("query_id"), "embedding") \
+        .write.parquet(qsrc)
+    idx = str(tmp_path / "res_annidx")
+    assert main(["ann-index", "--input", src, "--output", idx,
+                 "--dim", "64", "--train", "--residual"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["residual"] and s["trained"]
+    saved = json.loads(open(os.path.join(idx, "_quantizers.json")).read())
+    assert saved["residual"] is True
+
+    out = str(tmp_path / "res_annout")
+    assert main(["ann-query", "--index", idx, "--queries", qsrc,
+                 "--output", out, "--dim", "64", "--k", "5"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["residual"] and s["sidecar_quantizers"]
+
+    cents = np.asarray(saved["centroids"])
+    books = np.asarray(saved["codebooks"])
+    e = spark.read.parquet(src)
+    q = spark.read.parquet(qsrc)
+    expected = sim.ivf_pq_topk(e, q, dim=64, k=5, centroids=cents,
+                               codebooks=books, residual=True).collect()
+    got = spark.read.parquet(out).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))

@@ -1417,3 +1417,78 @@ def test_ivfpq_trained_recall_on_clustered_corpus(spark):
     # corpus; floors leave headroom for KMeans-version jitter
     assert r_ivf >= 0.85 and r_ivfpq >= 0.3, (r_ivf, r_ivfpq)
     assert r_ivfpq <= r_ivf + 1e-9
+
+
+def test_ivfpq_residual_mode(spark, tmp_path):
+    """FAISS-style residual IVFPQ (r05, opt-in): literal and UDF
+    dispatch agree row-for-row; on a STRONGLY clustered corpus (the
+    regime residual encoding exists for — cluster spread 0.1, so raw
+    reconstructions of cluster members are near-identical and their
+    ranking degrades toward ties) residual-trained books decisively
+    beat raw-vector PQ at the same tight 8x16 code budget (measured
+    0.450 vs 0.275 recall@5 under the test session's partitioning; at
+    generous budgets like 32x256 the two converge, 0.887 vs 0.875);
+    and the persisted residual index serves the in-flight rows
+    identically under partition pruning."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datacanary_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for ci in range(16):
+        for j in range(50):
+            v = centers[ci] + 0.1 * rng.normal(size=64)
+            pts.append((ci * 50 + j, [float(x) for x in v]))
+    e = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in sim.brute_force_topk(e, q, k=5).collect()}
+    cents = sim.train_ivf_centroids(e, n_centroids=16, seed=7)
+
+    # dispatch parity on the fixture (seeded books)
+    lit = sim.ivf_pq_topk(e, q, dim=64, k=5, centroids=cents,
+                          residual=True, assignment="literal").collect()
+    udf = sim.ivf_pq_topk(e, q, dim=64, k=5, centroids=cents,
+                          residual=True, assignment="udf").collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, udf))
+
+    # books trained on the residuals (the honest residual setup)
+    res_col = F.expr(sim._residual_bound_sql("embedding", cents, "r"))
+    res_e = e.select("vec_id", res_col.alias("embedding"))
+    books_res = sim.train_pq_codebooks(res_e, dim=64, n_sub=8,
+                                       n_codes=16)
+    books_raw = sim.train_pq_codebooks(e, dim=64, n_sub=8, n_codes=16)
+
+    def recall(residual, books):
+        s = {(r["query_id"], r["neighbor_id"])
+             for r in sim.ivf_pq_topk(e, q, dim=64, k=5, n_probe=4,
+                                      centroids=cents, codebooks=books,
+                                      residual=residual).collect()}
+        return len(bf & s) / len(bf)
+
+    r_raw = recall(False, books_raw)
+    r_res = recall(True, books_res)
+    # measured 0.450 vs 0.275; margins absorb KMeans partitioning
+    # sensitivity (training is seed-stable but init-sample-dependent)
+    assert r_res >= r_raw + 0.1, (r_res, r_raw)
+    assert r_res >= 0.35
+
+    # persisted residual index == in-flight, and the layout still
+    # partition-prunes
+    path = str(tmp_path / "res_index")
+    sim.ivfpq_write_index(e, path, dim=64, centroids=cents,
+                          codebooks=books_res, residual=True)
+    served = sim.ivfpq_query_index(spark, path, q, dim=64, k=5,
+                                   centroids=cents, codebooks=books_res,
+                                   residual=True)
+    inflight = sim.ivf_pq_topk(e, q, dim=64, k=5, centroids=cents,
+                               codebooks=books_res, residual=True)
+    assert sorted(map(tuple, served.collect())) \
+        == sorted(map(tuple, inflight.collect()))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
