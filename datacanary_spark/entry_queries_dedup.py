@@ -640,13 +640,24 @@ def decontaminate_minhash_survivors(spark, sf_dir):
     near-duplicates (appended trailer) of every 6th corpus doc — exact
     fingerprints miss them, the signature-estimated Jaccard catches
     them. sum(doc_id) pins exact survivor membership."""
+    from datacanary_spark.plans.caching import CacheScope
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.where(F.col("doc_id") < 150)
     reference = corpus.where(F.col("doc_id") % 6 == 0).select(
         F.concat(F.col("text"), F.lit(_TRAILER)).alias("text"))
-    out = dd.decontaminate_minhash(corpus, reference, threshold=0.5)
-    return out.agg(F.count(F.lit(1)).alias("n_survivors"),
-                   F.sum("doc_id").alias("sum_ids"))
+    # CacheScope (r06): the corpus (id, sig) frame feeds BOTH the band
+    # explode and the verify join — unpersisted, the full shingle+
+    # 16-seed-md5 pass runs twice per execution (the operator's own
+    # docstring caveat). The result is one aggregate row, so
+    # materialize inside the scope and return it as a local frame
+    # (same pattern as classifier_top_fraction_by_lang).
+    with CacheScope() as scope:
+        out = dd.decontaminate_minhash(corpus, reference, threshold=0.5,
+                                       persist=scope)
+        rows = out.agg(F.count(F.lit(1)).alias("n_survivors"),
+                       F.sum("doc_id").alias("sum_ids")).collect()
+    return spark.createDataFrame(rows, "n_survivors bigint, sum_ids bigint")
 
 
 # ---------------------------------------------------------------------------

@@ -360,7 +360,10 @@ def classifier_margin_keep_by_lang(spark, sf_dir):
     )
 
     clf = QualityClassifier(tuple(_CLF_W), tuple(_CLF_W.values()), _CLF_B)
-    d = featurized(_t(spark, sf_dir, "documents"))
+    # _ts (r06): featurization is the heaviest per-row expression block
+    # in the file and fuses into a single-split scan otherwise; every
+    # aggregate below is order-insensitive (int sums, bround(min/max))
+    d = featurized(_ts(spark, sf_dir, "documents"))
     z = quality_margin_expr(clf)
     d = d.select("lang", z.alias("z"))
     keep = F.col("z") >= F.lit(0.0)
@@ -397,7 +400,10 @@ def classifier_top_fraction_by_lang(spark, sf_dir):
     )
 
     clf = QualityClassifier(tuple(_CLF_W), tuple(_CLF_W.values()), _CLF_B)
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # _ts (r06): spread the scan so featurization parallelizes (the
+    # select prunes below the exchange); the percentile, count, int
+    # sum and bround(min) are all order-insensitive
+    d = _ts(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     # CacheScope: the scored frame feeds BOTH the percentile collect
     # and the survivor aggregate — unpersisted it featurizes twice
     # (measured 4.7 -> 0.6 s warm at sf0.1); a bare persist=True would

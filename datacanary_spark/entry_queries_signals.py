@@ -65,7 +65,11 @@ _DUCK_WORDS = r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')"
 def readability_by_lang(spark, sf_dir):
     """Per-language readability + code-shape totals; corpus Flesch from
     exact integer sums (order-insensitive — see module docstring)."""
-    d = _t(spark, sf_dir, "documents")
+    # spread (r06): the whole per-row regex/tokenize load fuses into the
+    # scan stage, and a single-row-group parquet file serializes it onto
+    # one core — same reasoning as compression_ratio_by_lang below;
+    # no-op at real scale, and the groupBy sums are order-insensitive.
+    d = _ts(spark, sf_dir, "documents")
     col = F.col("text")
     d = d.withColumn("_w", words_expr(col)).select(
         "lang",

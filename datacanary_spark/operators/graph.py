@@ -142,16 +142,23 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     empty = spark.createDataFrame(
         [], f"id {id_type}, component {id_type}")
 
-    cur = _canonical_edges(edges, id_a, id_b).localCheckpoint(eager=True)
-    if cur.isEmpty():
+    # Lazy checkpoints (r06): each round's ``_signature`` aggregate is a
+    # full-coverage action, so it both MATERIALIZES the checkpoint and
+    # returns the convergence fingerprint in ONE Spark job — the eager
+    # form ran a separate count() job per round (2 jobs/round → 1), and
+    # the old standalone ``isEmpty`` probe is subsumed by the first
+    # signature's count. Plan truncation is unchanged: localCheckpoint
+    # builds the LogicalRDD at call time regardless of eagerness.
+    cur = _canonical_edges(edges, id_a, id_b).localCheckpoint(eager=False)
+    prev_sig = _signature(cur)
+    if prev_sig[0] == 0:
         _release_local_checkpoint(cur)
         return empty
-    prev_sig = _signature(cur)
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # nxt is materialized; last round's blocks can free immediately
-        _release_local_checkpoint(cur)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _signature(nxt)
+        # nxt is now materialized; last round's blocks can free
+        _release_local_checkpoint(cur)
         cur = nxt
         if sig == prev_sig:
             break

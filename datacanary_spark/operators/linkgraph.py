@@ -245,9 +245,15 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3,
     nodes = (e.select(F.col("src_host").alias("host"))
               .unionByName(e.select(F.col("dst_host").alias("host")))
               .distinct())
+    # Lazy checkpoints throughout (r06): plan truncation is identical
+    # (the LogicalRDD is built at call time), but materialization rides
+    # the next action that reads the frame — ``nodes.count()`` below,
+    # each round's dangling-mass aggregate, or the caller's own action —
+    # instead of one dedicated count() job per checkpoint. Measured on
+    # the 17-host driver fixture this halves the job count.
     if checkpoint:
-        e = e.localCheckpoint()
-        nodes = nodes.localCheckpoint()
+        e = e.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.select("host", F.lit(0.0).alias("rank"))
@@ -280,5 +286,5 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3,
                                    * (F.coalesce(F.col("_in"), F.lit(0.0))
                                       + F.lit(d_mass / n))).alias("rank")))
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -79,24 +79,35 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 3,
     # (the count aggregations), so a pre-explode exchange of the full
     # text only adds cost — measured 2.83s vs 3.59s at sf0.1
     live = df.where(F.col(text_col).isNotNull())
-    # corpus token count: one narrow agg over size(words), no explode
-    total = live.agg(
-        F.coalesce(F.sum(F.size(words)), F.lit(0)).cast("long").alias("c")
-    ).select(F.lit(0).alias("order"),
-             F.lit(None).cast("string").alias("gram"), "c")
-    parts = []
-    for k in range(1, n + 1):
-        grams = live.select(F.explode(ngrams_expr(words, k)).alias("gram"))
-        counted = (grams.groupBy("gram")
-                   .agg(F.count(F.lit(1)).alias("c"))
-                   .select(F.lit(k).alias("order"), "gram", "c"))
-        if min_count > 1:
-            counted = counted.where(F.col("c") >= min_count)
-        parts.append(counted)
-    out = total
-    for p in parts:
-        out = out.unionByName(p)
-    return out
+    # ONE corpus pass for every order (r06): tag each gram with its
+    # order doc-side and explode the concatenated array once, then a
+    # single (order, gram) hash aggregation. The previous shape ran a
+    # separate explode+aggregate per order — n+1 full corpus scans for
+    # one model build; tagging fuses them into one scan whose shuffle
+    # carries the same gram bytes (the 4-byte order tag rides along).
+    def _tag(k):
+        # single-parameter lambda: a (g, i) signature would make
+        # F.transform bind the second argument to the ARRAY INDEX
+        return lambda g: F.struct(F.lit(k).alias("order"),
+                                  g.alias("gram"))
+
+    tagged = F.concat(*[F.transform(ngrams_expr(words, k), _tag(k))
+                        for k in range(1, n + 1)])
+    counted = (live.select(F.explode(tagged).alias("t"))
+               .groupBy(F.col("t.order").alias("order"),
+                        F.col("t.gram").alias("gram"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    # corpus token count (order-0 row, min_count-exempt): the sum of
+    # UNPRUNED unigram counts is exactly sum(size(words)) over live
+    # docs — derived from the vocabulary-sized aggregate, not from
+    # another corpus scan; coalesce covers the empty corpus.
+    total = (counted.where(F.col("order") == 1)
+             .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("c"))
+             .select(F.lit(0).alias("order"),
+                     F.lit(None).cast("string").alias("gram"), "c"))
+    if min_count > 1:
+        counted = counted.where(F.col("c") >= min_count)
+    return total.unionByName(counted)
 
 
 def _order_table(counts: DataFrame, k: int, broadcast: bool) -> DataFrame:
@@ -142,6 +153,21 @@ def score_stupid_backoff(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # The model table is referenced 2n (order tables + the order-0
+    # totals row) times below; without a barrier Catalyst pushes each
+    # reference's order filter below the count aggregation, so every
+    # broadcast build re-derives the model from its source — when
+    # ``counts`` is freshly trained that is 2n full corpus scans per
+    # scoring run (measured: 20 scans in one ccnet_ppl plan at r05).
+    # persist() marks the vocabulary-sized table for caching: the first
+    # consumer computes it once, every later reference planning-matches
+    # the cached relation (CacheManager canonical-plan substitution) —
+    # unlike localCheckpoint this costs no eager physical planning at
+    # build time (measured: checkpoint added ~2.5s of plan work per
+    # call at sf0.1). The cache is released with the session (model
+    # tables are vocabulary-sized; at cluster scale persisting the
+    # model across scoring runs is the intended usage anyway).
+    counts = counts.persist()
     words = words_expr(F.col(text_col))
     base = (df.where(F.col(text_col).isNotNull())
               .select(*id_cols, words.alias("_w"))

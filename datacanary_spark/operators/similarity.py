@@ -428,8 +428,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     cents = ivf_centroids(dim, n_centroids, seed) if centroids is None \
         else centroids
     mode = _resolve_assignment(assignment, dim * len(cents))
-    c = corpus.select(F.col(id_col), F.col(vec_col),
-                      norm_expr(F.col(vec_col)).alias("_cnrm"))
+    # spread BEFORE the norm/cell projections (r06): the per-row
+    # centroid dots + norm fold fuse into the scan stage, and a
+    # single-row-group corpus file would serialize them onto one core
+    # (no-op at real scale — same contract as the pq/semdedup paths)
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col)))
+    c = c.select(F.col(id_col), F.col(vec_col),
+                 norm_expr(F.col(vec_col)).alias("_cnrm"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
                        norm_expr(F.col(vec_col)).alias("_qnrm"))
     # a null OR wrong-length query vector has no neighbors in EITHER
@@ -953,8 +958,12 @@ def _ivfpq_corpus_frame(corpus: DataFrame, dim: int, id_col: str,
     IVFPQ) — same index layout, dramatically better within-cluster
     ranking on clustered data (see
     pq_residual_reconstruct_from_vec_expr)."""
-    c = corpus.where(F.size(F.col(vec_col)) == dim).select(
-        F.col(id_col), F.col(vec_col))
+    # spread before the encode/assign projections (r06): the fused
+    # PQ encode+decode and the cell assignment are the heaviest per-row
+    # expressions in the file, and a single-split corpus scan would run
+    # them on one core (no-op at real scale)
+    c = _spread(corpus.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col), F.col(vec_col)))
     if mode == "udf":
         cell = make_ivf_cell_udf(c, cents)(F.col(vec_col))
         c = c.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
