@@ -132,25 +132,37 @@ def boilerplate_strip_by_host(spark, sf_dir):
     table + order-preserving text rebuild) under the oracle; the strip
     REUSES the detection table (``templates=``) so the corpus pays one
     detection aggregation, not two."""
+    from datacanary_spark.plans.caching import CacheScope
+
     planted = _planted(spark, sf_dir)
-    b = bp.boilerplate_lines(planted, min_docs=_MIN_DOCS, min_frac=_MIN_FRAC)
-    counts = b.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_boiler_lines"),
-        F.max("n_docs_with_line").alias("max_line_docs"))
-    stripped = bp.strip_boilerplate(planted, templates=b) \
-        .select("doc_id", F.col("text").alias("_st"))
-    removed = (planted.join(stripped, "doc_id")
-               .groupBy("host")
-               .agg(F.count(F.lit(1)).alias("host_docs"),
-                    F.sum(F.length("text") - F.length("_st"))
-                     .alias("chars_removed")))
-    return (removed.join(counts, "host", "left")
-            .select("host", "host_docs",
-                    F.coalesce("n_boiler_lines", F.lit(0)).cast("long")
-                     .alias("n_boiler_lines"),
-                    F.coalesce("max_line_docs", F.lit(0)).cast("long")
-                     .alias("max_line_docs"),
-                    "chars_removed"))
+    # CacheScope (r06): the detection table feeds BOTH the per-host
+    # counts and the strip join — unpersisted, the full explode +
+    # count_distinct detection aggregation ran twice per execution.
+    # The result is one row per host, so materialize in-scope and
+    # return it as a local frame.
+    with CacheScope() as scope:
+        b = scope.persist(bp.boilerplate_lines(
+            planted, min_docs=_MIN_DOCS, min_frac=_MIN_FRAC))
+        counts = b.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_boiler_lines"),
+            F.max("n_docs_with_line").alias("max_line_docs"))
+        stripped = bp.strip_boilerplate(planted, templates=b) \
+            .select("doc_id", F.col("text").alias("_st"))
+        removed = (planted.join(stripped, "doc_id")
+                   .groupBy("host")
+                   .agg(F.count(F.lit(1)).alias("host_docs"),
+                        F.sum(F.length("text") - F.length("_st"))
+                         .alias("chars_removed")))
+        rows = (removed.join(counts, "host", "left")
+                .select("host", "host_docs",
+                        F.coalesce("n_boiler_lines", F.lit(0)).cast("long")
+                         .alias("n_boiler_lines"),
+                        F.coalesce("max_line_docs", F.lit(0)).cast("long")
+                         .alias("max_line_docs"),
+                        "chars_removed")).collect()
+    return spark.createDataFrame(
+        rows, "host string, host_docs bigint, n_boiler_lines bigint, "
+              "max_line_docs bigint, chars_removed bigint")
 
 
 # ---------------------------------------------------------------------------

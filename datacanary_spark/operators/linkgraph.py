@@ -259,6 +259,16 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3,
         return nodes.select("host", F.lit(0.0).alias("rank"))
     outd = (e.groupBy(F.col("src_host").alias("host"))
              .agg(F.count(F.lit(1)).cast("double").alias("outdeg")))
+    # Hoist the loop-invariant work out of the rounds (r06): the
+    # out-degree aggregate and the edges⋈outdeg join do not change
+    # across iterations, yet the loop re-planned and re-executed both
+    # per round (2 extra exchanges × iterations). Pre-joining outdeg
+    # onto the edge list is the standard degree-normalized-edge-weight
+    # layout; checkpointing both pins them to one computation.
+    ew = e.join(outd.withColumnRenamed("host", "src_host"), "src_host")
+    if checkpoint:
+        outd = outd.localCheckpoint(eager=False)
+        ew = ew.localCheckpoint(eager=False)
 
     def _rnd(c):
         return F.bround(c, iter_round) if iter_round is not None else c
@@ -272,10 +282,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3,
                            .first()[0])
         else:
             d_mass = 0.0
-        contrib = (e.join(ranks.withColumnRenamed("host", "src_host"),
-                          "src_host")
-                    .join(outd.withColumnRenamed("host", "src_host"),
-                          "src_host")
+        contrib = (ew.join(ranks.withColumnRenamed("host", "src_host"),
+                           "src_host")
                     .groupBy(F.col("dst_host").alias("host"))
                     .agg(F.sum(F.col("rank") / F.col("outdeg"))
                           .alias("_in")))

@@ -169,11 +169,21 @@ def score_stupid_backoff(
     # model across scoring runs is the intended usage anyway).
     counts = counts.persist()
     words = words_expr(F.col(text_col))
-    base = (df.where(F.col(text_col).isNotNull())
-              .select(*id_cols, words.alias("_w"))
-              .where(F.size("_w") >= n))
+    # spread the scoring side (r06): tokenization + the gram-array
+    # slices/zips below fuse into the scan stage, and a single-split
+    # corpus file would serialize them onto one core. Docs move whole,
+    # so each doc's position order — and hence its score's float
+    # association — is unchanged (no-op at real scale).
+    # No ``size(words) >= n`` row filter here: Catalyst pushes it below
+    # the spread exchange with the tokenizer substituted in, which runs
+    # the whole split+filter pass single-threaded at the scan (plan-
+    # verified). Clamping ``out_len`` to 0 instead gives short docs
+    # zero scoring positions — explode drops them, so the result set
+    # (absent-when-under-n contract) is unchanged.
+    base = (spread_to_parallelism(df.where(F.col(text_col).isNotNull()))
+              .select(*id_cols, words.alias("_w")))
     wc = F.size(F.col("_w"))
-    out_len = wc - (n - 1)
+    out_len = F.greatest(wc - (n - 1), F.lit(0))
     # for the n-gram ending at position i (i = n..wc, out_len of them):
     #   suffix j-gram  = element i-j+1 of the j-gram array
     #                  = slice(jgrams, n-j+1, out_len)

@@ -170,7 +170,12 @@ class SignatureStore:
         if not names:
             return self.spark.createDataFrame([], schema)
         paths = [f"{self.root}/{sub}/{n}" for n in names]
-        return self.spark.read.parquet(*paths)
+        # explicit schema (r06): the store KNOWS every table's schema
+        # (it already builds one for the empty case), and schema
+        # inference costs a one-task footer-read job per call — at
+        # O(batches) dirs per read and several reads per ingest that
+        # inference was a measurable share of ingest wall time
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def exact_hashes(self) -> DataFrame:
         """(text_md5) — every distinct content hash ever seen."""
@@ -409,7 +414,8 @@ class SignatureStore:
             # O(1) resume: read only THIS batch's accepted dir — going
             # through accepted_ids() would list and scan every
             # committed batch to extract one
-            prev = self.spark.read.parquet(
+            prev = self.spark.read.schema(
+                f"{id_col} {m['id_type']}, _batch int").parquet(
                 f"{self.root}/accepted/batch_id={batch_id}").select(id_col)
             return docs.join(prev, on=id_col, how="left_semi")
         if m["committed"] and batch_id <= max(m["committed"]):
@@ -533,6 +539,7 @@ class SignatureStore:
         # parquet just written — NOT the in-flight `accepted` frame:
         # its cache is released when ingest() returns, so any caller
         # action on it would silently recompute the whole dedup.
-        acc_ids = self.spark.read.parquet(
+        acc_ids = self.spark.read.schema(
+            f"{id_col} {m['id_type']}, _batch int").parquet(
             f"{self.root}/accepted/batch_id={batch_id}").select(id_col)
         return docs.join(acc_ids, on=id_col, how="left_semi")

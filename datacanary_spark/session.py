@@ -48,7 +48,32 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition sizing, env-parameterized for cluster runs. The
+        # defaults are Spark's own: parallelismFirst=true + 64m
+        # advisory. A/B-measured here (r06): forcing byte-advisory
+        # coalescing (parallelismFirst=false) LOST 19s over the suite —
+        # post-shuffle stages in this engine are CPU-bound on tiny
+        # bytes (ADC scoring, signature estimation, gram folds), so
+        # collapsing them to one 64MB-sized partition serializes real
+        # work. On a 100-TB cluster, where post-shuffle bytes are
+        # orders of magnitude above the advisory size, the same knobs
+        # land on large parallel partitions either way; operators that
+        # need map-side parallelism regardless of AQE use
+        # plans/partitioning.spread_to_parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY", "64m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash joins when its size checks
+        # pass (guide §3.1/§9): SHJ skips both sort passes of an SMJ.
+        # A/B on the join-heavy bench subset: −4s net (ingest −3.1,
+        # components −2.3, small queries ±0.3 noise). The SHJ OOM risk
+        # (a build-side partition that cannot spill... Spark 4's SHJ
+        # does spill) is bounded by the planner's own per-partition
+        # size checks; env-overridable for cluster runs.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
