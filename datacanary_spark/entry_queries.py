@@ -310,7 +310,10 @@ def heuristic_keep_by_lang(spark, sf_dir):
     The per-doc verdict is a pure Column expression — whole pipeline is
     scan → codegen project → partial/final hash aggregate. No Python.
     """
-    d = with_text_stats(_t(spark, sf_dir, "documents"), "text", prefix="s_")
+    # _ts (r06): the stats block is a heavy per-row codegen project
+    # fused into a single-split scan; aggregates are integer counts
+    # (order-insensitive), so the spread exchange is safe
+    d = with_text_stats(_ts(spark, sf_dir, "documents"), "text", prefix="s_")
     stats = stat_cols("s_")
     keep = (
         (stats["word_count"] >= _CFG.min_words)
@@ -425,7 +428,10 @@ def heuristic_rule_hits_by_lang(spark, sf_dir):
     per-rule containment (rule_engine.py:368-378)."""
     from datacanary_spark.functions.heuristics import heuristic_hit_exprs
 
-    d = with_text_stats(_t(spark, sf_dir, "documents"), "text", prefix="s_")
+    # _ts (r06): the stats block is a heavy per-row codegen project
+    # fused into a single-split scan; aggregates are integer counts
+    # (order-insensitive), so the spread exchange is safe
+    d = with_text_stats(_ts(spark, sf_dir, "documents"), "text", prefix="s_")
     hits = heuristic_hit_exprs(_CFG, stat_cols("s_"))
     agg = d.groupBy("lang").agg(
         *[F.sum(col).cast("long").alias(name) for name, col in hits.items()])
@@ -454,7 +460,10 @@ def quality_score_distribution(spark, sf_dir):
     from datacanary_spark.functions.heuristics import heuristic_hit_exprs
     from datacanary_spark.operators.text_analysis import quality_score_expr
 
-    d = with_text_stats(_t(spark, sf_dir, "documents"), "text", prefix="s_")
+    # _ts (r06): the stats block is a heavy per-row codegen project
+    # fused into a single-split scan; aggregates are integer counts
+    # (order-insensitive), so the spread exchange is safe
+    d = with_text_stats(_ts(spark, sf_dir, "documents"), "text", prefix="s_")
     hits = heuristic_hit_exprs(_CFG, stat_cols("s_"))
     return (d.select("lang", quality_score_expr(hits).alias("quality_score"))
              .groupBy("lang", "quality_score")

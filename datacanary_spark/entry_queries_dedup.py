@@ -1034,14 +1034,24 @@ def bloom_decontam_by_lang(spark, sf_dir):
     the bitset broadcast (~GB) replaces shuffling the corpus's
     fingerprints (~corpus-sized). sum_ids pins exact row membership."""
     from datacanary_spark.operators import membership as mb
+    from datacanary_spark.plans.caching import CacheScope
 
     d = _t(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "lang", "text")
     reference = d.where(F.col("doc_id") % 5 == 0).select("text")
-    out = mb.decontaminate_bloom(corpus, reference, fpp=1e-3)
-    return out.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_survivors"),
-        F.sum("doc_id").alias("sum_ids"))
+    # CacheScope (r06): the operator's clean/confirm split is a UNION
+    # whose branches otherwise re-scan the corpus and re-hash the
+    # fingerprint + k probes each (its documented plan-shape caveat);
+    # the result is 5 rows, so pin the projection in-scope and return
+    # it locally.
+    with CacheScope() as scope:
+        out = mb.decontaminate_bloom(corpus, reference, fpp=1e-3,
+                                     persist=scope)
+        rows = out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("doc_id").alias("sum_ids")).collect()
+    return spark.createDataFrame(
+        rows, "lang string, n_survivors bigint, sum_ids bigint")
 
 
 # ---------------------------------------------------------------------------

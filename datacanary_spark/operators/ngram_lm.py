@@ -22,9 +22,11 @@ and drops documents whose score under that model is poor.
 
 Scale shape (10^12 docs):
 
-* ``ngram_counts`` is one explode + one hash aggregation per order —
-  map-side partial aggregation collapses hot grams before the shuffle,
-  so the shuffle volume is the vocabulary of each order, not the corpus.
+* ``ngram_counts`` is ONE corpus pass for all orders (each gram tagged
+  with its order doc-side, one explode, one (order, gram) hash
+  aggregation) — map-side partial aggregation collapses hot grams
+  before the shuffle, so the shuffle volume is the combined vocabulary
+  of the orders, not the corpus.
   ``min_count`` pruning (standard for web-scale LMs) bounds the model:
   at n=5 over Common Crawl the pruned table is ~10^9 rows — a parquet
   "model table" (write it once, reuse across scoring runs; that is the
@@ -101,8 +103,14 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 3,
     # UNPRUNED unigram counts is exactly sum(size(words)) over live
     # docs — derived from the vocabulary-sized aggregate, not from
     # another corpus scan; coalesce covers the empty corpus.
-    total = (counted.where(F.col("order") == 1)
-             .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("c"))
+    # the order-1 condition lives INSIDE the aggregate (sum(when)) —
+    # a .where() would be pushed below counted's aggregation, making
+    # the total branch's exchange differ from the main branch's and
+    # defeating physical exchange reuse (the corpus would explode
+    # twice; plan-verified)
+    total = (counted.agg(F.coalesce(
+                 F.sum(F.when(F.col("order") == 1, F.col("c"))),
+                 F.lit(0)).cast("long").alias("c"))
              .select(F.lit(0).alias("order"),
                      F.lit(None).cast("string").alias("gram"), "c"))
     if min_count > 1:

@@ -425,13 +425,34 @@ class SignatureStore:
 
         scope = CacheScope()
         try:
-            accepted = self._ingest_uncached(docs, batch_id, id_col,
-                                             text_col, scope)
+            # The composition fingerprint only reads ``docs`` and is
+            # only needed at the commit point — run it on a driver
+            # thread so its job overlaps the ingest's write jobs
+            # (guide-§2.6 back-fill; Spark's scheduler runs concurrent
+            # jobs fine, and the two touch disjoint frames).
+            from pyspark import InheritableThread
+
+            fp_result: list = []
+
+            def _fp():
+                try:
+                    fp_result.append(self._fingerprint(docs, id_col))
+                except BaseException as exc:  # surfaced after join
+                    fp_result.append(exc)
+
+            fp_thread = InheritableThread(target=_fp)
+            fp_thread.start()
+            try:
+                accepted = self._ingest_uncached(docs, batch_id, id_col,
+                                                 text_col, scope)
+            finally:
+                fp_thread.join()
+            if isinstance(fp_result[0], BaseException):
+                raise fp_result[0]
             # data_dirs BEFORE appending to committed: the no-key
             # default derives from the committed list
             m["data_dirs"] = self._data_dirs() + [f"batch_id={batch_id}"]
-            m.setdefault("batch_fp", {})[str(batch_id)] = \
-                self._fingerprint(docs, id_col)
+            m.setdefault("batch_fp", {})[str(batch_id)] = fp_result[0]
             m["committed"].append(batch_id)
             self._write_meta()  # commit point: all data dirs are written
             return accepted

@@ -157,3 +157,31 @@ def test_dsir_select_join_mode_and_empty_input(spark):
                            persist=False)
     assert got.count() == 0
     spark.catalog.clearCache()
+
+
+def test_literal_lookup_array_and_map_paths_agree(spark):
+    """r06 optimization pin: full-coverage models score via an O(1)
+    literal-ARRAY index (conv of the fixed-width hex bucket); a model
+    with missing buckets falls back to the literal map. Both paths
+    must produce identical weights where the map path defines them."""
+    target = spark.createDataFrame([("t a b",)], "text string")
+    raw = spark.createDataFrame([("t a b", ), ("c d e",)], "text string")
+    m = dsir.train_dsir(target, raw, n=2, hex_chars=1)
+    full = {r["text"]: r["dsir_weight"]
+            for r in dsir.with_dsir_weights(raw, m, mode="literal").collect()}
+    # force the map fallback by removing one bucket no gram of `raw`
+    # hashes into — weights must be unchanged
+    import hashlib as _h
+    grams = set()
+    for t in ["t a b", "c d e"]:
+        ws = t.split()
+        grams |= {" ".join(ws[i:i+2]) for i in range(len(ws)-1)}
+    used_buckets = {_h.md5(g.encode()).hexdigest()[:1] for g in grams}
+    unused = next(b for b in m.logratio if b not in used_buckets)
+    partial = dsir.DsirModel(
+        logratio={k: v for k, v in m.logratio.items() if k != unused},
+        n=m.n, hex_chars=m.hex_chars, alpha=m.alpha)
+    part = {r["text"]: r["dsir_weight"]
+            for r in dsir.with_dsir_weights(raw, partial,
+                                            mode="literal").collect()}
+    assert full == part

@@ -258,3 +258,29 @@ def test_duplicate_spans_short_docs_excluded(spark):
     rows = [("en", "a b c"), ("en", "a b c d e")]
     out = nl.duplicate_span_stats(_docs(spark, rows), k=5).first()
     assert out["n_docs"] == 1 and out["docs_with_dup"] == 0
+
+
+def test_ngram_counts_is_single_pass(spark):
+    """r06 optimization pin: the model build tags gram orders doc-side
+    (one explode + one (order, gram) aggregation), and the order-0
+    total row's branch physically REUSES that aggregation's exchange —
+    so the corpus is tokenized and exploded exactly once. The old
+    shape (one explode+aggregate per order plus a separate narrow
+    total aggregate) had nothing to reuse."""
+    train = _docs(spark, [("en", "a b c d e"), ("en", "a b c")])
+    out = nl.ngram_counts(train, n=3)
+    out.collect()  # AQE: reuse is visible in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_score_materializes_model_once(spark):
+    """r06 optimization pin: the 2n model-table references in scoring
+    resolve against ONE persisted materialization (InMemoryRelation),
+    not 2n re-derivations of the count aggregation from the corpus."""
+    train = _docs(spark, [("en", "a b c d e")])
+    counts = nl.ngram_counts(train, n=3)
+    plan = nl.score_stupid_backoff(
+        _docs(spark, [("en", "a b c d")]), counts, n=3) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
