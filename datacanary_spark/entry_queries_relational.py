@@ -61,9 +61,17 @@ def _dec(col):
 )
 def tpch_q1_pricing_summary(spark, sf_dir):
     """Pricing summary: predicate pushed to the parquet scan, one
-    partial+final hash aggregate; money sums in exact decimal."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    partial+final hash aggregate; money sums in exact decimal.
+
+    Spread AFTER the filter (r06): the per-row decimal arithmetic of
+    the partial aggregate is the query's whole cost and fuses into a
+    single-split scan otherwise; the filter stays below the exchange
+    so pushdown is intact (PushedFilters plan-checked), and decimal
+    sums/avgs are order-exact so the spread cannot move a value."""
+    from datacanary_spark.plans.partitioning import spread_to_parallelism
+
+    li = spread_to_parallelism(_t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec(F.col("l_quantity"))).cast(DEC_OUT).cast("string").alias("sum_qty"),
         F.sum(_dec(F.col("l_extendedprice"))).cast(DEC_OUT).cast("string")

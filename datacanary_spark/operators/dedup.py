@@ -714,8 +714,14 @@ def decontaminate_minhash(corpus: DataFrame, reference: DataFrame,
     if broadcast_ref:
         r_bands = F.broadcast(r_bands)
     c_bands = band_rows_from_sig(c_sig, id_col, "sig", n_hashes, bands)
+    # no distinct on the candidate rows (r06): a (doc, ref) pair
+    # hitting several bands repeats its 16-component estimate — cheap,
+    # bounded by the band count — whereas the distinct shuffled the
+    # candidate rows WITH their full reference signatures (16 md5
+    # strings each) as the key; ``contaminated`` distincts the ids
+    # below, so the result is unchanged.
     cand = (c_bands.join(r_bands, ["band_ix", "band_key"])
-            .select(id_col, "_ref_sig").distinct())
+            .select(id_col, "_ref_sig"))
     est = sig_jaccard_estimate(F.col("sig"), F.col("_ref_sig"), n_hashes)
     contaminated = (cand.join(c_sig, id_col)
                     .where(est >= threshold)

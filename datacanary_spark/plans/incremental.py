@@ -510,8 +510,12 @@ class SignatureStore:
 
         # candidates vs the store (every stored doc precedes the batch)
         # and within the batch (lower id precedes); both are one band
-        # equi-join. distinct() BEFORE the estimate so band collisions
-        # don't repeat a signature compare.
+        # equi-join. NO distinct here (r06): a pair appearing in
+        # several bands repeats its signature compare — 16 equality
+        # checks, embarrassingly parallel and bounded by the band
+        # count — which is far cheaper than the full candidate-set
+        # shuffle the distinct cost; the ``dropped`` ids are
+        # distinct-ed below, so the result is unchanged.
         cross = (batch_bands.alias("n")
                  .join(store_bands.alias("o"), ["band_ix", "band_key"])
                  .select(F.col(f"n.{id_col}").alias("_id"),
@@ -521,7 +525,7 @@ class SignatureStore:
                   .where(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
                   .select(F.col(f"a.{id_col}").alias("_id"),
                           F.col(f"b.{id_col}").alias("_prev")))
-        cand = cross.unionByName(within).distinct()
+        cand = cross.unionByName(within)
         all_sigs = sigs.unionByName(store_sigs)
         est = (cand
                .join(sigs.select(F.col(id_col).alias("_id"),
