@@ -10,7 +10,7 @@ Usage::
 
     python bench_extra.py q1 q2 ...      # time + plan the named queries
     python bench_extra.py --all          # the full registry
-    python bench_extra.py --plans q1     # write before/after plan files
+    python bench_extra.py --plan-tag before q1   # write plan files
 """
 
 from __future__ import annotations

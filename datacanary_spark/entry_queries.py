@@ -48,6 +48,9 @@ def register(name: str, sql: str | None = None):
 # suite tail. Query RESULTS are still computed from the parquet files
 # on every invocation — only the (static, read-only) file schema is
 # remembered, exactly what `spark.table()` would get from a catalog.
+# No invalidation: the driver-contract sf dirs are read-only fixtures;
+# a process that rewrites a table under the same path must not reuse
+# this module's readers.
 _SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 
 

@@ -63,15 +63,15 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     """Pricing summary: predicate pushed to the parquet scan, one
     partial+final hash aggregate; money sums in exact decimal.
 
-    Spread AFTER the filter (r06): the per-row decimal arithmetic of
-    the partial aggregate is the query's whole cost and fuses into a
-    single-split scan otherwise; the filter stays below the exchange
-    so pushdown is intact (PushedFilters plan-checked), and decimal
-    sums/avgs are order-exact so the spread cannot move a value."""
-    from datacanary_spark.plans.partitioning import spread_to_parallelism
-
-    li = spread_to_parallelism(_t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")))
+    Deliberately NOT spread (r06 review): the decimal sums are
+    order-exact, but avg_qty/avg_disc run on raw DOUBLE columns — on
+    the unspread single-split scan their summation order equals the
+    serial oracle's BY CONSTRUCTION in any environment, while a spread
+    would make the last bit depend on the session's core count and
+    lean on bround(6) to hide it. ~0.5 s at bench scale is not worth
+    trading structural exactness for rounding luck."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec(F.col("l_quantity"))).cast(DEC_OUT).cast("string").alias("sum_qty"),
         F.sum(_dec(F.col("l_extendedprice"))).cast(DEC_OUT).cast("string")

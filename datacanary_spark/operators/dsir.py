@@ -180,9 +180,11 @@ def _literal_lookup(model: DsirModel, gram: Column) -> Column:
     map entries per gram (Spark's GetMapValue has no hash structure
     for literal maps): at hex_chars=2 that is 256 string compares per
     gram, ~50k per average doc — measured as the dominant scoring
-    cost. A foreign model with missing buckets falls back to the map
-    (identical null-for-missing semantics)."""
-    if len(model.logratio) != 16 ** model.hex_chars:
+    cost. A foreign model whose label set is not exactly the canonical
+    lowercase bucket space (missing buckets, uppercase/odd labels —
+    where sorted() order would not match conv() positions) falls back
+    to the map with its original semantics."""
+    if sorted(model.logratio) != _all_buckets(model.hex_chars):
         return F.element_at(_literal_map(model),
                             bucket_expr(gram, model.hex_chars))
     vs = [float(v) for _, v in sorted(model.logratio.items())]

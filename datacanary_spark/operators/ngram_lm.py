@@ -61,11 +61,12 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 3,
     """Train: count every 1..n-gram of the corpus.
 
     Returns one model table ``(order int, gram string, c long)`` —
-    write it to parquet to persist the model. One explode + one
-    aggregation per order; ``min_count`` prunes each order's tail
-    AFTER counting (counts stay exact for survivors). All orders are
-    needed at scoring time: order j backs off to order j-1, and the
-    context count of a j-gram lookup is an order-(j-1) row.
+    write it to parquet to persist the model. ONE corpus pass for all
+    orders (order-tagged grams, one explode, one (order, gram)
+    aggregation — r06); ``min_count`` prunes each order's tail AFTER
+    counting (counts stay exact for survivors). All orders are needed
+    at scoring time: order j backs off to order j-1, and the context
+    count of a j-gram lookup is an order-(j-1) row.
 
     The table also carries one ``(order=0, gram=NULL, c=N)`` row with
     the UNPRUNED corpus token count — the Brants f(w)/N unigram-floor
@@ -132,6 +133,7 @@ def score_stupid_backoff(
     alpha: float = ALPHA,
     broadcast_model: bool = True,
     out_col: str = "sb_logscore",
+    persist_model=True,
 ) -> DataFrame:
     """Score: mean log10 Stupid-Backoff score per document.
 
@@ -167,15 +169,19 @@ def score_stupid_backoff(
     # broadcast build re-derives the model from its source — when
     # ``counts`` is freshly trained that is 2n full corpus scans per
     # scoring run (measured: 20 scans in one ccnet_ppl plan at r05).
-    # persist() marks the vocabulary-sized table for caching: the first
-    # consumer computes it once, every later reference planning-matches
-    # the cached relation (CacheManager canonical-plan substitution) —
-    # unlike localCheckpoint this costs no eager physical planning at
-    # build time (measured: checkpoint added ~2.5s of plan work per
-    # call at sf0.1). The cache is released with the session (model
-    # tables are vocabulary-sized; at cluster scale persisting the
-    # model across scoring runs is the intended usage anyway).
-    counts = counts.persist()
+    # ``persist_model`` (tri-state: bool or plans.caching.CacheScope,
+    # the repo-wide contract) marks the vocabulary-sized table for
+    # caching: the first consumer computes it once, every later
+    # reference planning-matches the cached relation (CacheManager
+    # canonical-plan substitution) — unlike localCheckpoint this costs
+    # no eager physical planning at build time (measured: checkpoint
+    # added ~2.5s of plan work per call at sf0.1). With the bare
+    # ``True`` default the blocks live until the caller unpersists or
+    # the session ends — pass a CacheScope for a deterministic release
+    # point, or False to re-derive per reference.
+    from datacanary_spark.plans.caching import maybe_persist
+
+    counts = maybe_persist(counts, persist_model)
     words = words_expr(F.col(text_col))
     # spread the scoring side (r06): tokenization + the gram-array
     # slices/zips below fuse into the scan stage, and a single-split

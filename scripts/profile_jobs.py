@@ -37,6 +37,9 @@ def main() -> None:
     jobs = sorted(set(st.getJobIdsForGroup() or []) - before)
     for j in jobs:
         ji = st.getJobInfo(j)
+        if ji is None:  # evicted from the UI store (spark.ui.retainedJobs)
+            print(f"job {j}: <evicted>")
+            continue
         stages = [st.getStageInfo(s) for s in ji.stageIds]
         ntasks = sum(s.numTasks for s in stages if s)
         print(f"job {j}: stages={len(ji.stageIds)} tasks={ntasks}")
