@@ -909,9 +909,11 @@ def pq_encode_index(df: DataFrame, dim: int, id_col: str = "vec_id",
     # filter on the EQUIVALENT raw condition (right length; size(null)
     # is null under ANSI, so nulls drop too) instead of codes
     # IS NOT NULL: a post-encode null filter would push back through
-    # the projection and re-evaluate the whole encoder per row
-    c = df.where(F.size(F.col(vec_col)) == dim).select(
-        F.col(id_col), F.col(vec_col))
+    # the projection and re-evaluate the whole encoder per row.
+    # Spread the narrow frame before the encoder (r06): a one-split
+    # corpus would otherwise encode on one core (no-op at real scale).
+    c = _spread(df.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col), F.col(vec_col)))
     mode = _resolve_assignment(assignment, cb.size)
     codes = (make_pq_encode_udf(c, cb)(F.col(vec_col)) if mode == "udf"
              else pq_encode_expr(vec_col, cb))
@@ -1046,25 +1048,35 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     cb = pq_codebooks(dim, n_sub, n_codes, seed) if codebooks is None \
         else np.asarray(codebooks, dtype=np.float64)
     mode = _resolve_assignment(assignment, cb.size)
+    # _spread runs on the NARROW frame, before the reconstruction
+    # expression is attached (r06): spreading the packed projection put
+    # the heaviest per-row expression in the file below the exchange
+    # (single-core on a one-split scan) and made the spread's
+    # partition-count probe physically plan the giant fused expression
+    # once per call for nothing.
     if codes_col is not None:
         # stored-index serving path: codes is a materialized column,
         # per-subspace references to it are attribute access
-        c = corpus.select(F.col(id_col), F.col(codes_col).alias("codes")) \
-                  .where(F.col("codes").isNotNull())
+        c = _spread(corpus.select(F.col(id_col),
+                                  F.col(codes_col).alias("codes"))
+                    .where(F.col("codes").isNotNull()))
         recon = (make_pq_reconstruct_udf(c, cb)(F.col("codes"))
                  if mode == "udf"
                  else pq_reconstruct_expr(F.col("codes"), cb))
     elif mode == "udf":
+        # pq_encode_index spreads its own narrow input before the
+        # encode UDF; an outer spread here would land BELOW that
+        # projection and serialize the Arrow encode onto one task
         c = pq_encode_index(corpus, dim, id_col=id_col, vec_col=vec_col,
                             codebooks=cb, assignment=mode)
         recon = make_pq_reconstruct_udf(c, cb)(F.col("codes"))
     else:
         # in-flight literal path: encode+decode fused so each distance
         # array evaluates once per row (see pq_reconstruct_from_vec_expr)
-        c = corpus.where(F.size(F.col(vec_col)) == dim).select(
-            F.col(id_col), F.col(vec_col))
+        c = _spread(corpus.where(F.size(F.col(vec_col)) == dim).select(
+            F.col(id_col), F.col(vec_col)))
         recon = pq_reconstruct_from_vec_expr(vec_col, cb)
-    c = _spread(c.select(F.col(id_col), _pack_recon(recon).alias("_pk")))
+    c = c.select(F.col(id_col), _pack_recon(recon).alias("_pk"))
     q = _query_frame(queries, dim, vec_col, query_id_col)
     return _adc_topk(c, q, query_id_col, id_col, k, on_cell=False)
 
