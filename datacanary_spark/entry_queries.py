@@ -673,12 +673,15 @@ _TAIL_ROTATION = [
     "seq_packing_by_lang",  # r05a, r04-green
     "docs_pivot_source_lang",  # r05a, r04-green
     "temperature_mix_by_lang",  # r05a, r04-green
-    # r05b: NEW query registered straight to the tail (the window is
-    # packed with the rotated-in never-checked rows); verified by
-    # scripts/check_oracle.py at sf0.01 + sf0.1 — same contract as the
-    # r04l tail registrations.
-    "ann_pq_top5",  # r05b
-    "ann_ivfpq_top5",  # r05b, same tail contract
+    # r06 (VERDICT r05 "Next round" item 1): ann_pq_top5 and
+    # ann_ivfpq_top5 — the only registered queries with zero
+    # driver-gate evidence — rotate INTO the first-50 window (removed
+    # from this list; they rejoin at their registration position), and
+    # the two rows below retire to make room:
+    "compression_ratio_by_lang",  # r06: permanent no_oracle row — the
+    # gate slot can never go green on it (zlib has no SQL oracle; its
+    # semantics stay pinned by the golden twin + rows-only sweep)
+    "badword_stats_by_lang",  # r06, r05-green (CORRECTNESS_r05)
 ]
 
 

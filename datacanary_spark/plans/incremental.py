@@ -488,7 +488,11 @@ class SignatureStore:
                  .agg(F.min(id_col).alias("_canon_id")))
         store_hashes = self.exact_hashes().select(
             F.col("text_md5").alias("_h"))
-        new_hashes = canon.join(store_hashes, "_h", "left_anti")
+        # persisted (r06): the canon aggregate + store anti-join feed
+        # BOTH the exact-tier write and the survivor semi-join —
+        # unpersisted, the groupBy shuffle ran once per consumer
+        new_hashes = scope.persist(canon.join(store_hashes, "_h",
+                                              "left_anti"))
         exact_surv = scope.persist(
             hashed.join(new_hashes.select(F.col("_canon_id").alias(id_col)),
                         id_col, "left_semi").drop("_h"))
@@ -542,12 +546,42 @@ class SignatureStore:
                       .select(*docs.columns))
 
         # ---- persist batch identities (idempotent overwrites) ------------
-        new_hashes.where(~F.col("_h").startswith("<NULL>#")) \
-            .select(F.col("_h").alias("text_md5")) \
-            .write.mode("overwrite") \
-            .parquet(f"{self.root}/exact/batch_id={batch_id}")
-        sigs.write.mode("overwrite") \
-            .parquet(f"{self.root}/sigs/batch_id={batch_id}")
+        # The exact and sigs writes touch disjoint directories and only
+        # read cached upstream frames — run them on two driver threads
+        # so their jobs overlap (guide §2.6; concurrent jobs racing an
+        # uncomputed cached partition serialize on the block lock, so
+        # results are unaffected). The accepted write stays after the
+        # join: it reads the sigs cache those jobs populate.
+        from pyspark import InheritableThread
+
+        def _write_exact():
+            new_hashes.where(~F.col("_h").startswith("<NULL>#")) \
+                .select(F.col("_h").alias("text_md5")) \
+                .write.mode("overwrite") \
+                .parquet(f"{self.root}/exact/batch_id={batch_id}")
+
+        def _write_sigs():
+            sigs.write.mode("overwrite") \
+                .parquet(f"{self.root}/sigs/batch_id={batch_id}")
+
+        errs: list = []
+
+        def _guard(fn):
+            def run():
+                try:
+                    fn()
+                except BaseException as exc:
+                    errs.append(exc)
+            return run
+
+        threads = [InheritableThread(target=_guard(f))
+                   for f in (_write_exact, _write_sigs)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
         if m.get("bucket_bands"):
             name = self._ensure_bands_table(id_col)
             write_bucketed(
