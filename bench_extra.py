@@ -63,20 +63,23 @@ def main() -> None:
     results = {}
     for name in names:
         sc.setJobDescription(f"bench_extra:{name}")
-        jobs0 = len(tracker.getJobIdsForGroup() or [])
+        # set-difference of job ids, not length deltas: the UI store
+        # evicts old jobs past spark.ui.retainedJobs, which made raw
+        # len() deltas under-report (or go negative) on --all runs
+        jobs0 = set(tracker.getJobIdsForGroup() or [])
         t0 = time.perf_counter()
         df = registry[name](spark, args.sf_dir)
         t_build = time.perf_counter() - t0
         df.collect()
         t_first = time.perf_counter() - t0
-        n_jobs_first = len(tracker.getJobIdsForGroup() or []) - jobs0
+        jobs1 = set(tracker.getJobIdsForGroup() or [])
+        n_jobs_first = len(jobs1 - jobs0)
         best = float("inf")
-        jobs1 = len(tracker.getJobIdsForGroup() or [])
         for _ in range(max(1, args.repeat)):
             t0 = time.perf_counter()
             registry[name](spark, args.sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-        n_jobs_warm = (len(tracker.getJobIdsForGroup() or []) - jobs1) \
+        n_jobs_warm = len(set(tracker.getJobIdsForGroup() or []) - jobs1) \
             // max(1, args.repeat)
         results[name] = {
             "build_sec": round(t_build, 3),

@@ -79,6 +79,17 @@ def _r6(col):
     return F.bround(col.cast("double"), 6)
 
 
+def _local_result(spark: SparkSession, df: DataFrame, ddl: str) -> DataFrame:
+    """Collect a SMALL aggregate frame and re-create it as a local
+    DataFrame with the declared schema — the shared tail of the
+    CacheScope queries (the scope's persisted intermediates are only
+    valid inside the ``with`` block, so the result must be
+    materialized before scope exit; call this inside the block).
+    ``ddl`` states the output schema explicitly so the driver-contract
+    column types cannot drift with an upstream refactor."""
+    return spark.createDataFrame(df.collect(), ddl)
+
+
 # The DuckDB-side statement of the repo-wide whitespace tokenization
 # contract (words_expr: non-empty splits on Java \s+), shared by every
 # oracle that reasons about token positions (LM family, n-gram

@@ -652,12 +652,16 @@ def decontaminate_minhash_survivors(spark, sf_dir):
     # docstring caveat). The result is one aggregate row, so
     # materialize inside the scope and return it as a local frame
     # (same pattern as classifier_top_fraction_by_lang).
+    from datacanary_spark.entry_queries import _local_result
+
     with CacheScope() as scope:
         out = dd.decontaminate_minhash(corpus, reference, threshold=0.5,
                                        persist=scope)
-        rows = out.agg(F.count(F.lit(1)).alias("n_survivors"),
-                       F.sum("doc_id").alias("sum_ids")).collect()
-    return spark.createDataFrame(rows, "n_survivors bigint, sum_ids bigint")
+        return _local_result(
+            spark,
+            out.agg(F.count(F.lit(1)).alias("n_survivors"),
+                    F.sum("doc_id").alias("sum_ids")),
+            "n_survivors bigint, sum_ids bigint")
 
 
 # ---------------------------------------------------------------------------
@@ -1044,14 +1048,17 @@ def bloom_decontam_by_lang(spark, sf_dir):
     # fingerprint + k probes each (its documented plan-shape caveat);
     # the result is 5 rows, so pin the projection in-scope and return
     # it locally.
+    from datacanary_spark.entry_queries import _local_result
+
     with CacheScope() as scope:
         out = mb.decontaminate_bloom(corpus, reference, fpp=1e-3,
                                      persist=scope)
-        rows = out.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_survivors"),
-            F.sum("doc_id").alias("sum_ids")).collect()
-    return spark.createDataFrame(
-        rows, "lang string, n_survivors bigint, sum_ids bigint")
+        return _local_result(
+            spark,
+            out.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.sum("doc_id").alias("sum_ids")),
+            "lang string, n_survivors bigint, sum_ids bigint")
 
 
 # ---------------------------------------------------------------------------

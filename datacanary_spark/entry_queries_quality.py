@@ -410,17 +410,19 @@ def classifier_top_fraction_by_lang(spark, sf_dir):
     # leak the cached frame into the long-lived driver session on
     # every gate/bench run, so materialize inside the scope and return
     # the (tiny) result as a local frame
+    from datacanary_spark.entry_queries import _local_result
+
     with CacheScope() as scope:
         kept = classify_top_fraction(d, clf, 0.7, tie_col="doc_id",
                                      margin_col="z", persist=scope)
-        rows = kept.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("doc_id").alias("sum_ids"),
-            F.bround(F.min("z"), 6).alias("min_kept_margin"),
-        ).collect()
-    return spark.createDataFrame(
-        rows, "lang string, n_kept bigint, sum_ids bigint, "
-              "min_kept_margin double")
+        return _local_result(
+            spark,
+            kept.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.bround(F.min("z"), 6).alias("min_kept_margin")),
+            "lang string, n_kept bigint, sum_ids bigint, "
+            "min_kept_margin double")
 
 
 # --------------------------------------------------------------------------

@@ -153,16 +153,19 @@ def boilerplate_strip_by_host(spark, sf_dir):
                    .agg(F.count(F.lit(1)).alias("host_docs"),
                         F.sum(F.length("text") - F.length("_st"))
                          .alias("chars_removed")))
-        rows = (removed.join(counts, "host", "left")
-                .select("host", "host_docs",
-                        F.coalesce("n_boiler_lines", F.lit(0)).cast("long")
-                         .alias("n_boiler_lines"),
-                        F.coalesce("max_line_docs", F.lit(0)).cast("long")
-                         .alias("max_line_docs"),
-                        "chars_removed")).collect()
-    return spark.createDataFrame(
-        rows, "host string, host_docs bigint, n_boiler_lines bigint, "
-              "max_line_docs bigint, chars_removed bigint")
+        from datacanary_spark.entry_queries import _local_result
+
+        return _local_result(
+            spark,
+            removed.join(counts, "host", "left")
+            .select("host", "host_docs",
+                    F.coalesce("n_boiler_lines", F.lit(0)).cast("long")
+                     .alias("n_boiler_lines"),
+                    F.coalesce("max_line_docs", F.lit(0)).cast("long")
+                     .alias("max_line_docs"),
+                    "chars_removed"),
+            "host string, host_docs bigint, n_boiler_lines bigint, "
+            "max_line_docs bigint, chars_removed bigint")
 
 
 # ---------------------------------------------------------------------------

@@ -265,9 +265,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3,
     # per round (2 extra exchanges × iterations). Pre-joining outdeg
     # onto the edge list is the standard degree-normalized-edge-weight
     # layout; checkpointing both pins them to one computation.
+    if checkpoint:
+        # checkpoint outd FIRST and derive ew from the checkpointed
+        # frame — built from the raw plan, ew's own checkpoint would
+        # re-run the out-degree aggregate instead of reading outd's
+        # materialized blocks (r06 review)
+        outd = outd.localCheckpoint(eager=False)
     ew = e.join(outd.withColumnRenamed("host", "src_host"), "src_host")
     if checkpoint:
-        outd = outd.localCheckpoint(eager=False)
         ew = ew.localCheckpoint(eager=False)
 
     def _rnd(c):

@@ -95,6 +95,42 @@ def sig_jaccard_estimate(sig_a: Column, sig_b: Column,
             .cast("double") / F.lit(float(n_hashes)))
 
 
+class _BgTask:
+    """A callable running on a Spark-aware driver thread
+    (``InheritableThread``: JVM-thread-local job properties inherit and
+    clean up), started immediately; :meth:`result` joins and either
+    returns the value or re-raises the thread's exception. One shape
+    for every overlapped-jobs site in this module (guide-§2.6
+    back-fill: independent Spark jobs submitted from driver threads
+    fill the scheduler while another chain's tail drains)."""
+
+    def __init__(self, fn):
+        from pyspark import InheritableThread
+
+        self._out: list = []
+
+        def _run():
+            try:
+                self._out.append((True, fn()))
+            except BaseException as exc:  # re-raised in result()
+                self._out.append((False, exc))
+
+        self._t = InheritableThread(target=_run)
+        self._t.start()
+
+    def wait(self) -> None:
+        """Join without surfacing the outcome (cleanup paths where an
+        earlier exception must stay the primary error)."""
+        self._t.join()
+
+    def result(self):
+        self._t.join()
+        ok, val = self._out[0]
+        if not ok:
+            raise val
+        return val
+
+
 class SignatureStore:
     """Persisted dedup identities for batch-incremental ingestion."""
 
@@ -181,14 +217,30 @@ class SignatureStore:
         """(text_md5) — every distinct content hash ever seen."""
         return self._read_committed("exact", "text_md5 string")
 
+    def _check_id_col(self, id_col: str) -> None:
+        """Fail fast on an id column name that doesn't match the
+        store's pinned one: the explicit-schema readers match parquet
+        columns BY NAME, so a mismatched name would come back as
+        all-null rows — silently disabling dedup against the store —
+        where the old inferred-schema read raised a loud
+        AnalysisException downstream (r06 review)."""
+        pinned = self.meta.get("id_col")
+        if pinned is not None and id_col != pinned:
+            raise ValueError(
+                f"id column {id_col!r} != store's pinned {pinned!r} "
+                f"(the stored identity tables carry the first "
+                f"ingest's column name)")
+
     def signatures(self, id_col: str = "doc_id") -> DataFrame:
         """(id, sig) for every banded exact-survivor doc ever seen."""
+        self._check_id_col(id_col)
         sig_t = ("array<bigint>" if self.meta["hash_fn"] == "xxhash64"
                  else "array<string>")
         id_t = self.meta["id_type"] or "string"
         return self._read_committed("sigs", f"{id_col} {id_t}, sig {sig_t}")
 
     def accepted_ids(self, id_col: str = "doc_id") -> DataFrame:
+        self._check_id_col(id_col)
         id_t = self.meta["id_type"] or "string"
         return self._read_committed(
             "accepted", f"{id_col} {id_t}, _batch int")
@@ -275,8 +327,10 @@ class SignatureStore:
             "bucket_bands": m.get("bucket_bands"),
             "bands_gen": self._bands_gen() if m.get("bucket_bands") else None,
             "n_content_hashes": self.exact_hashes().count(),
-            "n_signatures": self.signatures().count(),
-            "n_accepted": self.accepted_ids().count(),
+            "n_signatures":
+                self.signatures(m.get("id_col") or "doc_id").count(),
+            "n_accepted":
+                self.accepted_ids(m.get("id_col") or "doc_id").count(),
         }
 
     # -- compaction --------------------------------------------------------
@@ -428,31 +482,18 @@ class SignatureStore:
             # The composition fingerprint only reads ``docs`` and is
             # only needed at the commit point — run it on a driver
             # thread so its job overlaps the ingest's write jobs
-            # (guide-§2.6 back-fill; Spark's scheduler runs concurrent
-            # jobs fine, and the two touch disjoint frames).
-            from pyspark import InheritableThread
-
-            fp_result: list = []
-
-            def _fp():
-                try:
-                    fp_result.append(self._fingerprint(docs, id_col))
-                except BaseException as exc:  # surfaced after join
-                    fp_result.append(exc)
-
-            fp_thread = InheritableThread(target=_fp)
-            fp_thread.start()
+            # (the two touch disjoint frames).
+            fp = _BgTask(lambda: self._fingerprint(docs, id_col))
             try:
                 accepted = self._ingest_uncached(docs, batch_id, id_col,
                                                  text_col, scope)
-            finally:
-                fp_thread.join()
-            if isinstance(fp_result[0], BaseException):
-                raise fp_result[0]
+            except BaseException:
+                fp.wait()  # don't leak the thread; original error wins
+                raise
             # data_dirs BEFORE appending to committed: the no-key
             # default derives from the committed list
             m["data_dirs"] = self._data_dirs() + [f"batch_id={batch_id}"]
-            m.setdefault("batch_fp", {})[str(batch_id)] = fp_result[0]
+            m.setdefault("batch_fp", {})[str(batch_id)] = fp.result()
             m["committed"].append(batch_id)
             self._write_meta()  # commit point: all data dirs are written
             return accepted
@@ -552,8 +593,6 @@ class SignatureStore:
         # uncomputed cached partition serialize on the block lock, so
         # results are unaffected). The accepted write stays after the
         # join: it reads the sigs cache those jobs populate.
-        from pyspark import InheritableThread
-
         def _write_exact():
             new_hashes.where(~F.col("_h").startswith("<NULL>#")) \
                 .select(F.col("_h").alias("text_md5")) \
@@ -564,24 +603,12 @@ class SignatureStore:
             sigs.write.mode("overwrite") \
                 .parquet(f"{self.root}/sigs/batch_id={batch_id}")
 
-        errs: list = []
-
-        def _guard(fn):
-            def run():
-                try:
-                    fn()
-                except BaseException as exc:
-                    errs.append(exc)
-            return run
-
-        threads = [InheritableThread(target=_guard(f))
-                   for f in (_write_exact, _write_sigs)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errs:
-            raise errs[0]
+        t_exact, t_sigs = _BgTask(_write_exact), _BgTask(_write_sigs)
+        try:
+            t_exact.result()
+        finally:
+            t_sigs.wait()
+        t_sigs.result()
         if m.get("bucket_bands"):
             name = self._ensure_bands_table(id_col)
             write_bucketed(

@@ -272,6 +272,7 @@ def test_ngram_counts_is_single_pass(spark):
     out.collect()  # AQE: reuse is visible in the executed plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+    spark.catalog.clearCache()
 
 
 def test_score_materializes_model_once(spark):
@@ -284,3 +285,4 @@ def test_score_materializes_model_once(spark):
         _docs(spark, [("en", "a b c d")]), counts, n=3) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()  # don't leak the model cache to later tests
