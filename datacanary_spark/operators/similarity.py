@@ -158,14 +158,19 @@ def random_planes(dim: int, n_bits: int, table: int = 0,
 def srp_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     """Sign-random-projection bucket id (int) for one table.
 
-    Bit j set iff dot(vec, plane_j) > 0. Planes are plan literals.
-    """
-    bucket = F.lit(0)
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot_expr(vec, lit_plane) > 0,
-                                 F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    Bit j set iff dot(vec, plane_j) > 0. Planes are plan literals —
+    ONE literal matrix + a fold over (plane, bit-weight) pairs (r06;
+    see _centroid_dots): integer addition in j order, so the bucket
+    value is identical to the old per-plane chained sum, including
+    the null-vector → bucket 0 contract (null dot fails the > 0 test
+    and contributes 0)."""
+    weights = F.expr(
+        "array(" + ",".join(str(1 << j) for j in range(len(planes))) + ")")
+    terms = F.zip_with(
+        _lit_matrix(planes), weights,
+        lambda p, w: F.when(dot_expr(vec, p) > 0, w).otherwise(F.lit(0)))
+    return F.aggregate(terms, F.lit(0),
+                       lambda acc, v: acc + v).cast("int")
 
 
 def make_srp_buckets_udf(df: DataFrame, dim: int, n_bits: int,
@@ -334,11 +339,29 @@ def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
     return c / np.where(norms == 0, 1.0, norms)
 
 
+def _lit_matrix(matrix) -> Column:
+    """A literal ``array<array<double>>`` built as ONE py4j call
+    (``F.expr`` over the SQL text — the values parse JVM-side in ms;
+    ``F.lit(list)`` would issue a py4j round trip per SCALAR)."""
+    return F.expr(_sql_vec2d(matrix))
+
+
+def _lit_dvec(values) -> Column:
+    """A literal ``array<double>`` as one py4j call (see _lit_matrix)."""
+    return F.expr(_sql_vec(values))
+
+
 def _centroid_dots(vec: Column, centroids: np.ndarray) -> Column:
-    return F.array(*[
-        dot_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
-    ])
+    """Array of <vec, centroid_j> dots, j in row order.
+
+    ONE literal matrix + one transform lambda (r06): the per-centroid
+    ``dot_expr(vec, F.array(64 lits))`` form issued ~65 py4j calls and
+    built ~65 expression nodes PER centroid — for a 16×64 quantizer
+    that is >1000 py4j round trips per plan build, a measurable slice
+    of every ANN query's per-run driver time. The lambda body is
+    constructed once; the element-wise arithmetic (sequential
+    zip_with/aggregate fold) is unchanged, so dots are bit-identical."""
+    return F.transform(_lit_matrix(centroids), lambda c: dot_expr(vec, c))
 
 
 def ivf_cell_expr(vec: Column, centroids: np.ndarray) -> Column:
@@ -552,11 +575,28 @@ def _lit_vec(values) -> Column:
     return F.lit([float(x) for x in values])
 
 
+def _pq_dists_col(vec: Column, codebooks: np.ndarray, m: int) -> Column:
+    """Subspace-m distance array ``||c||^2 - 2*dot(s, c)`` as a compact
+    Column: the books/norms are ONE nested literal node each and the
+    dot lambda is constructed once (r06 — the SQL-text per-code
+    expansion parsed ~10^3 nodes per subspace; see _centroid_dots).
+    The subvector slice binds once per row via the one-element
+    transform trick; arithmetic (sequential fold, ``n2 - 2.0*dot``)
+    is unchanged, so the array is bit-identical to the SQL form's."""
+    sub = codebooks.shape[2]
+    norms = _lit_dvec([_seq_dot(c, c) for c in codebooks[m]])
+    books = _lit_matrix(codebooks[m])
+    return F.element_at(
+        F.transform(F.array(F.slice(vec, m * sub + 1, sub)),
+                    lambda s: F.zip_with(
+                        norms, books,
+                        lambda n2, c: n2 - F.lit(2.0) * dot_expr(s, c))),
+        1)
+
+
 def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> Column:
-    """PQ codes as ``array<int>`` (one code per subspace), one pure
-    SQL expression — codebooks are plan literals, oracle-expressible
-    (and the SQL-text construction keeps plan BUILD off the py4j
-    per-node path, see ``pq_reconstruct_from_vec_expr``).
+    """PQ codes as ``array<int>`` (one code per subspace), pure Column
+    expressions — codebooks are plan literals, oracle-expressible.
 
     Per subspace the code is ``argmin ||s - c||^2`` over the book,
     computed as ``argmin(||c||^2 - 2*dot(s, c))`` (the ``||s||^2`` term
@@ -566,16 +606,17 @@ def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> Column:
     applies, so the two dispatch modes agree row-for-row."""
     n_sub, _, sub = codebooks.shape
     dim = n_sub * sub
+    vec = F.col(vec_col)
     codes = []
     for m in range(n_sub):
-        dists = _pq_dists_sql(vec_col, codebooks, m)
+        dists = _pq_dists_col(vec, codebooks, m)
         # bind the dist array ONCE (argmin reads it twice — higher-order
         # subtrees get no subexpression elimination, see ivf_cell_expr)
-        codes.append(
-            f"element_at(transform(array({dists}), "
-            f"d -> cast(array_position(d, array_min(d)) - 1 as int)), 1)")
-    return F.expr(f"case when size({_vec_sql_ref(vec_col)}) = {dim} "
-                  f"then array({','.join(codes)}) end")
+        codes.append(F.element_at(
+            F.transform(F.array(dists),
+                        lambda d: (F.array_position(d, F.array_min(d))
+                                   - 1).cast("int")), 1))
+    return F.when(F.size(vec) == dim, F.array(*codes))
 
 
 def make_pq_encode_udf(df: DataFrame, codebooks: np.ndarray):
@@ -623,7 +664,8 @@ def pq_reconstruct_expr(codes: Column, codebooks: np.ndarray) -> Column:
     n_sub, n_codes, _ = codebooks.shape
     parts = []
     for m in range(n_sub):
-        book = F.array(*[_lit_vec(c) for c in codebooks[m]])
+        # one-call literal matrix per book (r06; see _lit_matrix)
+        book = _lit_matrix(codebooks[m])
         parts.append(F.element_at(book, F.element_at(codes, m + 1) + 1))
     geometry_ok = (F.size(codes) == n_sub) & F.forall(
         codes, lambda c: (c >= 0) & (c < n_codes))
@@ -710,22 +752,32 @@ def pq_reconstruct_from_vec_expr(vec_col: str,
     Fused because Catalyst's project-collapse substitutes — not
     shares — non-trivial expressions across column references: going
     through a separate in-flight ``codes`` column re-evaluated the
-    full 128-dot encoder once per reconstruction subspace.  Built as
-    ONE ``F.expr`` SQL string rather than nested Column objects: the
-    Column form issues a py4j round-trip per node and ~10k nodes cost
-    ~9 s of DRIVER time per plan build (measured), vs milliseconds to
-    parse the equivalent SQL text JVM-side."""
+    full 128-dot encoder once per reconstruction subspace.
+
+    Construction history: the r05 form was ONE ``F.expr`` SQL string
+    because the naive Column form (a node per literal scalar) cost
+    ~9 s of py4j round trips per plan build; but the 100 KB SQL text
+    still parsed/analyzed into ~10^4 JVM nodes — measured ~2 s of
+    driver time per RUN at bench scale. The r06 form gets both sides
+    small: nested array literals are ONE node each and the distance
+    lambda is constructed once per subspace (see ``_pq_dists_col``) —
+    a few hundred nodes, a few hundred py4j calls, bit-identical
+    arithmetic."""
     n_sub = codebooks.shape[0]
+    vec = F.col(vec_col)
     parts = []
     for m in range(n_sub):
-        dists = _pq_dists_sql(vec_col, codebooks, m)
-        book = ("array(" + ",".join(_sql_vec(c) for c in codebooks[m])
-                + ")")
-        parts.append(
-            f"element_at(transform(array({dists}), "
-            f"d -> element_at({book}, "
-            f"cast(array_position(d, array_min(d)) as int))), 1)")
-    return F.expr("concat(" + ",".join(parts) + ")")
+        dists = _pq_dists_col(vec, codebooks, m)
+        book = _lit_matrix(codebooks[m])
+        # single-parameter lambda (two would bind the array INDEX);
+        # closure capture of `book` is safe — F.transform invokes the
+        # lambda eagerly, within this loop iteration
+        parts.append(F.element_at(
+            F.transform(F.array(dists),
+                        lambda d: F.element_at(
+                            book, F.array_position(d, F.array_min(d))
+                            .cast("int"))), 1))
+    return F.concat(*parts)
 
 
 def pq_residual_reconstruct_from_vec_expr(vec_col: str,
